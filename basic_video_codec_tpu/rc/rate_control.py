@@ -1,0 +1,44 @@
+"""Row-granular rate control (3 modes).
+
+Decision-for-decision parity with reference encoder/RateControl/RateControl.py:
+
+* frame budget = targetBR / frame_rate (RateControl.py:5-6)
+* RC1: constant per-row budget = remaining bits / rows left (RateControl.py:9-20)
+* RC2/3 second pass: per-row budget proportional to the first pass's per-row
+  bit share (RateControl.py:23-30)
+* QP = lowest table QP whose expected bits * scaling <= budget, else the max
+  table QP (RateControl.py:34-43).  NOTE the shipped tables have no QP 0 entry
+  (the reference loader skips the first CSV column, lookup.py:107).  The
+  ``scaling_factor`` parameter exists for API parity but is effectively always
+  1: the reference stores the scene-change scaling on the first-pass frame
+  (encoder.py:94) and never copies it to the second-pass frame that would use
+  it (Frame.py:48).
+"""
+
+
+def bit_budget_per_frame(ec) -> float:
+    return ec.targetBR / ec.frame_rate
+
+
+def calculate_constant_row_bit_budget(remaining_bits, row_idx, ec) -> float:
+    frame_width, frame_height = ec.resolution
+    blocks_per_col = frame_height // ec.block_size
+    rows_left = blocks_per_col - row_idx
+    return remaining_bits / rows_left
+
+
+def calculate_proportional_row_bit_budget(frame, row_idx, ec):
+    prev_pass_frame = frame.prev_pass_frame
+    if prev_pass_frame is None:
+        raise ValueError("cant find proportional bit budget as prev_pass_frame not defined")
+    bit_usage_proportion = prev_pass_frame.bits_per_row[row_idx] / sum(prev_pass_frame.bits_per_row)
+    return bit_budget_per_frame(ec) * bit_usage_proportion, bit_usage_proportion
+
+
+def find_rc_qp_for_row(bit_budget, qp_table, frame_type="C", scaling_factor=1):
+    if frame_type not in ("I", "P", "C"):
+        raise ValueError("Invalid frame type. Must be one of 'I', 'P', or 'C'.")
+    for qp, bits in sorted(qp_table.items()):
+        if bits[frame_type] * scaling_factor <= bit_budget:
+            return qp
+    return max(qp_table.keys())

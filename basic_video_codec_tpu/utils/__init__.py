@@ -1,0 +1,25 @@
+from .logger import get_logger
+from .frame_utils import (
+    pad_frame,
+    split_into_blocks,
+    merge_blocks,
+    frame_to_blocks,
+    blocks_to_frame,
+    mae,
+    psnr,
+    calculate_num_frames,
+    pad_with_zeros,
+)
+
+__all__ = [
+    "get_logger",
+    "pad_frame",
+    "split_into_blocks",
+    "merge_blocks",
+    "frame_to_blocks",
+    "blocks_to_frame",
+    "mae",
+    "psnr",
+    "calculate_num_frames",
+    "pad_with_zeros",
+]

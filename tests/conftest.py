@@ -1,0 +1,35 @@
+"""Test harness config.
+
+Tests run on CPU with 8 virtual XLA devices so multi-chip sharding
+(jax.sharding.Mesh over ICI) is exercised without TPU hardware.  Must be set
+before the first ``import jax`` anywhere in the test process.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+from basic_video_codec_tpu.tools import ygen
+
+
+@pytest.fixture(scope="session")
+def small_moving_y(tmp_path_factory):
+    """A 64x48, 6-frame synthetic sequence with known motion, as a .y file."""
+    path = tmp_path_factory.mktemp("data") / "moving64.y"
+    frames = ygen.moving_sequence(64, 48, 6, seed=3)
+    ygen.write_y_file(str(path), frames)
+    return str(path), 64, 48, 6
+
+
+@pytest.fixture(scope="session")
+def tiny_textured_frames():
+    return np.stack([ygen.textured_frame(32, 32, seed=s) for s in range(3)])
