@@ -2,19 +2,22 @@
 
 Pipeline (replaces reference PFrame.py:29-131's per-block Python loop):
 
-1. motion estimation — batched full search (ops/me.py) or compiled MVP-chain
-   fast search (ops/fastme.py),
-2. motion-compensated prediction for every block in one gather,
-3. residuals -> batched MXU DCT,
-4. an ``nbr``-step row scan that picks the row QP (in-scan RC1 budget logic,
-   or a host-supplied per-row QP array), quantizes the row, and prices it
-   exactly (closed-form entropy lengths incl. the differential-MV prediction
-   row, reference PFrame.py:136-163),
-5. batched rescale/IDCT/reconstruct with each row's Q.
+1. motion estimation — batched full search with fused MC prediction
+   (ops/me.py) or compiled MVP-chain fast search (ops/fastme.py),
+2. residuals -> batched MXU DCT,
+3. quantization + exact entropy pricing (closed-form RLE/exp-Golomb lengths,
+   reference PFrame.py:136-163 semantics for the differential-MV rows):
+   fully batched when per-row QPs are known up front (fixed QP, RC 2/3),
+   or an ``nbr``-step budget scan for RC1 (QP of row i depends on the exact
+   bits of rows < i, reference Frame.py:168-188),
+4. batched rescale/IDCT/reconstruct with each row's Q.
 
 The MVP chain (PFrame.py:105) only affects fastME and the differential MV
-*encoding* — full search never reads it, so step 1 is embarrassingly parallel
-there.
+*encoding* — full search never reads it, so step 1 is embarrassingly parallel.
+
+Outputs are packed into three transfers (uint8 plane stack, int16 qdct,
+one int32 vector) to minimize device->host roundtrips on remote-attached
+TPUs; see models/io_pack.py.
 """
 
 from functools import partial
@@ -30,11 +33,11 @@ from ..ops.me import full_search, gather_pred_blocks
 from ..ops.intra import _select_qp_rc1
 
 
-def _wrap_int8(x: jnp.ndarray) -> jnp.ndarray:
-    """NumPy's modular float/int -> int8 cast (artifact planes only;
-    reference PFrame.py:39-40 stores residuals in int8)."""
+def _wrap_int8_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """NumPy's modular float -> int8 cast, delivered as the uint8 bit pattern
+    (artifact planes only; reference PFrame.py:39-40 stores residuals int8)."""
     t = jnp.trunc(x).astype(jnp.int32)
-    return (((t % 256) + 256 + 128) % 256 - 128).astype(jnp.int8)
+    return (t % 256).astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac", "multi_ref"))
@@ -54,33 +57,34 @@ def pframe_encode(
     frac: bool,
     multi_ref: bool,            # nRefFrames > 1: MV ref index is entropy-coded
 ):
+    """Returns ``(planes_u8 [3H, W], qdct_i16 [H, W], smalls_i32 [...])``
+    where planes stack (recon, res_w_mc bits, res_wo_mc bits) and smalls
+    packs (mvs, sads, comps, row_qps, row_bits) — see unpack in pipeline."""
     h, w = curr.shape
     nbr, nbc = h // bs, w // bs
     d = jnp.asarray(T.dct_matrix(bs))
     qmats = jnp.asarray(T.quant_matrices(bs))
     zz = jnp.asarray(zigzag_indices(bs))
 
-    # 1. motion estimation
+    # 1. motion estimation (+ fused MC prediction on the full-search path)
     if fast:
         mvs, sads, comps = fast_search_frame(curr, refs, interp_refs, bs, frac)
+        preds = gather_pred_blocks(refs, interp_refs, mvs, bs, frac).astype(jnp.int32)
     else:
-        mvs, sads = full_search(curr, refs, interp_refs, bs, search_range, frac)
+        mvs, sads, preds = full_search(curr, refs, interp_refs, bs, search_range, frac)
         sr = search_range * 2 if frac else search_range
         n_window = refs.shape[0] * (2 * sr + 1) ** 2
         comps = jnp.full((nbr, nbc), n_window, dtype=jnp.int32)
 
-    # 2. prediction + residual
-    preds = gather_pred_blocks(refs, interp_refs, mvs, bs, frac).astype(jnp.int32)
+    # 2. residual -> batched DCT (QP-independent float coefficients)
     curr_blocks = (
         curr.reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3).astype(jnp.int32)
     )
     residuals = curr_blocks - preds
-
-    # 3. batched DCT (float coefficients; quantization happens per row at its QP)
     coeffs = T.dct2(residuals.astype(jnp.float32), d)  # [nbr, nbc, bs, bs]
 
     # differential-MV prediction bits per row (PFrame.py:136-163): the chain
-    # runs raster across the whole frame, qp_diff excluded (added in-scan).
+    # runs raster across the whole frame, qp_diff excluded (added below).
     flat_mvs = mvs.reshape(-1, 3)
     prev = jnp.concatenate([jnp.zeros((1, 3), jnp.int32), flat_mvs[:-1]], axis=0)
     diffs = flat_mvs - prev
@@ -89,36 +93,47 @@ def pframe_encode(
         mv_bits = mv_bits + bitlen.golomb_len(diffs[:, 2])
     mv_row_bits = mv_bits.reshape(nbr, nbc).sum(axis=1)
 
-    # 4. RC row scan: choose QP, quantize, price the row exactly
-    def row_step(budget, i):
-        if rc1:
+    # 3. quantize + price
+    if rc1:
+        # QP of row i depends on exact bits of rows < i -> budget scan
+        def row_step(budget, i):
             qp = _select_qp_rc1(budget, nbr - i, tbl_qps, tbl_bits)
-        else:
-            qp = row_qps_in[i]
-        Q = qmats[qp]
-        q = T.quantize(coeffs[i], Q)  # [nbc, bs, bs] float (integral)
-        zz_rows = q.astype(jnp.int32).reshape(nbc, bs * bs)[:, zz]
-        dct_bits = bitlen.rle_block_bits(zz_rows).sum()
-        row_bits = dct_bits + bitlen.golomb_len(qp - initial_qp) + mv_row_bits[i]
-        budget = budget - row_bits.astype(jnp.float32)
-        return budget, (q.astype(jnp.int16), qp, row_bits)
+            q = T.quantize(coeffs[i], qmats[qp])
+            zz_rows = q.astype(jnp.int32).reshape(nbc, bs * bs)[:, zz]
+            dct_bits = bitlen.rle_block_bits(zz_rows).sum()
+            row_bits = dct_bits + bitlen.golomb_len(qp - initial_qp) + mv_row_bits[i]
+            return budget - row_bits.astype(jnp.float32), (q.astype(jnp.int16), qp, row_bits)
 
-    _, (qrows, row_qps, row_bits) = jax.lax.scan(
-        row_step, budget0, jnp.arange(nbr, dtype=jnp.int32)
-    )
+        _, (qrows, row_qps, row_bits) = jax.lax.scan(
+            row_step, budget0, jnp.arange(nbr, dtype=jnp.int32)
+        )
+    else:
+        # per-row QPs known up front: everything batches
+        row_qps = row_qps_in
+        Qr = qmats[row_qps][:, None]  # [nbr, 1, bs, bs]
+        q = T.quantize(coeffs, Qr)
+        qrows = q.astype(jnp.int16)
+        zz_rows = q.astype(jnp.int32).reshape(nbr, nbc, bs * bs)[..., zz]
+        dct_bits = bitlen.rle_block_bits(zz_rows).sum(axis=1)
+        row_bits = dct_bits + bitlen.golomb_len(row_qps - initial_qp) + mv_row_bits
 
-    # 5. reconstruct with each row's Q
-    Qrows = qmats[row_qps][:, None]  # [nbr, 1, bs, bs]
+    # 4. reconstruct with each row's Q
+    Qrows = qmats[row_qps][:, None]
     recon_blocks, idct_res = T.reconstruct(qrows.astype(jnp.float32), Qrows, preds, d)
     recon = recon_blocks.transpose(0, 2, 1, 3).reshape(h, w)
     qdct = qrows.transpose(0, 2, 1, 3).reshape(h, w)
 
     # artifact planes (dtype-wrap parity with the reference)
-    res_w_mc = _wrap_int8(idct_res).transpose(0, 2, 1, 3).reshape(h, w)
+    res_w_mc = _wrap_int8_bits(idct_res).transpose(0, 2, 1, 3).reshape(h, w)
     wo_mc = curr_blocks - refs[0].reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3).astype(jnp.int32)
-    res_wo_mc = _wrap_int8(wo_mc.astype(jnp.float32)).transpose(0, 2, 1, 3).reshape(h, w)
+    res_wo_mc = _wrap_int8_bits(wo_mc.astype(jnp.float32)).transpose(0, 2, 1, 3).reshape(h, w)
 
-    return recon, qdct, mvs, sads, comps, row_qps, row_bits, res_w_mc, res_wo_mc
+    planes = jnp.concatenate([recon, res_w_mc, res_wo_mc], axis=0)
+    smalls = jnp.concatenate([
+        mvs.reshape(-1), sads.reshape(-1), comps.reshape(-1),
+        row_qps.astype(jnp.int32), row_bits.astype(jnp.int32),
+    ])
+    return planes, qdct, smalls
 
 
 @partial(jax.jit, static_argnames=("bs", "frac"))

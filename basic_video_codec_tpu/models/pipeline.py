@@ -1,9 +1,20 @@
 """TPU encode/decode drivers.
 
-The host loop is thin: per frame it dispatches ONE jitted device program
-(I-frame row scan or P-frame ME+DCT+RC pipeline), then finalizes entropy bits
-with vectorized NumPy over the device-produced integer planes.  Reference
-frames and their half-pel buffers live on device between frames.
+The encode loop is an **async pipeline**: each frame dispatches ONE jitted
+device program (I-frame row scan or P-frame ME+DCT+RC pipeline) and is
+finalized — outputs fetched, entropy bits packed, artifacts written — only
+``PIPELINE_DEPTH`` frames later.  JAX dispatch is asynchronous, and the
+inter-frame dependency (reference frames) lives entirely on device, so the
+device chews through the frame chain while the host runs entropy coding for
+earlier frames; nothing ever blocks per frame.  This matters doubly on
+remote-attached TPUs where a synchronous roundtrip costs ~30 ms but chained
+dispatch costs ~2 ms.
+
+Rate-control modes 2/3 are two-pass with a host decision between passes
+(scene-change detection + proportional row budgets, reference
+encoder.py:85-98), which forces per-frame synchronization — they run with
+depth 0.  RC 0/1 need no host feedback (RC1's budget loop runs inside the
+device scan) and pipeline at full depth.
 
 Output artifacts, bitstream framing, metrics rows and RC decisions are
 identical to the golden model / reference (see golden/encoder.py for the
@@ -14,8 +25,10 @@ rounding edge (ops/transform.py).
 import csv
 import os
 import time
+from collections import deque
 from statistics import mean
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,17 +41,13 @@ from ..entropy import (
     rle_encode_blocks,
     symbols_to_bits,
 )
-from ..entropy.zigzag import inverse_zigzag_indices, zigzag_indices
-from ..golden.encoder import SCENE_CHANGE_THRESHOLD, _load_rc_table
-from ..io.fileio import FileIOHelper, write_mv_to_file, write_y_only_frame
+from ..entropy.zigzag import zigzag_indices
+from ..golden.encoder import SCENE_CHANGE_THRESHOLD, _append_throughput, _load_rc_table
+from ..io.fileio import FileIOHelper, write_y_only_frame
 from ..metrics.frame_metrics import FrameMetrics
 from ..ops.interp import build_half_pel
 from ..ops.intra import intra_decode_frame, intra_encode_frame
-from ..rc.rate_control import (
-    bit_budget_per_frame,
-    calculate_proportional_row_bit_budget,
-    find_rc_qp_for_row,
-)
+from ..rc.rate_control import bit_budget_per_frame, find_rc_qp_for_row
 from ..utils.frame_utils import pad_frame, psnr
 from ..utils.logger import get_logger
 from .pframe import pframe_decode, pframe_encode
@@ -46,25 +55,18 @@ from .pframe import pframe_decode, pframe_encode
 logger = get_logger()
 
 INTER, INTRA = 0, 1
+PIPELINE_DEPTH = int(os.environ.get("BVC_PIPELINE_DEPTH", "8"))
 
 
-class _FrameResult:
-    """Host-side record of one encoded frame (pass)."""
+class _Pending:
+    """One dispatched frame awaiting finalization."""
 
-    __slots__ = (
-        "mode", "curr", "recon", "qdct", "modes", "mvs", "row_qps", "row_bits",
-        "bits_per_row", "rc_qp_per_row", "avg_mae", "comparisons", "pred_writer",
-        "dct_writer", "res_w_mc", "res_wo_mc", "mv_field", "is_first_pass",
-        "prev_pass", "scaling_factor",
-    )
-
-    def is_iframe(self):
-        return self.mode == INTRA
+    __slots__ = ("index", "mode", "curr", "dev", "dispatch_dt", "is_first_pass")
 
 
 def _table_arrays(ec):
-    """RC lookup as device-friendly arrays (ascending QP; 'I' column — the
-    reference always prices rows with the I table, Frame.py:169)."""
+    """RC lookup as device arrays (ascending QP; always the 'I' column — the
+    reference prices every row with the I table, Frame.py:169)."""
     table = ec.rc_lookup_table
     if not table:
         return np.zeros(1, np.int32), np.zeros(1, np.float32)
@@ -86,7 +88,7 @@ def _prev_avg_qp(prev_rows, ec):
 
 def _row_qps_for_pass(ec, is_first_pass, prev_rows, prev_pass_bits, nbr):
     """Host-side per-row QP plan for all cases except RC1 (which runs
-    in-scan on device).  Returns (row_qps int32 [nbr] or None-for-RC1, rc1)."""
+    in-scan on device).  Returns (row_qps int32 [nbr], rc1 flag)."""
     qp = ec.quantization_factor
     if ec.RCflag == 0:
         return np.full(nbr, qp, np.int32), False
@@ -103,89 +105,138 @@ def _row_qps_for_pass(ec, is_first_pass, prev_rows, prev_pass_bits, nbr):
     return out, False
 
 
-def _encode_frame_device(ec, mode, padded, refs_dev, irefs_dev, row_qps, rc1):
+def _dispatch_frame(ec, mode, padded, refs_dev, irefs_dev, row_qps, rc1, tbl):
+    """Enqueue one frame's device program; returns device output tuple
+    (nothing is fetched here)."""
     bs = ec.block_size
-    h, w = padded.shape
-    nbr = h // bs
-    tbl_qps, tbl_bits = _table_arrays(ec)
     budget0 = jnp.float32(bit_budget_per_frame(ec)) if rc1 else jnp.float32(0)
     initial_qp = jnp.int32(ec.quantization_factor)
     curr_dev = jnp.asarray(padded)
+    tbl_qps, tbl_bits = tbl
 
-    r = _FrameResult()
-    r.mode = mode
-    r.curr = padded
+    h = padded.shape[0]
     if mode == INTRA:
-        recon, qdct, modes, maes, rq, rbits, res_u8 = intra_encode_frame(
-            curr_dev, jnp.asarray(row_qps), budget0, jnp.asarray(tbl_qps),
-            jnp.asarray(tbl_bits), initial_qp, bs, rc1,
+        out = intra_encode_frame(
+            curr_dev, jnp.asarray(row_qps), budget0, tbl_qps, tbl_bits,
+            initial_qp, bs, rc1,
         )
-        r.modes = np.asarray(modes)
-        r.mvs = None
-        r.avg_mae = float(np.asarray(maes, dtype=np.float64).sum() / (bs * bs) / maes.size)
-        r.comparisons = 2 * maes.size  # reference params.py:63
-        r.res_w_mc = np.asarray(res_u8)
-        r.res_wo_mc = r.res_w_mc
     else:
-        refs_stack = jnp.stack(refs_dev)
-        irefs_stack = jnp.stack(irefs_dev)
-        recon, qdct, mvs, sads, comps, rq, rbits, res_w, res_wo = pframe_encode(
+        h2, w2 = 2 * padded.shape[0], 2 * padded.shape[1]
+        refs_stack = jnp.stack(list(refs_dev))
+        if ec.fracMeEnabled:
+            irefs_stack = jnp.stack(list(irefs_dev))
+        else:
+            irefs_stack = jnp.zeros((len(refs_dev), h2, w2), jnp.uint8)
+        out = pframe_encode(
             curr_dev, refs_stack, irefs_stack, jnp.asarray(row_qps), budget0,
-            jnp.asarray(tbl_qps), jnp.asarray(tbl_bits), initial_qp,
+            tbl_qps, tbl_bits, initial_qp,
             bs, max(ec.search_range, 0), rc1, ec.fastME, ec.fracMeEnabled,
             ec.nRefFrames > 1,
         )
-        r.modes = None
-        r.mvs = np.asarray(mvs)
-        r.avg_mae = float(np.asarray(sads, dtype=np.float64).sum() / (bs * bs) / sads.size)
-        r.comparisons = int(np.asarray(comps, dtype=np.int64).sum())
-        r.res_w_mc = np.asarray(res_w)
-        r.res_wo_mc = np.asarray(res_wo)
-        r.mv_field = {
-            (j * bs, i * bs): [int(r.mvs[i, j, 0]), int(r.mvs[i, j, 1]), int(r.mvs[i, j, 2])]
-            for i in range(r.mvs.shape[0])
-            for j in range(r.mvs.shape[1])
-        }
-    r.recon = recon  # stays on device for the reference deque
-    r.qdct = np.asarray(qdct)
-    r.row_qps = np.asarray(rq)
-    r.bits_per_row = np.asarray(rbits).tolist()
-    r.rc_qp_per_row = r.row_qps.tolist() if ec.RCflag else []
-    _finalize_entropy(r, ec, nbr)
-    return r
+    recon = out[0][:h]  # first plane of the packed uint8 stack
+
+    refs_dev.append(recon)
+    if ec.fracMeEnabled:
+        irefs_dev.append(build_half_pel(recon))
+    else:
+        irefs_dev.append(None)
+    if len(refs_dev) > ec.nRefFrames:
+        refs_dev.pop(0)
+        irefs_dev.pop(0)
+    # start device->host copies now; they queue behind the compute and are
+    # already resident when this frame is finalized DEPTH frames later
+    for arr in out:
+        arr.copy_to_host_async()
+    return out
 
 
-def _finalize_entropy(r, ec, nbr):
-    """Vectorized host bit packing from device-produced integer planes."""
+def _mv_text(mvs, bs):
+    """mv.txt line, sorted by (x, y) like the reference's tuple sort
+    (file_io.py:65-70) — x-major order."""
+    cols = mvs.transpose(1, 0, 2).tolist()  # [nbc][nbr][3]
+    parts = []
+    for j, col in enumerate(cols):
+        x = j * bs
+        parts.extend(f"{x},{i * bs}:{v[0]},{v[1]}|" for i, v in enumerate(col))
+    return "".join(parts) + "\n"
+
+
+class _Finalized:
+    __slots__ = (
+        "index", "mode", "curr", "recon", "qdct", "res_w_mc", "res_wo_mc",
+        "mv_line", "pred_writer", "dct_writer", "avg_mae", "comparisons",
+        "rc_qp_per_row", "bits_per_row", "host_dt",
+    )
+
+    def is_iframe(self):
+        return self.mode == INTRA
+
+
+def _finalize_frame(p: _Pending, ec) -> _Finalized:
+    """Fetch one frame's packed device outputs and pack its entropy bits."""
+    t0 = time.time()
     bs = ec.block_size
-    h, w = r.qdct.shape
-    nbc = w // bs
-    qp_diffs = r.row_qps.astype(np.int64) - ec.quantization_factor
+    f = _Finalized()
+    f.index, f.mode, f.curr = p.index, p.mode, p.curr
+    planes, qdct, smalls = jax.device_get(p.dev)
+    h, w = qdct.shape
+    nbr, nbc = h // bs, w // bs
+    nb = nbr * nbc
+    if p.mode == INTRA:
+        # planes = (recon, residual-u8); smalls = (modes, maes, row_qps, row_bits)
+        f.recon = planes[:h]
+        f.res_w_mc = planes[h:]
+        f.res_wo_mc = f.res_w_mc
+        f.mv_line = "\n"
+        modes = smalls[:nb].reshape(nbr, nbc)
+        maes = smalls[nb : 2 * nb]
+        row_qps, row_bits = smalls[2 * nb : 2 * nb + nbr], smalls[2 * nb + nbr :]
+        f.comparisons = 2 * nb
+        f.avg_mae = float(maes.astype(np.float64).sum() / (bs * bs) / nb)
+        aux = modes
+    else:
+        # planes = (recon, res_w_mc, res_wo_mc);
+        # smalls = (mvs, sads, comps, row_qps, row_bits)
+        f.recon = planes[:h]
+        f.res_w_mc = planes[h : 2 * h]
+        f.res_wo_mc = planes[2 * h :]
+        mvs = smalls[: 3 * nb].reshape(nbr, nbc, 3)
+        sads = smalls[3 * nb : 4 * nb]
+        comps = smalls[4 * nb : 5 * nb]
+        row_qps, row_bits = smalls[5 * nb : 5 * nb + nbr], smalls[5 * nb + nbr :]
+        f.mv_line = _mv_text(mvs, bs)
+        f.comparisons = int(comps.astype(np.int64).sum())
+        f.avg_mae = float(sads.astype(np.float64).sum() / (bs * bs) / nb)
+        aux = mvs
+    f.qdct = qdct
+    f.rc_qp_per_row = row_qps.tolist() if ec.RCflag else []
+    f.bits_per_row = row_bits.tolist()
 
-    # prediction data
-    if r.mode == INTRA:
-        syms = np.hstack([qp_diffs[:, None], r.modes.astype(np.int64)]).ravel()
+    # entropy finalization (vectorized over the whole frame)
+    h, w = qdct.shape
+    nbr, nbc = h // bs, w // bs
+    qp_diffs = row_qps.astype(np.int64) - ec.quantization_factor
+    if p.mode == INTRA:
+        syms = np.hstack([qp_diffs[:, None], aux.astype(np.int64)]).ravel()
     else:
         k = 3 if ec.nRefFrames > 1 else 2
-        flat = r.mvs.reshape(-1, 3).astype(np.int64)
+        flat = aux.reshape(-1, 3).astype(np.int64)
         prev = np.vstack([np.zeros(3, np.int64), flat[:-1]])
         diffs = (flat - prev)[:, :k].reshape(nbr, nbc * k)
         syms = np.hstack([qp_diffs[:, None], diffs]).ravel()
-    r.pred_writer = BitWriter()
-    r.pred_writer.extend(symbols_to_bits(syms))
+    f.pred_writer = BitWriter()
+    f.pred_writer.extend(symbols_to_bits(syms))
 
-    # DCT coefficients: zigzag + RLE + exp-Golomb for the whole frame at once
-    blocks = (
-        r.qdct.reshape(nbr, bs, nbc, bs).swapaxes(1, 2).reshape(nbr * nbc, bs * bs)
-    )
+    blocks = qdct.reshape(nbr, bs, nbc, bs).swapaxes(1, 2).reshape(nbr * nbc, bs * bs)
     zz = blocks[:, zigzag_indices(bs)]
-    r.dct_writer = BitWriter()
-    r.dct_writer.extend(symbols_to_bits(rle_encode_blocks(zz, EOB_MARKER)))
+    f.dct_writer = BitWriter()
+    f.dct_writer.extend(symbols_to_bits(rle_encode_blocks(zz, EOB_MARKER)))
 
-    # cross-check the device's exact row pricing against the real bits
-    assert len(r.dct_writer) + len(r.pred_writer) == sum(r.bits_per_row), (
+    assert len(f.dct_writer) + len(f.pred_writer) == sum(f.bits_per_row), (
         "device bit pricing diverged from host entropy coder"
     )
+    f.host_dt = time.time() - t0
+    return f
 
 
 def encode_video(params: InputParameters, results_csv_path: str | None = "results.csv"):
@@ -195,9 +246,15 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
     bs = ec.block_size
 
     _load_rc_table(ec)
+    tbl_np = _table_arrays(ec)
+    tbl = (jnp.asarray(tbl_np[0]), jnp.asarray(tbl_np[1]))
 
-    refs_dev = [jnp.full((params.height, params.width), 128, dtype=jnp.uint8)]
-    irefs_dev = [build_half_pel(refs_dev[0])]
+    gray = jnp.full((params.height, params.width), 128, dtype=jnp.uint8)
+    refs_dev = [gray]
+    irefs_dev = [build_half_pel(gray) if ec.fracMeEnabled else None]
+
+    depth = 0 if ec.RCflag > 1 else PIPELINE_DEPTH
+    pending: deque[_Pending] = deque()
 
     with open(params.y_only_file, "rb") as f_in, \
          open(file_io.get_mv_file_name(), "wt") as mv_fh, \
@@ -210,13 +267,46 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
 
         metrics_writer = csv.writer(metrics_fh)
         metrics_writer.writerow(FrameMetrics.get_header())
+        start_time = time.time()
+
+        def write_out(f: _Finalized, dispatch_dt: float):
+            start_idx = encoded_fh.tell()
+            encoded_fh.write(f.mode.to_bytes(1))
+            encoded_fh.write(f.pred_writer.nbytes().to_bytes(2))
+            encoded_fh.write(f.pred_writer.tobytes())
+            encoded_fh.write(f.dct_writer.nbytes().to_bytes(3))
+            encoded_fh.write(f.dct_writer.tobytes())
+
+            frame_psnr = psnr(f.curr, f.recon)
+            frame_bytes = encoded_fh.tell() - start_idx
+            metrics_writer.writerow(
+                FrameMetrics(
+                    f.index, f.mode, f.avg_mae, f.comparisons, frame_psnr,
+                    frame_bytes, encoded_fh.tell() * 8,
+                    dispatch_dt + f.host_dt, time.time() - start_time,
+                ).to_csv_row()
+            )
+            logger.info(
+                f"{f.index:2}: {'INTRA' if f.is_iframe() else 'INTER'} "
+                f" mae [{round(f.avg_mae, 2):6.2f}] psnr [{round(frame_psnr, 2):6.2f}], "
+                f"size: [{frame_bytes:6}]"
+            )
+            write_y_only_frame(res_w_fh, f.res_w_mc)
+            write_y_only_frame(res_wo_fh, f.res_wo_mc)
+            write_y_only_frame(qdct_fh, f.qdct.astype(np.int16))
+            write_y_only_frame(recon_fh, f.recon)
+            mv_fh.write(f.mv_line)
+
+        def drain_one():
+            p = pending.popleft()
+            f = _finalize_frame(p, ec)
+            write_out(f, p.dispatch_dt)
+            return f
 
         prev_rc_rows = [ec.quantization_factor]  # seed (reference encoder.py:72-73)
         frame_index = 0
-        start_time = time.time()
         while True:
-            frame_start = time.time()
-            start_idx = encoded_fh.tell()
+            t_disp = time.time()
             frame_index += 1
             buf = f_in.read(y_size)
             if not buf or frame_index > params.frames_to_process:
@@ -230,80 +320,64 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
             if is_i:
                 refs_dev.clear()
                 irefs_dev.clear()
+            # the reference only appends the FINAL pass's reconstruction
+            # (encoder.py:154), so remember the pre-frame deque state
+            refs_snapshot = list(refs_dev)
+            irefs_snapshot = list(irefs_dev)
             row_qps, rc1 = _row_qps_for_pass(ec, True, prev_rc_rows, None, nbr)
-            r = _encode_frame_device(
-                ec, INTRA if is_i else INTER, padded, refs_dev, irefs_dev, row_qps, rc1
-            )
-            r.is_first_pass = True
+            mode = INTRA if is_i else INTER
+            dev = _dispatch_frame(ec, mode, padded, refs_dev, irefs_dev, row_qps, rc1, tbl)
 
             if ec.RCflag > 1:
-                overage = _overage(r, ec)
+                # two-pass: must look at first-pass bits -> synchronize now
+                p = _Pending()
+                p.index, p.mode, p.curr, p.dev = frame_index, mode, padded, dev
+                p.dispatch_dt = time.time() - t_disp
+                first = _finalize_frame(p, ec)
+                overage = _overage(first, ec)
                 scene_change = (
-                    not r.is_iframe()
+                    not first.is_iframe()
                     and overage is not None
                     and overage[1] > SCENE_CHANGE_THRESHOLD
                 )
-                second_i = scene_change or r.is_iframe()
+                second_i = scene_change or first.is_iframe()
+                # second pass sees the same reference state the first pass saw
+                refs_dev[:] = refs_snapshot
+                irefs_dev[:] = irefs_snapshot
                 if second_i:
                     refs_dev.clear()
                     irefs_dev.clear()
-                row_qps2, rc1_2 = _row_qps_for_pass(ec, False, prev_rc_rows, r.bits_per_row, nbr)
-                r = _encode_frame_device(
-                    ec, INTRA if second_i else INTER, padded, refs_dev, irefs_dev,
-                    row_qps2, rc1_2,
+                row_qps2, rc1_2 = _row_qps_for_pass(
+                    ec, False, prev_rc_rows, first.bits_per_row, nbr
                 )
-                r.is_first_pass = False
+                mode = INTRA if second_i else INTER
+                dev = _dispatch_frame(
+                    ec, mode, padded, refs_dev, irefs_dev, row_qps2, rc1_2, tbl
+                )
 
-            frame_enc_time = time.time() - frame_start
+            p = _Pending()
+            p.index, p.mode, p.curr, p.dev = frame_index, mode, padded, dev
+            p.dispatch_dt = time.time() - t_disp
+            pending.append(p)
 
-            # framing (reference encoder.py:104-121)
-            encoded_fh.write(r.mode.to_bytes(1))
-            encoded_fh.write(r.pred_writer.nbytes().to_bytes(2))
-            encoded_fh.write(r.pred_writer.tobytes())
-            encoded_fh.write(r.dct_writer.nbytes().to_bytes(3))
-            encoded_fh.write(r.dct_writer.tobytes())
+            while len(pending) > depth:
+                f = drain_one()
+                prev_rc_rows = f.rc_qp_per_row
+            if depth == 0 and pending:
+                f = drain_one()
+                prev_rc_rows = f.rc_qp_per_row
 
-            recon_np = np.asarray(r.recon)
-            frame_psnr = psnr(r.curr, recon_np)
-            frame_bytes = encoded_fh.tell() - start_idx
-            metrics_writer.writerow(
-                FrameMetrics(
-                    frame_index, r.mode, r.avg_mae, r.comparisons, frame_psnr,
-                    frame_bytes, encoded_fh.tell() * 8, frame_enc_time,
-                    time.time() - start_time,
-                ).to_csv_row()
-            )
-            logger.info(
-                f"{frame_index:2}: {'INTRA' if r.is_iframe() else 'INTER'} "
-                f" mae [{round(r.avg_mae, 2):6.2f}] psnr [{round(frame_psnr, 2):6.2f}], "
-                f"size: [{frame_bytes:6}]"
-            )
-
-            write_y_only_frame(res_w_fh, r.res_w_mc)
-            write_y_only_frame(res_wo_fh, r.res_wo_mc)
-            write_y_only_frame(qdct_fh, r.qdct.astype(np.int16))
-            write_y_only_frame(recon_fh, recon_np)
-            if r.is_iframe():
-                mv_fh.write("\n")
-            else:
-                write_mv_to_file(mv_fh, r.mv_field)
-
-            refs_dev.append(r.recon)
-            irefs_dev.append(build_half_pel(r.recon))
-            if len(refs_dev) > ec.nRefFrames:
-                refs_dev.pop(0)
-                irefs_dev.pop(0)
-            prev_rc_rows = r.rc_qp_per_row
+        while pending:
+            f = drain_one()
+            prev_rc_rows = f.rc_qp_per_row
 
     elapsed = time.time() - start_time
-    from ..golden.encoder import _append_throughput
-
     _append_throughput(params, elapsed, results_csv_path)
 
 
-def _overage(r, ec):
+def _overage(f: _Finalized, ec):
     """Frame bits vs lookup expectation (reference Frame.py:155-163)."""
-    bits = len(r.dct_writer) + len(r.pred_writer) + 8 * 6
+    bits = len(f.dct_writer) + len(f.pred_writer) + 8 * 6
     num_rows = ec.resolution[1] // ec.block_size
     try:
         return (
@@ -345,7 +419,6 @@ def _parse_dct(data, ec, params):
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
     syms, _ = decode_symbols(bits)
     syms = np.asarray(syms, dtype=np.int64)
-    # split on EOB markers, RLE-decode each block
     ends = np.flatnonzero(syms == EOB_MARKER)
     starts = np.concatenate([[0], ends[:-1] + 1])
     zz = zigzag_indices(bs)  # flat[zz[k]] = scan[k]
@@ -367,8 +440,9 @@ def decode_video(params: InputParameters):
     height, width = params.height, params.width
     bs = ec.block_size
 
-    refs_dev = [jnp.full((height, width), 128, dtype=jnp.uint8)]
-    irefs_dev = [build_half_pel(refs_dev[0])]
+    gray = jnp.full((height, width), 128, dtype=jnp.uint8)
+    refs_dev = [gray]
+    irefs_dev = [build_half_pel(gray) if ec.fracMeEnabled else None]
 
     with open(file_io.get_mc_reconstructed_file_name(), "rb") as recon_fh, \
          open(file_io.get_encoded_file_name(), "rb") as encoded_fh, \
@@ -397,9 +471,13 @@ def decode_video(params: InputParameters):
                     jnp.asarray(qdct), jnp.asarray(modes), jnp.asarray(row_qps), bs
                 )
             else:
+                if ec.fracMeEnabled:
+                    irefs_stack = jnp.stack(list(irefs_dev))
+                else:
+                    irefs_stack = jnp.zeros((len(refs_dev), 2 * height, 2 * width), jnp.uint8)
                 decoded = pframe_decode(
                     jnp.asarray(qdct), jnp.asarray(mvs), jnp.asarray(row_qps),
-                    jnp.stack(refs_dev), jnp.stack(irefs_dev), bs, ec.fracMeEnabled,
+                    jnp.stack(list(refs_dev)), irefs_stack, bs, ec.fracMeEnabled,
                 )
 
             decoded_np = np.asarray(decoded)
@@ -409,7 +487,7 @@ def decode_video(params: InputParameters):
 
             write_y_only_frame(decoded_fh, decoded_np)
             refs_dev.append(decoded)
-            irefs_dev.append(build_half_pel(decoded))
+            irefs_dev.append(build_half_pel(decoded) if ec.fracMeEnabled else None)
             if len(refs_dev) > ec.nRefFrames:
                 refs_dev.pop(0)
                 irefs_dev.pop(0)

@@ -52,8 +52,9 @@ def intra_encode_frame(
     bs: int,
     rc1: bool,
 ):
-    """Returns (recon u8 [H,W], qdct i16 [H,W], modes i32 [nbr,nbc],
-    mae_sums i32 [nbr,nbc], row_qps i32 [nbr], row_bits i32 [nbr])."""
+    """Returns packed transfers ``(planes_u8 [2H, W], qdct_i16 [H, W],
+    smalls_i32 [...])`` — planes stack (recon, residual-u8-wrap plane), smalls
+    pack (modes, mae_sums, row_qps, row_bits); see unpack in pipeline."""
     h, w = curr.shape
     nbr, nbc = h // bs, w // bs
     d = jnp.asarray(T.dct_matrix(bs))
@@ -123,7 +124,12 @@ def intra_encode_frame(
     # qrows: [nbr, nbc, bs, bs] -> [H, W]
     qdct = qrows.transpose(0, 2, 1, 3).reshape(h, w)
     residual_u8 = res_rows.transpose(0, 2, 1, 3).reshape(h, w)
-    return recon.astype(jnp.uint8), qdct, modes, maes, row_qps, row_bits, residual_u8
+    planes = jnp.concatenate([recon.astype(jnp.uint8), residual_u8], axis=0)
+    smalls = jnp.concatenate([
+        modes.reshape(-1), maes.reshape(-1),
+        row_qps.astype(jnp.int32), row_bits.astype(jnp.int32),
+    ])
+    return planes, qdct, smalls
 
 
 @partial(jax.jit, static_argnames=("bs",))

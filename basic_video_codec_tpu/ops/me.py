@@ -55,7 +55,7 @@ def _block_sums(diff: jnp.ndarray, bs: int) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("bs", "search_range", "frac"))
 def full_search(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.ndarray,
                 bs: int, search_range: int, frac: bool):
-    """Batched exhaustive search for every block of a frame.
+    """Batched exhaustive search + motion-compensated prediction.
 
     Parameters
     ----------
@@ -63,7 +63,14 @@ def full_search(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.ndarray,
     refs : uint8 ``[n_ref, H, W]`` reference frames (deque order: 0 = oldest)
     interp_refs : uint8 ``[n_ref, 2H, 2W]`` half-pel buffers (used iff frac)
     search_range : the *config* search range; doubled internally when frac
-    Returns ``(mvs int32 [nbr, nbc, 3] as (mv_x, mv_y, ref), sad int32 [nbr, nbc])``.
+
+    Returns ``(mvs int32 [nbr, nbc, 3] as (mv_x, mv_y, ref),
+    sad int32 [nbr, nbc], pred int32 [nbr, nbc, bs, bs])``.
+
+    Two scans over the candidate set: one scores (packed-key argmin implements
+    the reference tie-break), one re-materializes each candidate's aligned
+    frame and select-accumulates the winners' pixels — TPU-friendly whole-
+    frame selects instead of a 4-D gather.
     """
     sr = search_range * 2 if frac else search_range
     assert sr <= 127, "search range too large for the (SAD, L1) packed key"
@@ -76,19 +83,24 @@ def full_search(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.ndarray,
     bx = jnp.arange(nbc, dtype=jnp.int32) * bs  # block x origins
     by = jnp.arange(nbr, dtype=jnp.int32) * bs
 
-    def score(carry, cand):
+    def aligned_frame(cand):
         k, dy, dx = cand[0], cand[1], cand[2]
         if frac:
             irf = jax.lax.dynamic_index_in_dim(interp_refs, k, axis=0, keepdims=False)
-            aligned = jnp.roll(irf, (-dy, -dx), axis=(0, 1))[0::2, 0::2].astype(jnp.int32)
-            ox = bx * 2
-            oy = by * 2
-            lim_w, lim_h, bspan = 2 * w, 2 * h, 2 * bs
-        else:
-            rf = jax.lax.dynamic_index_in_dim(refs, k, axis=0, keepdims=False)
-            aligned = jnp.roll(rf, (-dy, -dx), axis=(0, 1)).astype(jnp.int32)
-            ox, oy = bx, by
-            lim_w, lim_h, bspan = w, h, bs
+            return jnp.roll(irf, (-dy, -dx), axis=(0, 1))[0::2, 0::2].astype(jnp.int32)
+        rf = jax.lax.dynamic_index_in_dim(refs, k, axis=0, keepdims=False)
+        return jnp.roll(rf, (-dy, -dx), axis=(0, 1)).astype(jnp.int32)
+
+    if frac:
+        lim_w, lim_h, bspan = 2 * w, 2 * h, 2 * bs
+        ox, oy = bx * 2, by * 2
+    else:
+        lim_w, lim_h, bspan = w, h, bs
+        ox, oy = bx, by
+
+    def score(carry, cand):
+        dy, dx = cand[1], cand[2]
+        aligned = aligned_frame(cand)
         sad = _block_sums(jnp.abs(curr_i - aligned), bs)  # [nbr, nbc]
         valid = (
             ((ox + dx) >= 0)[None, :]
@@ -105,7 +117,23 @@ def full_search(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.ndarray,
     best_cand = cands[best]  # [nbr, nbc, 3] (ref, dy, dx)
     best_sad = jnp.take_along_axis(sads, best[None], axis=0)[0]
     mvs = jnp.stack([best_cand[..., 2], best_cand[..., 1], best_cand[..., 0]], axis=-1)
-    return mvs, best_sad
+
+    # second pass: pred[y, x] = aligned_{best[block(y,x)]}[y, x]
+    def pick(state, ci):
+        pred, idx = state
+        cand = cands[ci]
+        aligned = aligned_frame(cand)
+        mask_px = (
+            jnp.broadcast_to((best == ci)[:, None, :, None], (nbr, bs, nbc, bs))
+            .reshape(h, w)
+        )
+        return (jnp.where(mask_px, aligned, pred), idx), None
+
+    (pred_frame, _), _ = jax.lax.scan(
+        pick, (jnp.zeros((h, w), jnp.int32), 0), jnp.arange(cands.shape[0])
+    )
+    preds = pred_frame.reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3)
+    return mvs, best_sad, preds
 
 
 @partial(jax.jit, static_argnames=("bs", "frac"))

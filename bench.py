@@ -1,0 +1,66 @@
+"""Headline benchmark: CIF P-frame encode throughput on real hardware.
+
+Reproduces the reference's best published configuration class
+(results.csv rows 1-20: full-search ME, block 8, r=2, CIF, single
+reference — 0.39-0.69 fps on the reference's CPU; BASELINE.md) end-to-end
+through the public ``encode_video`` API: motion search + MC + DCT +
+quantization + reconstruction on device, entropy bitstream + artifact files
+on host, everything written to disk exactly like the reference run.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import logging
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+BASELINE_FPS = 0.69  # reference results.csv best full-search row (BASELINE.md)
+
+W, H = 352, 288
+BLOCK, R, QP, IPERIOD = 8, 2, 5, 8
+WARMUP_FRAMES = 9  # covers I + P compile paths (and all P ref-stack shapes)
+BENCH_FRAMES = 96
+
+
+def main():
+    logging.disable(logging.INFO)
+    from basic_video_codec_tpu.config import EncoderConfig, InputParameters
+    from basic_video_codec_tpu.models.pipeline import encode_video
+    from basic_video_codec_tpu.tools import ygen
+
+    tmp = tempfile.mkdtemp(prefix="bvc_bench_")
+    try:
+        y_path = os.path.join(tmp, "bench_cif.y")
+        frames = ygen.moving_sequence(W, H, BENCH_FRAMES, seed=42)
+        ygen.write_y_file(y_path, frames)
+
+        def run(n_frames):
+            ec = EncoderConfig(
+                block_size=BLOCK, search_range=R, I_Period=IPERIOD,
+                quantization_factor=QP, resolution=(W, H),
+            )
+            params = InputParameters(y_path, W, H, ec, frames_to_process=n_frames)
+            t0 = time.time()
+            encode_video(params, results_csv_path=None)
+            return time.time() - t0
+
+        run(WARMUP_FRAMES)            # compile I-frame + P-frame programs
+        elapsed = run(BENCH_FRAMES)   # steady-state, end-to-end incl. file IO
+        fps = BENCH_FRAMES / elapsed
+
+        print(json.dumps({
+            "metric": "CIF P-frame encode throughput (full-search ME r=2, block 8, end-to-end)",
+            "value": round(fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / BASELINE_FPS, 1),
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

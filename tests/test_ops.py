@@ -83,7 +83,7 @@ class TestFullSearch:
         refs = [np.roll(base, s, axis=1) for s in range(nref)]
         irefs = [build_pre_interpolated_buffer(r) for r in refs]
         curr = np.roll(base, (1, -2), axis=(0, 1))
-        mvs, sads = full_search(
+        mvs, sads, dev_preds = full_search(
             jnp.asarray(curr), jnp.asarray(np.stack(refs)),
             jnp.asarray(np.stack(irefs)), 8, 2, frac,
         )
@@ -95,10 +95,12 @@ class TestFullSearch:
         ref = ygen.textured_frame(48, 40, seed=7)
         irefs = [build_pre_interpolated_buffer(ref)]
         curr = np.roll(ref, 2, axis=0)
-        mvs, _ = full_search(jnp.asarray(curr), jnp.asarray(ref[None]),
+        mvs, _, dev_preds2 = full_search(jnp.asarray(curr), jnp.asarray(ref[None]),
                              jnp.asarray(np.stack(irefs)), 8, 2, False)
         preds = np.asarray(gather_pred_blocks(
             jnp.asarray(ref[None]), jnp.asarray(np.stack(irefs)), mvs, 8, False))
+        # the fused select-accumulate prediction equals the explicit gather
+        assert np.array_equal(np.asarray(dev_preds2), preds)
         mvs = np.asarray(mvs)
         for i in range(5):
             for j in range(5):

@@ -1,0 +1,86 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from basic_video_codec_tpu.config import EncoderConfig
+from basic_video_codec_tpu.golden import me as gme
+from basic_video_codec_tpu.golden.interp import build_pre_interpolated_buffer
+from basic_video_codec_tpu.ops.me import full_search
+from basic_video_codec_tpu.parallel.gop import encode_gop, encode_gops_sharded
+from basic_video_codec_tpu.parallel.mesh import make_mesh
+from basic_video_codec_tpu.parallel.spatial import sharded_pframe_step
+from basic_video_codec_tpu.tools import ygen
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+class TestSpatialSharding:
+    def test_matches_single_chip_full_search(self):
+        """The halo-exchanged sharded step must produce the same MVs, SADs,
+        recon and bit totals as the single-device kernels."""
+        bs, r, qp = 8, 2, 4
+        W, H, B = 64, 64, 2
+        base = ygen.textured_frame(W, H, seed=13)
+        ref = np.stack([base, np.roll(base, 3, axis=0)])
+        curr = np.stack([np.roll(base, (2, -1), (0, 1)), np.roll(base, (1, 2), (0, 1))])
+
+        mesh = make_mesh(8, data=2, space=4)
+        step = sharded_pframe_step(mesh, bs, r, qp, h_total=H)
+        recon, qdct, mvs, sads, fbits = jax.block_until_ready(
+            step(jnp.asarray(curr), jnp.asarray(ref))
+        )
+
+        # single-chip reference result
+        for b in range(B):
+            irefs = jnp.asarray(np.stack([build_pre_interpolated_buffer(ref[b])]))
+            mv1, sad1, _ = full_search(
+                jnp.asarray(curr[b]), jnp.asarray(ref[b][None]), irefs, bs, r, False
+            )
+            assert np.array_equal(np.asarray(mvs)[b], np.asarray(mv1)[..., :2]), b
+            assert np.array_equal(np.asarray(sads)[b], np.asarray(sad1)), b
+
+    def test_bits_psum_consistent(self):
+        bs, r, qp = 8, 2, 4
+        W, H = 64, 64
+        base = ygen.textured_frame(W, H, seed=14)
+        curr = np.stack([np.roll(base, 1, 1)])
+        ref = np.stack([base])
+        mesh = make_mesh(8, data=1, space=8)
+        step = sharded_pframe_step(mesh, bs, r, qp, h_total=H)
+        _, qdct, _, _, fbits = step(jnp.asarray(curr), jnp.asarray(ref))
+        # recompute bits from the gathered qdct plane on one device
+        from basic_video_codec_tpu.entropy import rle_encode_blocks, symbols_bit_length, EOB_MARKER
+        from basic_video_codec_tpu.entropy.zigzag import zigzag_indices
+
+        q = np.asarray(qdct)[0]
+        blocks = q.reshape(H // bs, bs, W // bs, bs).swapaxes(1, 2).reshape(-1, bs * bs)
+        syms = rle_encode_blocks(blocks[:, zigzag_indices(bs)].astype(np.int64))
+        assert int(np.asarray(fbits)[0]) == int(symbols_bit_length(syms).sum())
+
+
+class TestGopParallel:
+    def test_encode_gop_self_consistent(self):
+        frames = ygen.moving_sequence(48, 32, 4, seed=15)
+        recon, qdct, mvs, bits = jax.block_until_ready(
+            encode_gop(jnp.asarray(frames), bs=8, search_range=2, qp=3, frac=False)
+        )
+        assert recon.shape == frames.shape
+        assert np.asarray(bits).min() > 0
+        # first frame is intra: better-than-garbage reconstruction
+        err = np.abs(np.asarray(recon)[0].astype(int) - frames[0].astype(int))
+        assert err.mean() < 12
+
+    def test_gops_sharded_over_data_axis(self):
+        mesh = make_mesh(8, data=8, space=1)
+        gops = np.stack([ygen.moving_sequence(48, 32, 3, seed=s) for s in range(8)])
+        recon, qdct, mvs, bits = jax.block_until_ready(
+            encode_gops_sharded(mesh, jnp.asarray(gops), bs=8, search_range=2, qp=3)
+        )
+        assert recon.shape == gops.shape
+        # each GOP encodes identically to its unsharded encoding
+        r1, q1, m1, b1 = encode_gop(jnp.asarray(gops[3]), bs=8, search_range=2, qp=3, frac=False)
+        assert np.array_equal(np.asarray(recon)[3], np.asarray(r1))
+        assert np.array_equal(np.asarray(bits)[3], np.asarray(b1))
