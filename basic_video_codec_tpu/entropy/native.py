@@ -1,0 +1,119 @@
+"""ctypes bindings for the native entropy codec (native/entropy.cc).
+
+Loads ``libbvc_entropy.so``, building it with g++ on first use if needed
+(no external packaging).  All entry points have pure-NumPy fallbacks — the
+pipeline calls through :func:`encode_symbols_bytes` /
+:func:`decode_symbols_np` / :func:`decode_dct_scans` and gets the native
+path automatically when available.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from ..utils.logger import get_logger
+
+logger = get_logger()
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libbvc_entropy.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        if not os.path.exists(_SO_PATH):
+            src = os.path.join(_NATIVE_DIR, "entropy.cc")
+            subprocess.run(
+                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _SO_PATH, src],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.bvc_encode_symbols.restype = ctypes.c_int64
+        lib.bvc_encode_symbols.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+        lib.bvc_decode_symbols.restype = ctypes.c_int64
+        lib.bvc_decode_symbols.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+        lib.bvc_decode_dct_blocks.restype = ctypes.c_int64
+        lib.bvc_decode_dct_blocks.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        assert lib.bvc_version() == 1
+        _lib = lib
+    except Exception as e:  # missing compiler, load failure -> NumPy fallback
+        logger.warning(f"native entropy codec unavailable ({e}); using NumPy fallback")
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def encode_symbols_bytes(symbols: np.ndarray):
+    """Symbols -> (packed bytes, bit length).  Native fast path with
+    vectorized-NumPy fallback."""
+    symbols = np.ascontiguousarray(symbols, dtype=np.int64)
+    lib = _load()
+    if lib is not None and symbols.size:
+        # worst-case codeword here is ~63 bits; size the buffer generously
+        cap = symbols.size * 8 + 64
+        out = np.zeros(cap, dtype=np.uint8)
+        nbits = lib.bvc_encode_symbols(
+            symbols.ctypes.data, symbols.size, out.ctypes.data, cap)
+        if nbits >= 0:
+            return out[: (nbits + 7) // 8].tobytes(), int(nbits)
+    from .expgolomb import symbols_to_bits
+
+    bits = symbols_to_bits(symbols)
+    return np.packbits(bits).tobytes(), int(bits.shape[0])
+
+
+def decode_symbols_np(data: bytes, max_symbols: int) -> np.ndarray:
+    """Packed bytes -> up to ``max_symbols`` decoded symbols (int64)."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    lib = _load()
+    if lib is not None:
+        out = np.zeros(max_symbols, dtype=np.int64)
+        n = lib.bvc_decode_symbols(
+            buf.ctypes.data, buf.size * 8, out.ctypes.data, max_symbols)
+        return out[:n]
+    from .expgolomb import decode_symbols
+
+    syms, _ = decode_symbols(np.unpackbits(buf), max_symbols=max_symbols)
+    return np.asarray(syms, dtype=np.int64)
+
+
+def decode_dct_scans(data: bytes, n_blocks: int, scan_len: int, eob: int) -> np.ndarray:
+    """DCT payload -> ``[n_blocks, scan_len]`` int32 zigzag scans
+    (exp-Golomb + RLE expansion in one native pass)."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    lib = _load()
+    out = np.zeros((n_blocks, scan_len), dtype=np.int32)
+    if lib is not None:
+        lib.bvc_decode_dct_blocks(
+            buf.ctypes.data, buf.size * 8, out.ctypes.data, n_blocks, scan_len, eob)
+        return out
+    from .expgolomb import decode_symbols
+    from .rle import rle_decode
+
+    syms, _ = decode_symbols(np.unpackbits(buf))
+    syms = np.asarray(syms, dtype=np.int64)
+    ends = np.flatnonzero(syms == eob)
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    for idx, (s, e) in enumerate(zip(starts, ends)):
+        if idx >= n_blocks:
+            break
+        coffs = rle_decode(syms[s:e].tolist())[:scan_len]
+        out[idx, : len(coffs)] = coffs
+    return out

@@ -33,13 +33,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import InputParameters
-from ..entropy import (
-    EOB_MARKER,
-    BitWriter,
-    decode_symbols,
-    rle_decode,
-    rle_encode_blocks,
-    symbols_to_bits,
+from ..entropy import EOB_MARKER, rle_encode_blocks
+from ..entropy.native import (
+    decode_dct_scans,
+    decode_symbols_np,
+    encode_symbols_bytes,
 )
 from ..entropy.zigzag import zigzag_indices
 from ..golden.encoder import SCENE_CHANGE_THRESHOLD, _append_throughput, _load_rc_table
@@ -164,8 +162,8 @@ def _mv_text(mvs, bs):
 class _Finalized:
     __slots__ = (
         "index", "mode", "curr", "recon", "qdct", "res_w_mc", "res_wo_mc",
-        "mv_line", "pred_writer", "dct_writer", "avg_mae", "comparisons",
-        "rc_qp_per_row", "bits_per_row", "host_dt",
+        "mv_line", "pred_bytes", "pred_bits", "dct_bytes", "dct_bits",
+        "avg_mae", "comparisons", "rc_qp_per_row", "bits_per_row", "host_dt",
     )
 
     def is_iframe(self):
@@ -212,9 +210,7 @@ def _finalize_frame(p: _Pending, ec) -> _Finalized:
     f.rc_qp_per_row = row_qps.tolist() if ec.RCflag else []
     f.bits_per_row = row_bits.tolist()
 
-    # entropy finalization (vectorized over the whole frame)
-    h, w = qdct.shape
-    nbr, nbc = h // bs, w // bs
+    # entropy finalization (vectorized symbol prep + native bit packing)
     qp_diffs = row_qps.astype(np.int64) - ec.quantization_factor
     if p.mode == INTRA:
         syms = np.hstack([qp_diffs[:, None], aux.astype(np.int64)]).ravel()
@@ -224,15 +220,13 @@ def _finalize_frame(p: _Pending, ec) -> _Finalized:
         prev = np.vstack([np.zeros(3, np.int64), flat[:-1]])
         diffs = (flat - prev)[:, :k].reshape(nbr, nbc * k)
         syms = np.hstack([qp_diffs[:, None], diffs]).ravel()
-    f.pred_writer = BitWriter()
-    f.pred_writer.extend(symbols_to_bits(syms))
+    f.pred_bytes, f.pred_bits = encode_symbols_bytes(syms)
 
     blocks = qdct.reshape(nbr, bs, nbc, bs).swapaxes(1, 2).reshape(nbr * nbc, bs * bs)
     zz = blocks[:, zigzag_indices(bs)]
-    f.dct_writer = BitWriter()
-    f.dct_writer.extend(symbols_to_bits(rle_encode_blocks(zz, EOB_MARKER)))
+    f.dct_bytes, f.dct_bits = encode_symbols_bytes(rle_encode_blocks(zz, EOB_MARKER))
 
-    assert len(f.dct_writer) + len(f.pred_writer) == sum(f.bits_per_row), (
+    assert f.dct_bits + f.pred_bits == sum(f.bits_per_row), (
         "device bit pricing diverged from host entropy coder"
     )
     f.host_dt = time.time() - t0
@@ -272,10 +266,10 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
         def write_out(f: _Finalized, dispatch_dt: float):
             start_idx = encoded_fh.tell()
             encoded_fh.write(f.mode.to_bytes(1))
-            encoded_fh.write(f.pred_writer.nbytes().to_bytes(2))
-            encoded_fh.write(f.pred_writer.tobytes())
-            encoded_fh.write(f.dct_writer.nbytes().to_bytes(3))
-            encoded_fh.write(f.dct_writer.tobytes())
+            encoded_fh.write(((f.pred_bits + 7) // 8).to_bytes(2))
+            encoded_fh.write(f.pred_bytes)
+            encoded_fh.write(((f.dct_bits + 7) // 8).to_bytes(3))
+            encoded_fh.write(f.dct_bytes)
 
             frame_psnr = psnr(f.curr, f.recon)
             frame_bytes = encoded_fh.tell() - start_idx
@@ -377,7 +371,7 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
 
 def _overage(f: _Finalized, ec):
     """Frame bits vs lookup expectation (reference Frame.py:155-163)."""
-    bits = len(f.dct_writer) + len(f.pred_writer) + 8 * 6
+    bits = f.dct_bits + f.pred_bits + 8 * 6
     num_rows = ec.resolution[1] // ec.block_size
     try:
         return (
@@ -399,10 +393,8 @@ def _parse_prediction(data, ec, params, is_intra):
     bs = ec.block_size
     nbc = ec.resolution[0] // bs
     nbr = ec.resolution[1] // bs
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
     per_row = 1 + nbc * (1 if is_intra else (3 if ec.nRefFrames > 1 else 2))
-    syms, _ = decode_symbols(bits, max_symbols=nbr * per_row)
-    syms = np.asarray(syms, dtype=np.int64).reshape(nbr, per_row)
+    syms = decode_symbols_np(data, nbr * per_row).reshape(nbr, per_row)
     row_qps = ec.quantization_factor + syms[:, 0]
     if is_intra:
         return row_qps.astype(np.int32), syms[:, 1:].astype(np.int32), None
@@ -416,25 +408,21 @@ def _parse_prediction(data, ec, params, is_intra):
 
 def _parse_dct(data, ec, params):
     bs = ec.block_size
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-    syms, _ = decode_symbols(bits)
-    syms = np.asarray(syms, dtype=np.int64)
-    ends = np.flatnonzero(syms == EOB_MARKER)
-    starts = np.concatenate([[0], ends[:-1] + 1])
-    zz = zigzag_indices(bs)  # flat[zz[k]] = scan[k]
     nbc = params.width // bs
     nbr = params.height // bs
+    scans = decode_dct_scans(data, nbr * nbc, bs * bs, EOB_MARKER)
     out = np.zeros((nbr * nbc, bs * bs), dtype=np.int32)
-    for idx, (s, e) in enumerate(zip(starts, ends)):
-        coffs = rle_decode(syms[s:e].tolist())
-        coffs = coffs + [0] * (bs * bs - len(coffs))
-        out[idx, zz] = coffs
+    out[:, zigzag_indices(bs)] = scans  # flat[zz[k]] = scan[k]
     return (
         out.reshape(nbr, nbc, bs, bs).swapaxes(1, 2).reshape(nbr * bs, nbc * bs)
     )
 
 
 def decode_video(params: InputParameters):
+    """Pipelined decode: host entropy parsing feeds async device dispatches;
+    decoded frames are fetched, PSNR-checked against the encoder's
+    reconstruction file and written with a lag (same async strategy as the
+    encoder — the device chain never waits on the host)."""
     ec = params.encoder_config
     file_io = FileIOHelper(params)
     height, width = params.height, params.width
@@ -443,10 +431,19 @@ def decode_video(params: InputParameters):
     gray = jnp.full((height, width), 128, dtype=jnp.uint8)
     refs_dev = [gray]
     irefs_dev = [build_half_pel(gray) if ec.fracMeEnabled else None]
+    pending: deque = deque()
 
     with open(file_io.get_mc_reconstructed_file_name(), "rb") as recon_fh, \
          open(file_io.get_encoded_file_name(), "rb") as encoded_fh, \
          open(file_io.get_mc_decoded_file_name(), "wb") as decoded_fh:
+
+        def drain_one():
+            idx, dev = pending.popleft()
+            decoded_np = np.asarray(dev)
+            ref_plane = np.frombuffer(recon_fh.read(width * height), dtype=np.uint8)
+            frame_psnr = psnr(decoded_np, ref_plane.reshape(height, width))
+            logger.info(f"{idx:2}: psnr [{round(frame_psnr, 2):6.2f}]")
+            write_y_only_frame(decoded_fh, decoded_np)
 
         frame_index = 0
         while True:
@@ -479,16 +476,16 @@ def decode_video(params: InputParameters):
                     jnp.asarray(qdct), jnp.asarray(mvs), jnp.asarray(row_qps),
                     jnp.stack(list(refs_dev)), irefs_stack, bs, ec.fracMeEnabled,
                 )
+            decoded.copy_to_host_async()
+            pending.append((frame_index, decoded))
 
-            decoded_np = np.asarray(decoded)
-            ref_plane = np.frombuffer(recon_fh.read(width * height), dtype=np.uint8)
-            frame_psnr = psnr(decoded_np, ref_plane.reshape(height, width))
-            logger.info(f"{frame_index:2}: psnr [{round(frame_psnr, 2):6.2f}]")
-
-            write_y_only_frame(decoded_fh, decoded_np)
             refs_dev.append(decoded)
             irefs_dev.append(build_half_pel(decoded) if ec.fracMeEnabled else None)
             if len(refs_dev) > ec.nRefFrames:
                 refs_dev.pop(0)
                 irefs_dev.pop(0)
+            while len(pending) > PIPELINE_DEPTH:
+                drain_one()
+        while pending:
+            drain_one()
     logger.info("End decoding")
