@@ -1,0 +1,140 @@
+"""Experiment drivers and metrics tooling (small synthetic configs)."""
+
+import csv
+import logging
+import os
+
+import numpy as np
+import pytest
+
+from basic_video_codec_tpu.config import EncoderConfig, InputParameters
+from basic_video_codec_tpu.experiments import block_average, color, data
+from basic_video_codec_tpu.experiments.pipeline_run import encode_plot_decode
+from basic_video_codec_tpu.experiments.rd_sweep import run_sweep
+from basic_video_codec_tpu.io.fileio import FileIOHelper
+from basic_video_codec_tpu.metrics.bit_count import print_average_bit_count_per_block_row
+from basic_video_codec_tpu.metrics.plots import (
+    calculate_rd_points_and_times,
+    plot_per_frame_psnr,
+    plot_rd_curves,
+    tabulate_and_export_encoding_times,
+)
+from basic_video_codec_tpu.metrics.rd_curves import create_label, plot_RD_curves_metrics
+from basic_video_codec_tpu.tools import ygen
+
+logging.getLogger().setLevel(logging.ERROR)
+
+W, H, N = 64, 48, 4
+
+
+@pytest.fixture()
+def seq(tmp_path):
+    path = str(tmp_path / "seq.y")
+    ygen.write_y_file(path, ygen.moving_sequence(W, H, N, seed=21))
+    return path
+
+
+def test_encode_plot_decode_writes_plots(seq, tmp_path):
+    ec = EncoderConfig(8, 2, 4, 4, resolution=(W, H), backend="golden")
+    params = InputParameters(seq, W, H, ec, N)
+    metrics_csv = encode_plot_decode(params, results_csv_path=str(tmp_path / "r.csv"))
+    io = FileIOHelper(params, create_dirs=False)
+    for png in ("avg_mae.png", "psnr.png", "frame_bits.png", "rd_curve.png", "rdv2.png"):
+        assert os.path.exists(io.get_file_name(png)), png
+    assert os.path.exists(metrics_csv)
+    # results.csv throughput line appended
+    assert os.path.getsize(tmp_path / "r.csv") > 0
+
+
+def test_create_label_both_schemes():
+    _, d = create_label("data/foreman/16_4_7_8_1/metrics.csv")
+    assert d["block_size"] == 16 and d["qp"] == 7 and d["nRefFrames"] == 1
+    _, d = create_label("x/y/seq/8_-1.0_5_21_1_3_2400000/metrics.csv")
+    assert d["fastMeEnabled"] and d["fracMeEnabled"]
+    assert d["RCflag"] == 3 and d["targetBR"] == 2400000
+
+
+def test_rd_tooling(seq, tmp_path):
+    files = []
+    for qp in (2, 6):
+        ec = EncoderConfig(8, 2, 4, qp, resolution=(W, H), backend="golden")
+        params = InputParameters(seq, W, H, ec, N)
+        files.append(encode_plot_decode(params, results_csv_path=None,
+                                        plots=False, decode=False))
+    rd, times = calculate_rd_points_and_times(files, "test")
+    pts = rd.get_points()
+    assert len(pts) == 2 and pts[0][0] > pts[1][0]  # qp2 spends more bits
+    plot_rd_curves([rd], str(tmp_path / "rd.png"))
+    tabulate_and_export_encoding_times([rd], [times], str(tmp_path / "t.csv"))
+    plot_per_frame_psnr(files, str(tmp_path / "p.png"))
+    plot_RD_curves_metrics(files[:1], files[1:], "feature", str(tmp_path / "cmp"))
+    for out in ("rd.png", "t.csv", "p.png", "cmp/feature.png"):
+        assert os.path.exists(tmp_path / out)
+    # bit-count aggregation writes *_avg_bits.csv
+    ec = EncoderConfig(8, 2, 4, 2, resolution=(W, H), backend="golden")
+    params = InputParameters(seq, W, H, ec, N)
+    results = print_average_bit_count_per_block_row(files, params)
+    assert len(results) == 2
+    assert os.path.exists(files[0].replace(".csv", "_avg_bits.csv"))
+
+
+def test_rd_sweep_csv(seq, tmp_path):
+    results, out_csv = run_sweep(
+        seq, W, H, block_sizes=(8,), qp_values={8: [2, 6]}, i_periods=(2,),
+        num_frames=N, output_dir=str(tmp_path / "results"), backend="golden",
+        plots=True,
+    )
+    assert len(results) == 2
+    with open(out_csv) as f:
+        rows = list(csv.reader(f))
+    assert rows[0][0] == "Block Size"
+    assert len(rows) == 1 + 2 * N
+
+
+def test_block_average_study(tmp_path):
+    yuv = data.ensure_yuv420(str(tmp_path / "clip.yuv"), W, H, 2)
+    params = InputParameters(str(tmp_path / "clip.y"), W, H,
+                             EncoderConfig(8, 2, 4, 4, resolution=(W, H)), 2,
+                             yuv_file=yuv)
+    results = block_average.run_study(params, block_sizes=(2, 8, 16),
+                                      out_png=str(tmp_path / "quality.png"))
+    # coarser blocks -> worse quality, monotonic
+    psnrs = [p for _, p, _ in results]
+    ssims = [s for _, _, s in results]
+    assert psnrs[0] > psnrs[-1] and ssims[0] > ssims[-1]
+    assert os.path.exists(tmp_path / "quality.png")
+
+
+def test_ssim_basics():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    assert block_average.ssim(a, a) == pytest.approx(1.0)
+    b = np.clip(a.astype(int) + rng.integers(-20, 21, a.shape), 0, 255).astype(np.uint8)
+    assert 0.0 < block_average.ssim(a, b) < 1.0
+
+
+def test_color_tools(tmp_path):
+    yuv = data.ensure_yuv420(str(tmp_path / "c.yuv"), W, H, 1)
+    out = color.noise_mask_grid(yuv, W, H, str(tmp_path / "grid.png"))
+    assert os.path.exists(out)
+    with open(yuv, "rb") as f:
+        y, u, v = color.read_yuv420(f, W, H)
+    u4, v4 = color.upscale_chroma(u, v)
+    assert u4.shape == (H, W)
+    rgb = color.yuv_to_rgb(y, u4, v4)
+    assert rgb.shape == (H, W, 3) and rgb.dtype == np.uint8
+
+
+def test_cli_run(seq, tmp_path, monkeypatch):
+    from basic_video_codec_tpu.__main__ import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(["run", seq, "-W", str(W), "-H", str(H), "-n", str(N),
+               "-i", "8", "-r", "2", "-q", "4", "--i-period", "4",
+               "--backend", "golden"])
+    assert rc == 0
+    io = FileIOHelper(
+        InputParameters(seq, W, H, EncoderConfig(8, 2, 4, 4, resolution=(W, H)), N),
+        create_dirs=False,
+    )
+    assert os.path.exists(io.get_mc_decoded_file_name())
