@@ -1,0 +1,85 @@
+"""Chunked (multi-frame) encode programs.
+
+One jitted program encodes a whole GOP — the intra frame plus a ``lax.scan``
+over its P-frames, the reconstruction chain carried on device — so the host
+dispatches (and later fetches) once per GOP instead of once per frame.  On
+remote-attached TPUs every dispatched program on the inter-frame dependency
+chain costs round-trip latency; chunking divides that cost by the GOP length.
+
+Eligibility: single reference frame and RC modes 0/1 (fixed or in-scan QP).
+nRefFrames > 1 needs a rolling reference stack across scan steps and RC 2/3
+needs host decisions between passes — those run the per-frame path
+(models/pipeline.py).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.intra import intra_encode_frame
+from .pframe import pframe_encode
+
+
+@partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
+                                   "first_is_intra"))
+def encode_chunk(
+    frames: jnp.ndarray,        # uint8 [K, H, W]
+    ref0: jnp.ndarray,          # uint8 [H, W] incoming reference (used iff not first_is_intra)
+    hp0: jnp.ndarray,           # uint8 [2H, 2W] its half-pel plane (used iff frac)
+    row_qps: jnp.ndarray,       # int32 [nbr]
+    budget0: jnp.ndarray,       # float32 scalar (RC1)
+    tbl_qps: jnp.ndarray,
+    tbl_bits: jnp.ndarray,
+    initial_qp: jnp.ndarray,
+    bs: int,
+    search_range: int,
+    rc1: bool,
+    fast: bool,
+    frac: bool,
+    first_is_intra: bool,
+):
+    """Returns ``(intra_out | None, p_out, ref_out, hp_out)`` where
+    ``intra_out = (recon, art, qdct, smalls)`` for frames[0] and
+    ``p_out = (recons, arts, qdcts, smalls)`` stacked over the chunk's
+    P-frames; ``ref_out``/``hp_out`` carry the reference into the next chunk.
+    """
+    h, w = frames.shape[1:]
+
+    if first_is_intra:
+        recon_i, hp_i, art_i, qdct_i, smalls_i = intra_encode_frame(
+            frames[0], row_qps, budget0, tbl_qps, tbl_bits, initial_qp,
+            bs, rc1, emit_halfpel=frac,
+        )
+        intra_out = (recon_i, art_i, qdct_i, smalls_i)
+        carry = (recon_i, hp_i if frac else jnp.zeros((2 * h, 2 * w), jnp.uint8))
+        p_frames = frames[1:]
+    else:
+        intra_out = None
+        carry = (ref0, hp0 if frac else jnp.zeros((2 * h, 2 * w), jnp.uint8))
+        p_frames = frames
+
+    def step(carry, curr):
+        ref, hp = carry
+        recon, hp2, art, qdct, smalls = pframe_encode(
+            curr, (ref,), (hp,) if frac else (), row_qps, budget0,
+            tbl_qps, tbl_bits, initial_qp, bs, search_range, rc1, fast, frac,
+            False, emit_halfpel=frac,
+        )
+        if not frac:
+            hp2 = hp
+        return (recon, hp2), (recon, art, qdct, smalls)
+
+    if p_frames.shape[0] > 0:
+        (ref_out, hp_out), p_out = jax.lax.scan(step, carry, p_frames)
+    else:
+        ref_out, hp_out = carry
+        nbr, nbc = h // bs, w // bs
+        nb = nbr * nbc
+        p_out = (
+            jnp.zeros((0, h, w), jnp.uint8),
+            jnp.zeros((0, 2 * h, w), jnp.uint8),
+            jnp.zeros((0, h, w), jnp.int16),
+            jnp.zeros((0, 5 * nb + 2 * nbr), jnp.int32),
+        )
+    return intra_out, p_out, ref_out, hp_out

@@ -40,11 +40,12 @@ def _wrap_int8_bits(x: jnp.ndarray) -> jnp.ndarray:
     return (t % 256).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac", "multi_ref"))
+@partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
+                                   "multi_ref", "emit_halfpel"))
 def pframe_encode(
     curr: jnp.ndarray,          # uint8 [H, W]
-    refs: jnp.ndarray,          # uint8 [n_ref, H, W] (deque order, 0 = oldest)
-    interp_refs: jnp.ndarray,   # uint8 [n_ref, 2H, 2W]
+    refs_in,                    # tuple of uint8 [H, W] (deque order, 0 = oldest)
+    interps_in,                 # tuple of uint8 [2H, 2W] (may be () when not frac)
     row_qps_in: jnp.ndarray,    # int32 [nbr] (used when rc1=False)
     budget0: jnp.ndarray,       # float32 scalar (used when rc1=True)
     tbl_qps: jnp.ndarray,       # int32 [n_tbl]
@@ -56,15 +57,26 @@ def pframe_encode(
     fast: bool,
     frac: bool,
     multi_ref: bool,            # nRefFrames > 1: MV ref index is entropy-coded
+    emit_halfpel: bool = False,
 ):
-    """Returns ``(planes_u8 [3H, W], qdct_i16 [H, W], smalls_i32 [...])``
-    where planes stack (recon, res_w_mc bits, res_wo_mc bits) and smalls
-    packs (mvs, sads, comps, row_qps, row_bits) — see unpack in pipeline."""
+    """Returns ``(recon_u8 [H, W], halfpel_u8 [2H, 2W] | None,
+    art_u8 [2H, W] (res_w_mc, res_wo_mc bit planes), qdct_i16 [H, W],
+    smalls_i32 [...])`` — smalls pack (mvs, sads, comps, row_qps, row_bits).
+
+    References arrive as a *tuple* of frames and are stacked inside the jit:
+    stacking (or any eager array op) between frames would add a dispatched
+    program to the inter-frame dependency chain.
+    """
     h, w = curr.shape
     nbr, nbc = h // bs, w // bs
     d = jnp.asarray(T.dct_matrix(bs))
     qmats = jnp.asarray(T.quant_matrices(bs))
     zz = jnp.asarray(zigzag_indices(bs))
+    refs = jnp.stack(refs_in)
+    if frac:
+        interp_refs = jnp.stack(interps_in)
+    else:
+        interp_refs = jnp.zeros((len(refs_in), 2 * h, 2 * w), jnp.uint8)
 
     # 1. motion estimation (+ fused MC prediction on the full-search path)
     if fast:
@@ -128,29 +140,40 @@ def pframe_encode(
     wo_mc = curr_blocks - refs[0].reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3).astype(jnp.int32)
     res_wo_mc = _wrap_int8_bits(wo_mc.astype(jnp.float32)).transpose(0, 2, 1, 3).reshape(h, w)
 
-    planes = jnp.concatenate([recon, res_w_mc, res_wo_mc], axis=0)
+    art = jnp.concatenate([res_w_mc, res_wo_mc], axis=0)
     smalls = jnp.concatenate([
         mvs.reshape(-1), sads.reshape(-1), comps.reshape(-1),
         row_qps.astype(jnp.int32), row_bits.astype(jnp.int32),
     ])
-    return planes, qdct, smalls
+    recon_u8 = recon.astype(jnp.uint8)
+    if emit_halfpel:
+        from ..ops.interp import build_half_pel
+
+        return recon_u8, build_half_pel(recon_u8), art, qdct, smalls
+    return recon_u8, None, art, qdct, smalls
 
 
-@partial(jax.jit, static_argnames=("bs", "frac"))
+@partial(jax.jit, static_argnames=("bs", "frac", "emit_halfpel"))
 def pframe_decode(
     qdct: jnp.ndarray,         # int16/int32 [H, W]
     mvs: jnp.ndarray,          # int32 [nbr, nbc, 3]
     row_qps: jnp.ndarray,      # int32 [nbr]
-    refs: jnp.ndarray,         # uint8 [n_ref, H, W]
-    interp_refs: jnp.ndarray,  # uint8 [n_ref, 2H, 2W]
+    refs_in,                   # tuple of uint8 [H, W]
+    interps_in,                # tuple of uint8 [2H, 2W] (() when not frac)
     bs: int,
     frac: bool,
+    emit_halfpel: bool = False,
 ):
     """Reference construct_frame_from_dct_and_mv (PFrame.py:252-317), batched."""
     h, w = qdct.shape
     nbr, nbc = h // bs, w // bs
     d = jnp.asarray(T.dct_matrix(bs))
     qmats = jnp.asarray(T.quant_matrices(bs))
+    refs = jnp.stack(refs_in)
+    if frac:
+        interp_refs = jnp.stack(interps_in)
+    else:
+        interp_refs = jnp.zeros((len(refs_in), 2 * h, 2 * w), jnp.uint8)
     # NOTE: the reference forces ref idx 0 when only one reference frame is
     # held (PFrame.py:232-235); encoder-produced streams always satisfy
     # mv[2] < n_ref so a plain gather is equivalent.
@@ -158,4 +181,9 @@ def pframe_decode(
     qblocks = qdct.reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3)
     Qrows = qmats[row_qps][:, None]
     recon_blocks, _ = T.reconstruct(qblocks.astype(jnp.float32), Qrows, preds, d)
-    return recon_blocks.transpose(0, 2, 1, 3).reshape(h, w)
+    decoded = recon_blocks.transpose(0, 2, 1, 3).reshape(h, w)
+    if emit_halfpel:
+        from ..ops.interp import build_half_pel
+
+        return decoded, build_half_pel(decoded)
+    return decoded, None

@@ -105,42 +105,36 @@ def _row_qps_for_pass(ec, is_first_pass, prev_rows, prev_pass_bits, nbr):
 
 def _dispatch_frame(ec, mode, padded, refs_dev, irefs_dev, row_qps, rc1, tbl):
     """Enqueue one frame's device program; returns device output tuple
-    (nothing is fetched here)."""
+    (nothing is fetched here).  The ONLY eager array op per frame is the
+    h2d upload of the padded plane — references are passed as tuples and
+    stacked inside the jit, recon/half-pel come back as standalone outputs —
+    so the inter-frame dependency chain is exactly one program per frame."""
     bs = ec.block_size
     budget0 = jnp.float32(bit_budget_per_frame(ec)) if rc1 else jnp.float32(0)
     initial_qp = jnp.int32(ec.quantization_factor)
     curr_dev = jnp.asarray(padded)
     tbl_qps, tbl_bits = tbl
+    frac = ec.fracMeEnabled
 
-    h = padded.shape[0]
     if mode == INTRA:
-        out = intra_encode_frame(
+        recon, hp, art, qdct, smalls = intra_encode_frame(
             curr_dev, jnp.asarray(row_qps), budget0, tbl_qps, tbl_bits,
-            initial_qp, bs, rc1,
+            initial_qp, bs, rc1, emit_halfpel=frac,
         )
     else:
-        h2, w2 = 2 * padded.shape[0], 2 * padded.shape[1]
-        refs_stack = jnp.stack(list(refs_dev))
-        if ec.fracMeEnabled:
-            irefs_stack = jnp.stack(list(irefs_dev))
-        else:
-            irefs_stack = jnp.zeros((len(refs_dev), h2, w2), jnp.uint8)
-        out = pframe_encode(
-            curr_dev, refs_stack, irefs_stack, jnp.asarray(row_qps), budget0,
-            tbl_qps, tbl_bits, initial_qp,
-            bs, max(ec.search_range, 0), rc1, ec.fastME, ec.fracMeEnabled,
-            ec.nRefFrames > 1,
+        recon, hp, art, qdct, smalls = pframe_encode(
+            curr_dev, tuple(refs_dev), tuple(irefs_dev) if frac else (),
+            jnp.asarray(row_qps), budget0, tbl_qps, tbl_bits, initial_qp,
+            bs, max(ec.search_range, 0), rc1, ec.fastME, frac,
+            ec.nRefFrames > 1, emit_halfpel=frac,
         )
-    recon = out[0][:h]  # first plane of the packed uint8 stack
 
     refs_dev.append(recon)
-    if ec.fracMeEnabled:
-        irefs_dev.append(build_half_pel(recon))
-    else:
-        irefs_dev.append(None)
+    irefs_dev.append(hp)
     if len(refs_dev) > ec.nRefFrames:
         refs_dev.pop(0)
         irefs_dev.pop(0)
+    out = (recon, art, qdct, smalls)
     # start device->host copies now; they queue behind the compute and are
     # already resident when this frame is finalized DEPTH frames later
     for arr in out:
@@ -172,19 +166,24 @@ class _Finalized:
 
 def _finalize_frame(p: _Pending, ec) -> _Finalized:
     """Fetch one frame's packed device outputs and pack its entropy bits."""
+    recon, art, qdct, smalls = jax.device_get(p.dev)
+    return _finalize_arrays(p.index, p.mode, p.curr, recon, art, qdct, smalls, ec)
+
+
+def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec) -> _Finalized:
+    """Entropy-pack one frame from host-resident arrays."""
     t0 = time.time()
     bs = ec.block_size
     f = _Finalized()
-    f.index, f.mode, f.curr = p.index, p.mode, p.curr
-    planes, qdct, smalls = jax.device_get(p.dev)
+    f.index, f.mode, f.curr = index, mode, curr
     h, w = qdct.shape
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
-    if p.mode == INTRA:
-        # planes = (recon, residual-u8); smalls = (modes, maes, row_qps, row_bits)
-        f.recon = planes[:h]
-        f.res_w_mc = planes[h:]
-        f.res_wo_mc = f.res_w_mc
+    f.recon = recon
+    if mode == INTRA:
+        # art = residual-u8 plane; smalls = (modes, maes, row_qps, row_bits)
+        f.res_w_mc = art
+        f.res_wo_mc = art
         f.mv_line = "\n"
         modes = smalls[:nb].reshape(nbr, nbc)
         maes = smalls[nb : 2 * nb]
@@ -193,11 +192,9 @@ def _finalize_frame(p: _Pending, ec) -> _Finalized:
         f.avg_mae = float(maes.astype(np.float64).sum() / (bs * bs) / nb)
         aux = modes
     else:
-        # planes = (recon, res_w_mc, res_wo_mc);
-        # smalls = (mvs, sads, comps, row_qps, row_bits)
-        f.recon = planes[:h]
-        f.res_w_mc = planes[h : 2 * h]
-        f.res_wo_mc = planes[2 * h :]
+        # art = (res_w_mc, res_wo_mc); smalls = (mvs, sads, comps, row_qps, row_bits)
+        f.res_w_mc = art[:h]
+        f.res_wo_mc = art[h:]
         mvs = smalls[: 3 * nb].reshape(nbr, nbc, 3)
         sads = smalls[3 * nb : 4 * nb]
         comps = smalls[4 * nb : 5 * nb]
@@ -212,7 +209,7 @@ def _finalize_frame(p: _Pending, ec) -> _Finalized:
 
     # entropy finalization (vectorized symbol prep + native bit packing)
     qp_diffs = row_qps.astype(np.int64) - ec.quantization_factor
-    if p.mode == INTRA:
+    if mode == INTRA:
         syms = np.hstack([qp_diffs[:, None], aux.astype(np.int64)]).ravel()
     else:
         k = 3 if ec.nRefFrames > 1 else 2
@@ -297,6 +294,13 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
             write_out(f, p.dispatch_dt)
             return f
 
+        if ec.RCflag <= 1 and ec.nRefFrames == 1:
+            # GOP-chunked dispatch: one device program per GOP segment
+            _run_chunked(params, ec, f_in, tbl, write_out)
+            elapsed = time.time() - start_time
+            _append_throughput(params, elapsed, results_csv_path)
+            return
+
         prev_rc_rows = [ec.quantization_factor]  # seed (reference encoder.py:72-73)
         frame_index = 0
         while True:
@@ -367,6 +371,90 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
 
     elapsed = time.time() - start_time
     _append_throughput(params, elapsed, results_csv_path)
+
+
+MAX_CHUNK = int(os.environ.get("BVC_CHUNK", "24"))
+
+
+def _run_chunked(params, ec, f_in, tbl, write_out):
+    """GOP-chunked encode loop (single reference frame, RC mode 0/1).
+
+    Chunks never cross an I-frame boundary; GOPs longer than MAX_CHUNK are
+    split into an I-led chunk plus P-only continuation chunks.  The host
+    dispatches one program per chunk and finalizes (entropy + files) per
+    frame from the chunk's stacked outputs — the device runs whole GOPs
+    ahead of the host.
+    """
+    from .chunk import encode_chunk
+
+    bs = ec.block_size
+    y_size = params.width * params.height
+    rc1 = ec.RCflag == 1
+    budget0 = jnp.float32(bit_budget_per_frame(ec)) if rc1 else jnp.float32(0)
+    initial_qp = jnp.int32(ec.quantization_factor)
+    frac = ec.fracMeEnabled
+
+    gray = jnp.full((params.height, params.width), 128, dtype=jnp.uint8)
+    ref = gray
+    hp = build_half_pel(gray) if frac else jnp.zeros(
+        (2 * params.height, 2 * params.width), jnp.uint8)
+
+    pending: deque = deque()
+    n_read = 0  # 0-based count of frames consumed
+
+    def drain_chunk():
+        rec = pending.popleft()
+        (indices, currs, first_is_intra, dev, dispatch_dt) = rec
+        intra_out, p_out, _, _ = dev
+        per_frame_dt = dispatch_dt / max(len(indices), 1)
+        pos = 0
+        if first_is_intra:
+            recon, art, qdct, smalls = jax.device_get(intra_out)
+            f = _finalize_arrays(indices[0], INTRA, currs[0], recon, art, qdct, smalls, ec)
+            write_out(f, per_frame_dt)
+            pos = 1
+        recons, arts, qdcts, smalls = jax.device_get(p_out)
+        for k in range(recons.shape[0]):
+            f = _finalize_arrays(indices[pos + k], INTER, currs[pos + k],
+                                 recons[k], arts[k], qdcts[k], smalls[k], ec)
+            write_out(f, per_frame_dt)
+
+    while True:
+        if n_read >= params.frames_to_process:
+            break
+        pos_in_gop = n_read % ec.I_Period
+        first_is_intra = pos_in_gop == 0
+        k = min(MAX_CHUNK, ec.I_Period - pos_in_gop,
+                params.frames_to_process - n_read)
+        raw = f_in.read(y_size * k)
+        n_frames = len(raw) // y_size
+        if n_frames == 0:
+            break
+        t_disp = time.time()
+        frames_np = np.stack([
+            pad_frame(np.frombuffer(
+                raw[i * y_size : (i + 1) * y_size], dtype=np.uint8
+            ).reshape(params.height, params.width), bs)
+            for i in range(n_frames)
+        ])
+        nbr = frames_np.shape[1] // bs
+        row_qps = jnp.full(nbr, ec.quantization_factor, jnp.int32)
+        dev = encode_chunk(
+            jnp.asarray(frames_np), ref, hp, row_qps, budget0, tbl[0], tbl[1],
+            initial_qp, bs, max(ec.search_range, 0), rc1, ec.fastME, frac,
+            first_is_intra,
+        )
+        ref, hp = dev[2], dev[3]
+        for leaf in jax.tree_util.tree_leaves(dev[:2]):
+            leaf.copy_to_host_async()
+        indices = list(range(n_read + 1, n_read + n_frames + 1))  # 1-based
+        pending.append((indices, frames_np, first_is_intra, dev,
+                        time.time() - t_disp))
+        n_read += n_frames
+        while len(pending) > 2:
+            drain_chunk()
+    while pending:
+        drain_chunk()
 
 
 def _overage(f: _Finalized, ec):
@@ -463,24 +551,23 @@ def decode_video(params: InputParameters):
             dct_len = int.from_bytes(encoded_fh.read(3))
             qdct = _parse_dct(encoded_fh.read(dct_len), ec, params)
 
+            frac = ec.fracMeEnabled
             if mode == INTRA:
-                decoded = intra_decode_frame(
-                    jnp.asarray(qdct), jnp.asarray(modes), jnp.asarray(row_qps), bs
+                decoded, hp = intra_decode_frame(
+                    jnp.asarray(qdct), jnp.asarray(modes), jnp.asarray(row_qps),
+                    bs, emit_halfpel=frac,
                 )
             else:
-                if ec.fracMeEnabled:
-                    irefs_stack = jnp.stack(list(irefs_dev))
-                else:
-                    irefs_stack = jnp.zeros((len(refs_dev), 2 * height, 2 * width), jnp.uint8)
-                decoded = pframe_decode(
+                decoded, hp = pframe_decode(
                     jnp.asarray(qdct), jnp.asarray(mvs), jnp.asarray(row_qps),
-                    jnp.stack(list(refs_dev)), irefs_stack, bs, ec.fracMeEnabled,
+                    tuple(refs_dev), tuple(irefs_dev) if frac else (),
+                    bs, frac, emit_halfpel=frac,
                 )
             decoded.copy_to_host_async()
             pending.append((frame_index, decoded))
 
             refs_dev.append(decoded)
-            irefs_dev.append(build_half_pel(decoded) if ec.fracMeEnabled else None)
+            irefs_dev.append(hp)
             if len(refs_dev) > ec.nRefFrames:
                 refs_dev.pop(0)
                 irefs_dev.pop(0)

@@ -41,7 +41,7 @@ def _select_qp_rc1(budget, rows_left, tbl_qps, tbl_bits):
     return jnp.where(fits.any(), tbl_qps[first_fit], tbl_qps[-1])
 
 
-@partial(jax.jit, static_argnames=("bs", "rc1"))
+@partial(jax.jit, static_argnames=("bs", "rc1", "emit_halfpel"))
 def intra_encode_frame(
     curr: jnp.ndarray,            # uint8 [H, W]
     row_qps_in: jnp.ndarray,      # int32 [nbr] (used when rc1=False)
@@ -51,10 +51,14 @@ def intra_encode_frame(
     initial_qp: jnp.ndarray,      # int32 scalar (qp_diff base, Frame.py:42-43)
     bs: int,
     rc1: bool,
+    emit_halfpel: bool = False,
 ):
-    """Returns packed transfers ``(planes_u8 [2H, W], qdct_i16 [H, W],
-    smalls_i32 [...])`` — planes stack (recon, residual-u8-wrap plane), smalls
-    pack (modes, mae_sums, row_qps, row_bits); see unpack in pipeline."""
+    """Returns ``(recon_u8 [H, W], halfpel_u8 [2H, 2W] | None,
+    art_u8 [H, W] residual-wrap plane, qdct_i16 [H, W], smalls_i32 [...])``
+    — smalls pack (modes, mae_sums, row_qps, row_bits); see unpack in
+    pipeline.  recon is a standalone output so the next frame's program can
+    consume it without an eager host-side slice (every eager op between
+    frames adds a dispatched program to the dependency chain)."""
     h, w = curr.shape
     nbr, nbc = h // bs, w // bs
     d = jnp.asarray(T.dct_matrix(bs))
@@ -124,16 +128,21 @@ def intra_encode_frame(
     # qrows: [nbr, nbc, bs, bs] -> [H, W]
     qdct = qrows.transpose(0, 2, 1, 3).reshape(h, w)
     residual_u8 = res_rows.transpose(0, 2, 1, 3).reshape(h, w)
-    planes = jnp.concatenate([recon.astype(jnp.uint8), residual_u8], axis=0)
     smalls = jnp.concatenate([
         modes.reshape(-1), maes.reshape(-1),
         row_qps.astype(jnp.int32), row_bits.astype(jnp.int32),
     ])
-    return planes, qdct, smalls
+    recon_u8 = recon.astype(jnp.uint8)
+    if emit_halfpel:
+        from .interp import build_half_pel
+
+        return recon_u8, build_half_pel(recon_u8), residual_u8, qdct, smalls
+    return recon_u8, None, residual_u8, qdct, smalls
 
 
-@partial(jax.jit, static_argnames=("bs",))
-def intra_decode_frame(qdct: jnp.ndarray, modes: jnp.ndarray, row_qps: jnp.ndarray, bs: int):
+@partial(jax.jit, static_argnames=("bs", "emit_halfpel"))
+def intra_decode_frame(qdct: jnp.ndarray, modes: jnp.ndarray, row_qps: jnp.ndarray,
+                       bs: int, emit_halfpel: bool = False):
     """Decoder-side intra reconstruction (reference IFrame.py:85-114): same
     scan, predictor chosen by the decoded mode."""
     h, w = qdct.shape
@@ -172,4 +181,9 @@ def intra_decode_frame(qdct: jnp.ndarray, modes: jnp.ndarray, row_qps: jnp.ndarr
 
     recon0 = jnp.zeros((h, w), dtype=jnp.int32)
     recon, _ = jax.lax.scan(row_step, recon0, jnp.arange(nbr, dtype=jnp.int32))
-    return recon.astype(jnp.uint8)
+    decoded = recon.astype(jnp.uint8)
+    if emit_halfpel:
+        from .interp import build_half_pel
+
+        return decoded, build_half_pel(decoded)
+    return decoded, None

@@ -40,11 +40,10 @@ def encode_gop(frames: jnp.ndarray, bs: int, search_range: int, qp: int, frac: b
 
     row_qps = jnp.full(h // bs, qp, jnp.int32)
     tbl = jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.float32)
-    planes0, qdct0, smalls0 = intra_encode_frame(
+    recon0, _, _, qdct0, smalls0 = intra_encode_frame(
         frames[0], row_qps, jnp.float32(0), tbl[0], tbl[1].astype(jnp.float32),
         jnp.int32(qp), bs, False,
     )
-    recon0 = planes0[:h]
     row_bits0 = smalls0[-(h // bs):]  # packed tail (see ops/intra.py)
 
     def p_step(carry, curr):
