@@ -31,8 +31,10 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_SO_PATH):
-            src = os.path.join(_NATIVE_DIR, "entropy.cc")
+        src = os.path.join(_NATIVE_DIR, "entropy.cc")
+        stale = (not os.path.exists(_SO_PATH)
+                 or os.path.getmtime(_SO_PATH) < os.path.getmtime(src))
+        if stale:
             subprocess.run(
                 ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _SO_PATH, src],
                 check=True, capture_output=True,
@@ -48,7 +50,15 @@ def _load():
         lib.bvc_decode_dct_blocks.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
-        assert lib.bvc_version() == 1
+        lib.bvc_encode_dct_plane.restype = ctypes.c_int64
+        lib.bvc_encode_dct_plane.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+        lib.bvc_format_mv_lines.restype = ctypes.c_int64
+        lib.bvc_format_mv_lines.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64]
+        assert lib.bvc_version() == 2
         _lib = lib
     except Exception as e:  # missing compiler, load failure -> NumPy fallback
         logger.warning(f"native entropy codec unavailable ({e}); using NumPy fallback")
@@ -92,6 +102,47 @@ def decode_symbols_np(data: bytes, max_symbols: int) -> np.ndarray:
 
     syms, _ = decode_symbols(np.unpackbits(buf), max_symbols=max_symbols)
     return np.asarray(syms, dtype=np.int64)
+
+
+def encode_dct_plane_bytes(qdct: np.ndarray, bs: int, zz: np.ndarray, eob: int):
+    """int16 qdct plane -> (packed bytes, bit length): zigzag + RLE +
+    exp-Golomb + per-block EOB in one native pass."""
+    lib = _load()
+    if lib is not None:
+        q = np.ascontiguousarray(qdct, dtype=np.int16)
+        h, w = q.shape
+        zz64 = np.ascontiguousarray(zz, dtype=np.int64)
+        cap = h * w * 4 + 1024  # worst case ~27 bits per coefficient
+        out = np.zeros(cap, dtype=np.uint8)
+        nbits = lib.bvc_encode_dct_plane(
+            q.ctypes.data, h, w, bs, zz64.ctypes.data, eob, out.ctypes.data, cap)
+        if nbits >= 0:
+            return out[: (nbits + 7) // 8].tobytes(), int(nbits)
+    from .rle import rle_encode_blocks
+
+    h, w = qdct.shape
+    nbr, nbc = h // bs, w // bs
+    blocks = qdct.reshape(nbr, bs, nbc, bs).swapaxes(1, 2).reshape(nbr * nbc, bs * bs)
+    return encode_symbols_bytes(rle_encode_blocks(blocks[:, zz].astype(np.int64), eob))
+
+
+def format_mv_lines(mvs: np.ndarray, bs: int) -> str:
+    """mv.txt line for one frame (x-major order, reference file_io.py:65-70)."""
+    lib = _load()
+    nbr, nbc = mvs.shape[:2]
+    if lib is not None:
+        m = np.ascontiguousarray(mvs, dtype=np.int32)
+        cap = nbr * nbc * 64 + 16
+        out = np.zeros(cap, dtype=np.uint8)
+        n = lib.bvc_format_mv_lines(m.ctypes.data, nbr, nbc, bs, out.ctypes.data, cap)
+        if n >= 0:
+            return out[:n].tobytes().decode("ascii")
+    cols = mvs.transpose(1, 0, 2).tolist()
+    parts = []
+    for j, col in enumerate(cols):
+        x = j * bs
+        parts.extend(f"{x},{i * bs}:{v[0]},{v[1]}|" for i, v in enumerate(col))
+    return "".join(parts) + "\n"
 
 
 def decode_dct_scans(data: bytes, n_blocks: int, scan_len: int, eob: int) -> np.ndarray:

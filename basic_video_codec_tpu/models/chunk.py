@@ -78,7 +78,7 @@ def encode_chunk(
         nb = nbr * nbc
         p_out = (
             jnp.zeros((0, h, w), jnp.uint8),
-            jnp.zeros((0, 2 * h, w), jnp.uint8),
+            jnp.zeros((0, h, w), jnp.uint8),
             jnp.zeros((0, h, w), jnp.int16),
             jnp.zeros((0, 5 * nb + 2 * nbr), jnp.int32),
         )

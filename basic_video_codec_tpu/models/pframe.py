@@ -60,8 +60,11 @@ def pframe_encode(
     emit_halfpel: bool = False,
 ):
     """Returns ``(recon_u8 [H, W], halfpel_u8 [2H, 2W] | None,
-    art_u8 [2H, W] (res_w_mc, res_wo_mc bit planes), qdct_i16 [H, W],
+    art_u8 [H, W] (res_w_mc bit plane), qdct_i16 [H, W],
     smalls_i32 [...])`` — smalls pack (mvs, sads, comps, row_qps, row_bits).
+    The res_wo_mc artifact plane is integer math over host-resident data
+    (curr minus the oldest reference) and is recomputed by the host writer
+    instead of being transferred.
 
     References arrive as a *tuple* of frames and are stacked inside the jit:
     stacking (or any eager array op) between frames would add a dispatched
@@ -135,12 +138,8 @@ def pframe_encode(
     recon = recon_blocks.transpose(0, 2, 1, 3).reshape(h, w)
     qdct = qrows.transpose(0, 2, 1, 3).reshape(h, w)
 
-    # artifact planes (dtype-wrap parity with the reference)
-    res_w_mc = _wrap_int8_bits(idct_res).transpose(0, 2, 1, 3).reshape(h, w)
-    wo_mc = curr_blocks - refs[0].reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3).astype(jnp.int32)
-    res_wo_mc = _wrap_int8_bits(wo_mc.astype(jnp.float32)).transpose(0, 2, 1, 3).reshape(h, w)
-
-    art = jnp.concatenate([res_w_mc, res_wo_mc], axis=0)
+    # artifact plane (dtype-wrap parity with the reference)
+    art = _wrap_int8_bits(idct_res).transpose(0, 2, 1, 3).reshape(h, w)
     smalls = jnp.concatenate([
         mvs.reshape(-1), sads.reshape(-1), comps.reshape(-1),
         row_qps.astype(jnp.int32), row_bits.astype(jnp.int32),

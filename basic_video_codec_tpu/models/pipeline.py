@@ -33,11 +33,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import InputParameters
-from ..entropy import EOB_MARKER, rle_encode_blocks
+from ..entropy import EOB_MARKER
 from ..entropy.native import (
     decode_dct_scans,
     decode_symbols_np,
+    encode_dct_plane_bytes,
     encode_symbols_bytes,
+    format_mv_lines,
 )
 from ..entropy.zigzag import zigzag_indices
 from ..golden.encoder import SCENE_CHANGE_THRESHOLD, _append_throughput, _load_rc_table
@@ -142,17 +144,6 @@ def _dispatch_frame(ec, mode, padded, refs_dev, irefs_dev, row_qps, rc1, tbl):
     return out
 
 
-def _mv_text(mvs, bs):
-    """mv.txt line, sorted by (x, y) like the reference's tuple sort
-    (file_io.py:65-70) — x-major order."""
-    cols = mvs.transpose(1, 0, 2).tolist()  # [nbc][nbr][3]
-    parts = []
-    for j, col in enumerate(cols):
-        x = j * bs
-        parts.extend(f"{x},{i * bs}:{v[0]},{v[1]}|" for i, v in enumerate(col))
-    return "".join(parts) + "\n"
-
-
 class _Finalized:
     __slots__ = (
         "index", "mode", "curr", "recon", "qdct", "res_w_mc", "res_wo_mc",
@@ -192,14 +183,15 @@ def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec) -> _Finali
         f.avg_mae = float(maes.astype(np.float64).sum() / (bs * bs) / nb)
         aux = modes
     else:
-        # art = (res_w_mc, res_wo_mc); smalls = (mvs, sads, comps, row_qps, row_bits)
-        f.res_w_mc = art[:h]
-        f.res_wo_mc = art[h:]
+        # art = res_w_mc; res_wo_mc is recomputed by the writer from host
+        # data; smalls = (mvs, sads, comps, row_qps, row_bits)
+        f.res_w_mc = art
+        f.res_wo_mc = None  # filled by the in-order writer
         mvs = smalls[: 3 * nb].reshape(nbr, nbc, 3)
         sads = smalls[3 * nb : 4 * nb]
         comps = smalls[4 * nb : 5 * nb]
         row_qps, row_bits = smalls[5 * nb : 5 * nb + nbr], smalls[5 * nb + nbr :]
-        f.mv_line = _mv_text(mvs, bs)
+        f.mv_line = format_mv_lines(mvs, bs)
         f.comparisons = int(comps.astype(np.int64).sum())
         f.avg_mae = float(sads.astype(np.float64).sum() / (bs * bs) / nb)
         aux = mvs
@@ -218,10 +210,9 @@ def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec) -> _Finali
         diffs = (flat - prev)[:, :k].reshape(nbr, nbc * k)
         syms = np.hstack([qp_diffs[:, None], diffs]).ravel()
     f.pred_bytes, f.pred_bits = encode_symbols_bytes(syms)
-
-    blocks = qdct.reshape(nbr, bs, nbc, bs).swapaxes(1, 2).reshape(nbr * nbc, bs * bs)
-    zz = blocks[:, zigzag_indices(bs)]
-    f.dct_bytes, f.dct_bits = encode_symbols_bytes(rle_encode_blocks(zz, EOB_MARKER))
+    f.dct_bytes, f.dct_bits = encode_dct_plane_bytes(
+        qdct, bs, zigzag_indices(bs), EOB_MARKER
+    )
 
     assert f.dct_bits + f.pred_bits == sum(f.bits_per_row), (
         "device bit pricing diverged from host entropy coder"
@@ -260,7 +251,21 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
         metrics_writer.writerow(FrameMetrics.get_header())
         start_time = time.time()
 
+        # host mirror of the reference deque, for the res_wo_mc artifact
+        # (curr minus OLDEST reference, reference PFrame.py:103,116) — the
+        # writer sees final frames in order, exactly like the device deque
+        recon_history: deque = deque(
+            [np.full((params.height, params.width), 128, np.uint8)],
+            maxlen=ec.nRefFrames,
+        )
+
         def write_out(f: _Finalized, dispatch_dt: float):
+            if f.is_iframe():
+                recon_history.clear()
+            elif f.res_wo_mc is None:
+                diff = f.curr.astype(np.int16) - recon_history[0].astype(np.int16)
+                f.res_wo_mc = (diff % 256).astype(np.uint8)
+            recon_history.append(f.recon)
             start_idx = encoded_fh.tell()
             encoded_fh.write(f.mode.to_bytes(1))
             encoded_fh.write(((f.pred_bits + 7) // 8).to_bytes(2))
@@ -381,10 +386,13 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
 
     Chunks never cross an I-frame boundary; GOPs longer than MAX_CHUNK are
     split into an I-led chunk plus P-only continuation chunks.  The host
-    dispatches one program per chunk and finalizes (entropy + files) per
-    frame from the chunk's stacked outputs — the device runs whole GOPs
-    ahead of the host.
+    dispatches one program per chunk, fetches its stacked outputs once, and
+    entropy-finalizes frames on a small thread pool (the native bit packer
+    releases the GIL) while the device runs whole GOPs ahead; byte streams
+    are written strictly in frame order.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from .chunk import encode_chunk
 
     bs = ec.block_size
@@ -399,62 +407,81 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     hp = build_half_pel(gray) if frac else jnp.zeros(
         (2 * params.height, 2 * params.width), jnp.uint8)
 
-    pending: deque = deque()
+    pending_dev: deque = deque()   # dispatched chunks awaiting fetch
+    pending_fin: deque = deque()   # (futures, per_frame_dt) awaiting write
+    fin_pool = ThreadPoolExecutor(max_workers=4)
     n_read = 0  # 0-based count of frames consumed
 
-    def drain_chunk():
-        rec = pending.popleft()
-        (indices, currs, first_is_intra, dev, dispatch_dt) = rec
+    # NOTE: device_get stays on the dispatch thread — concurrent transfers
+    # from a second thread contend with dispatch inside the device client
+    # and halve throughput (measured).
+    def fetch_chunk():
+        indices, currs, first_is_intra, dev, dispatch_dt = pending_dev.popleft()
         intra_out, p_out, _, _ = dev
         per_frame_dt = dispatch_dt / max(len(indices), 1)
+        futures = []
         pos = 0
         if first_is_intra:
             recon, art, qdct, smalls = jax.device_get(intra_out)
-            f = _finalize_arrays(indices[0], INTRA, currs[0], recon, art, qdct, smalls, ec)
-            write_out(f, per_frame_dt)
+            futures.append(fin_pool.submit(
+                _finalize_arrays, indices[0], INTRA, currs[0],
+                recon, art, qdct, smalls, ec))
             pos = 1
         recons, arts, qdcts, smalls = jax.device_get(p_out)
         for k in range(recons.shape[0]):
-            f = _finalize_arrays(indices[pos + k], INTER, currs[pos + k],
-                                 recons[k], arts[k], qdcts[k], smalls[k], ec)
-            write_out(f, per_frame_dt)
+            futures.append(fin_pool.submit(
+                _finalize_arrays, indices[pos + k], INTER, currs[pos + k],
+                recons[k], arts[k], qdcts[k], smalls[k], ec))
+        pending_fin.append((futures, per_frame_dt))
 
-    while True:
-        if n_read >= params.frames_to_process:
-            break
-        pos_in_gop = n_read % ec.I_Period
-        first_is_intra = pos_in_gop == 0
-        k = min(MAX_CHUNK, ec.I_Period - pos_in_gop,
-                params.frames_to_process - n_read)
-        raw = f_in.read(y_size * k)
-        n_frames = len(raw) // y_size
-        if n_frames == 0:
-            break
-        t_disp = time.time()
-        frames_np = np.stack([
-            pad_frame(np.frombuffer(
-                raw[i * y_size : (i + 1) * y_size], dtype=np.uint8
-            ).reshape(params.height, params.width), bs)
-            for i in range(n_frames)
-        ])
-        nbr = frames_np.shape[1] // bs
-        row_qps = jnp.full(nbr, ec.quantization_factor, jnp.int32)
-        dev = encode_chunk(
-            jnp.asarray(frames_np), ref, hp, row_qps, budget0, tbl[0], tbl[1],
-            initial_qp, bs, max(ec.search_range, 0), rc1, ec.fastME, frac,
-            first_is_intra,
-        )
-        ref, hp = dev[2], dev[3]
-        for leaf in jax.tree_util.tree_leaves(dev[:2]):
-            leaf.copy_to_host_async()
-        indices = list(range(n_read + 1, n_read + n_frames + 1))  # 1-based
-        pending.append((indices, frames_np, first_is_intra, dev,
-                        time.time() - t_disp))
-        n_read += n_frames
-        while len(pending) > 2:
-            drain_chunk()
-    while pending:
-        drain_chunk()
+    def write_chunk():
+        futures, per_frame_dt = pending_fin.popleft()
+        for fut in futures:
+            write_out(fut.result(), per_frame_dt)
+
+    try:
+        while True:
+            if n_read >= params.frames_to_process:
+                break
+            pos_in_gop = n_read % ec.I_Period
+            first_is_intra = pos_in_gop == 0
+            k = min(MAX_CHUNK, ec.I_Period - pos_in_gop,
+                    params.frames_to_process - n_read)
+            raw = f_in.read(y_size * k)
+            n_frames = len(raw) // y_size
+            if n_frames == 0:
+                break
+            t_disp = time.time()
+            frames_np = np.stack([
+                pad_frame(np.frombuffer(
+                    raw[i * y_size : (i + 1) * y_size], dtype=np.uint8
+                ).reshape(params.height, params.width), bs)
+                for i in range(n_frames)
+            ])
+            nbr = frames_np.shape[1] // bs
+            row_qps = jnp.full(nbr, ec.quantization_factor, jnp.int32)
+            dev = encode_chunk(
+                jnp.asarray(frames_np), ref, hp, row_qps, budget0, tbl[0], tbl[1],
+                initial_qp, bs, max(ec.search_range, 0), rc1, ec.fastME, frac,
+                first_is_intra,
+            )
+            ref, hp = dev[2], dev[3]
+            for leaf in jax.tree_util.tree_leaves(dev[:2]):
+                leaf.copy_to_host_async()
+            indices = list(range(n_read + 1, n_read + n_frames + 1))  # 1-based
+            pending_dev.append((indices, frames_np, first_is_intra, dev,
+                                time.time() - t_disp))
+            n_read += n_frames
+            while len(pending_dev) > 2:
+                fetch_chunk()
+            while len(pending_fin) > 1:
+                write_chunk()
+        while pending_dev:
+            fetch_chunk()
+        while pending_fin:
+            write_chunk()
+    finally:
+        fin_pool.shutdown(wait=True)
 
 
 def _overage(f: _Finalized, ec):

@@ -99,6 +99,92 @@ int64_t bvc_decode_dct_blocks(const uint8_t* buf, int64_t n_bits,
   return blk;
 }
 
-int64_t bvc_version() { return 1; }
+// Encode a frame's quantized-DCT plane straight to bits:
+// raster blocks -> zigzag gather -> RLE -> exp-Golomb -> EOB per block,
+// all in one pass with no intermediate symbol buffer.
+// qdct: int16 [h, w]; zz: zigzag flat indices [bs*bs]; out: zeroed buffer.
+// Returns the bit length, or -1 if out of capacity.
+int64_t bvc_encode_dct_plane(const int16_t* qdct, int64_t h, int64_t w,
+                             int64_t bs, const int64_t* zz, int64_t eob,
+                             uint8_t* out, int64_t cap_bytes) {
+  const int64_t scan_len = bs * bs;
+  int64_t pos = 0;
+  const int64_t cap_bits = cap_bytes * 8;
+
+  auto emit = [&](int64_t v) -> bool {
+    uint64_t mapped = v <= 0 ? uint64_t(-2 * v) : uint64_t(2 * v - 1);
+    uint64_t x = mapped + 1;
+    int nbits = 64 - __builtin_clzll(x);
+    int total = 2 * nbits - 1;
+    if (pos + total > cap_bits) return false;
+    put_bits(out, pos, x, total);
+    return true;
+  };
+
+  for (int64_t by = 0; by < h; by += bs) {
+    for (int64_t bx = 0; bx < w; bx += bs) {
+      const int16_t* blk = qdct + by * w + bx;
+      // walk the zigzag scan with inline RLE
+      int64_t i = 0;
+      while (i < scan_len) {
+        int64_t fi = zz[i];
+        int32_t v = blk[(fi / bs) * w + (fi % bs)];
+        if (v == 0) {
+          int64_t run = 0;
+          while (i < scan_len) {
+            fi = zz[i];
+            if (blk[(fi / bs) * w + (fi % bs)] != 0) break;
+            ++run;
+            ++i;
+          }
+          if (!emit(i < scan_len ? run : 0)) return -1;  // 0 = rest zeros
+        } else {
+          int64_t start = i;
+          while (i < scan_len) {
+            fi = zz[i];
+            if (blk[(fi / bs) * w + (fi % bs)] == 0) break;
+            ++i;
+          }
+          if (!emit(-(i - start))) return -1;
+          for (int64_t k = start; k < i; ++k) {
+            fi = zz[k];
+            if (!emit(blk[(fi / bs) * w + (fi % bs)])) return -1;
+          }
+        }
+      }
+      if (!emit(eob)) return -1;
+    }
+  }
+  return pos;
+}
+
+// Render the mv.txt line for one frame: entries sorted by (x, y) — x-major —
+// formatted "x,y:mvx,mvy|" (reference file_io.py:65-70), newline-terminated.
+// mvs: int32 [nbr*nbc*3] raster order (mv_x, mv_y, ref).
+// Returns the byte length written, or -1 if out of capacity.
+int64_t bvc_format_mv_lines(const int32_t* mvs, int64_t nbr, int64_t nbc,
+                            int64_t bs, char* out, int64_t cap) {
+  int64_t n = 0;
+  auto put_int = [&](int64_t v) {
+    if (v < 0) { out[n++] = '-'; v = -v; }
+    char tmp[20]; int t = 0;
+    do { tmp[t++] = char('0' + v % 10); v /= 10; } while (v);
+    while (t) out[n++] = tmp[--t];
+  };
+  for (int64_t j = 0; j < nbc; ++j) {
+    for (int64_t i = 0; i < nbr; ++i) {
+      if (n + 64 > cap) return -1;
+      const int32_t* mv = mvs + (i * nbc + j) * 3;
+      put_int(j * bs); out[n++] = ',';
+      put_int(i * bs); out[n++] = ':';
+      put_int(mv[0]); out[n++] = ',';
+      put_int(mv[1]); out[n++] = '|';
+    }
+  }
+  out[n++] = '\n';
+  return n;
+}
+
+int64_t bvc_version() { return 2; }
 
 }  // extern "C"
