@@ -138,3 +138,32 @@ def test_cli_run(seq, tmp_path, monkeypatch):
         create_dirs=False,
     )
     assert os.path.exists(io.get_mc_decoded_file_name())
+
+
+def test_prediction_mode_enum():
+    from basic_video_codec_tpu.prediction_mode import PredictionMode
+
+    assert PredictionMode.INTER_FRAME.value == 0
+    assert PredictionMode.INTRA_FRAME.value == 1
+    assert str(PredictionMode.INTRA_FRAME) == "INTRA_FRAME"
+
+
+def test_compare_csv_plot(seq, tmp_path):
+    from basic_video_codec_tpu.metrics.compare_csv import plot_metric_column
+
+    ec = EncoderConfig(8, 2, 4, 4, resolution=(W, H), backend="golden")
+    params = InputParameters(seq, W, H, ec, N)
+    f = encode_plot_decode(params, results_csv_path=None, plots=False, decode=False)
+    out = plot_metric_column([f], str(tmp_path / "cmp.png"), column=4, title="PSNR")
+    assert os.path.exists(out)
+
+
+def test_timer_and_annotate():
+    from basic_video_codec_tpu.utils.profiling import Timer, annotate
+
+    t = Timer()
+    with t("stage"):
+        pass
+    with annotate("host-stage"):
+        pass
+    assert "stage" in t.report()
