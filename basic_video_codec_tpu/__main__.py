@@ -51,7 +51,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="basic_video_codec_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
-    for name in ("encode", "decode", "run"):
+    for name in ("encode", "decode", "run", "validate"):
         _add_codec_args(sub.add_parser(name))
 
     p = sub.add_parser("deliverable", help="reference assign3 deliverable run")
@@ -96,6 +96,18 @@ def main(argv=None):
         from .experiments.pipeline_run import encode_plot_decode
 
         encode_plot_decode(_params(args))
+    elif args.cmd == "validate":
+        # round-trip check: decoded output must equal the encoder's
+        # reconstruction bit-for-bit (the codec invariant)
+        import filecmp
+
+        from .io.fileio import FileIOHelper
+
+        io = FileIOHelper(_params(args), create_dirs=False)
+        ok = filecmp.cmp(io.get_mc_reconstructed_file_name(),
+                         io.get_mc_decoded_file_name(), shallow=False)
+        print(f"decode == reconstruction: {'OK' if ok else 'MISMATCH'}")
+        return 0 if ok else 1
     elif args.cmd == "deliverable":
         from .experiments import rc_study
         from .experiments.data import ensure_sequence

@@ -21,6 +21,30 @@ from ..ops.intra import intra_encode_frame
 from .pframe import pframe_encode
 
 
+@partial(jax.jit, static_argnames=("bs", "rc1"))
+def encode_chunk_intra_only(
+    frames: jnp.ndarray,        # uint8 [K, H, W]
+    row_qps: jnp.ndarray,       # int32 [nbr]
+    budget0: jnp.ndarray,
+    tbl_qps: jnp.ndarray,
+    tbl_bits: jnp.ndarray,
+    initial_qp: jnp.ndarray,
+    bs: int,
+    rc1: bool,
+):
+    """All-intra chunk (I_Period == 1): every frame clears the reference
+    deques, so frames are fully independent — one ``vmap`` instead of a scan.
+    Returns stacked ``(recons, arts, qdcts, smalls)``."""
+    def one(frame):
+        recon, _, art, qdct, smalls = intra_encode_frame(
+            frame, row_qps, budget0, tbl_qps, tbl_bits, initial_qp, bs, rc1,
+            emit_halfpel=False,
+        )
+        return recon, art, qdct, smalls
+
+    return jax.vmap(one)(frames)
+
+
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
                                    "first_is_intra"))
 def encode_chunk(

@@ -393,7 +393,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    from .chunk import encode_chunk
+    from .chunk import encode_chunk, encode_chunk_intra_only
 
     bs = ec.block_size
     y_size = params.width * params.height
@@ -416,12 +416,20 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     # from a second thread contend with dispatch inside the device client
     # and halve throughput (measured).
     def fetch_chunk():
-        indices, currs, first_is_intra, dev, dispatch_dt = pending_dev.popleft()
-        intra_out, p_out, _, _ = dev
+        indices, currs, kind, dev, dispatch_dt = pending_dev.popleft()
         per_frame_dt = dispatch_dt / max(len(indices), 1)
         futures = []
+        if kind == "intra_all":
+            recons, arts, qdcts, smalls = jax.device_get(dev)
+            for k in range(recons.shape[0]):
+                futures.append(fin_pool.submit(
+                    _finalize_arrays, indices[k], INTRA, currs[k],
+                    recons[k], arts[k], qdcts[k], smalls[k], ec))
+            pending_fin.append((futures, per_frame_dt))
+            return
+        intra_out, p_out, _, _ = dev
         pos = 0
-        if first_is_intra:
+        if kind == "intra_led":
             recon, art, qdct, smalls = jax.device_get(intra_out)
             futures.append(fin_pool.submit(
                 _finalize_arrays, indices[0], INTRA, currs[0],
@@ -443,10 +451,12 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         while True:
             if n_read >= params.frames_to_process:
                 break
+            intra_only = ec.I_Period == 1
             pos_in_gop = n_read % ec.I_Period
             first_is_intra = pos_in_gop == 0
-            k = min(MAX_CHUNK, ec.I_Period - pos_in_gop,
-                    params.frames_to_process - n_read)
+            k = (min(MAX_CHUNK, params.frames_to_process - n_read) if intra_only
+                 else min(MAX_CHUNK, ec.I_Period - pos_in_gop,
+                          params.frames_to_process - n_read))
             raw = f_in.read(y_size * k)
             n_frames = len(raw) // y_size
             if n_frames == 0:
@@ -460,16 +470,27 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             ])
             nbr = frames_np.shape[1] // bs
             row_qps = jnp.full(nbr, ec.quantization_factor, jnp.int32)
-            dev = encode_chunk(
-                jnp.asarray(frames_np), ref, hp, row_qps, budget0, tbl[0], tbl[1],
-                initial_qp, bs, max(ec.search_range, 0), rc1, ec.fastME, frac,
-                first_is_intra,
-            )
-            ref, hp = dev[2], dev[3]
-            for leaf in jax.tree_util.tree_leaves(dev[:2]):
+            if intra_only:
+                # every frame clears the references: fully parallel vmap chunk
+                dev = encode_chunk_intra_only(
+                    jnp.asarray(frames_np), row_qps, budget0, tbl[0], tbl[1],
+                    initial_qp, bs, rc1,
+                )
+                kind = "intra_all"
+                leaves = dev
+            else:
+                dev = encode_chunk(
+                    jnp.asarray(frames_np), ref, hp, row_qps, budget0, tbl[0], tbl[1],
+                    initial_qp, bs, max(ec.search_range, 0), rc1, ec.fastME, frac,
+                    first_is_intra,
+                )
+                ref, hp = dev[2], dev[3]
+                kind = "intra_led" if first_is_intra else "p_only"
+                leaves = dev[:2]
+            for leaf in jax.tree_util.tree_leaves(leaves):
                 leaf.copy_to_host_async()
             indices = list(range(n_read + 1, n_read + n_frames + 1))  # 1-based
-            pending_dev.append((indices, frames_np, first_is_intra, dev,
+            pending_dev.append((indices, frames_np, kind, dev,
                                 time.time() - t_disp))
             n_read += n_frames
             while len(pending_dev) > 2:

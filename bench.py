@@ -21,9 +21,10 @@ import time
 BASELINE_FPS = 0.69  # reference results.csv best full-search row (BASELINE.md)
 
 W, H = 352, 288
-BLOCK, R, QP, IPERIOD = 8, 2, 5, 8
-WARMUP_FRAMES = 9  # covers I + P compile paths (and all P ref-stack shapes)
-BENCH_FRAMES = 96
+BLOCK, R, QP, IPERIOD = 8, 2, 5, 10  # I_Period 10 = the reference RD sweep's largest
+WARMUP_FRAMES = 20  # covers the chunked I+P compile paths
+BENCH_FRAMES = 80
+REPS = 4  # best-of-N damps remote-tunnel latency variance between runs
 
 
 def main():
@@ -48,10 +49,9 @@ def main():
             encode_video(params, results_csv_path=None)
             return time.time() - t0
 
-        run(WARMUP_FRAMES)            # compile I-frame + P-frame programs
-        # steady-state, end-to-end incl. file IO; best of 3 to damp
-        # remote-tunnel latency variance between runs
-        elapsed = min(run(BENCH_FRAMES) for _ in range(3))
+        run(WARMUP_FRAMES)            # compile the chunked I+P programs
+        # steady-state, end-to-end incl. file IO
+        elapsed = min(run(BENCH_FRAMES) for _ in range(REPS))
         fps = BENCH_FRAMES / elapsed
 
         print(json.dumps({
