@@ -17,8 +17,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.intra import intra_encode_frame
-from .pframe import pframe_encode
+from ..ops.intra import intra_decode_frame, intra_encode_frame
+from .pframe import pframe_decode, pframe_encode
 
 
 @partial(jax.jit, static_argnames=("bs", "rc1"))
@@ -107,3 +107,73 @@ def encode_chunk(
             jnp.zeros((0, 5 * nb + 2 * nbr), jnp.int32),
         )
     return intra_out, p_out, ref_out, hp_out
+
+
+@partial(jax.jit, static_argnames=("bs", "frac"))
+def decode_chunk_intra_only(
+    qdcts: jnp.ndarray,     # int32 [K, H, W]
+    modes: jnp.ndarray,     # int32 [K, nbr, nbc]
+    row_qps: jnp.ndarray,   # int32 [K, nbr]
+    bs: int,
+    frac: bool,
+):
+    """All-intra decode chunk: frames are independent -> vmap.
+    Returns ``(decoded [K, H, W], ref_out, hp_out)``."""
+    decoded = jax.vmap(
+        lambda q, m, r: intra_decode_frame(q, m, r, bs, emit_halfpel=False)[0]
+    )(qdcts, modes, row_qps)
+    ref_out = decoded[-1]
+    if frac:
+        from ..ops.interp import build_half_pel
+
+        hp_out = build_half_pel(ref_out)
+    else:
+        h, w = qdcts.shape[1:]
+        hp_out = jnp.zeros((2 * h, 2 * w), jnp.uint8)
+    return decoded, ref_out, hp_out
+
+
+@partial(jax.jit, static_argnames=("bs", "frac", "first_is_intra"))
+def decode_chunk(
+    qdcts: jnp.ndarray,     # int32 [K, H, W]
+    mvs: jnp.ndarray,       # int32 [K, nbr, nbc, 3] (row 0 ignored if intra)
+    row_qps: jnp.ndarray,   # int32 [K, nbr]
+    modes0: jnp.ndarray,    # int32 [nbr, nbc] (frame 0's intra modes)
+    ref0: jnp.ndarray,      # uint8 [H, W] incoming reference
+    hp0: jnp.ndarray,       # uint8 [2H, 2W]
+    bs: int,
+    frac: bool,
+    first_is_intra: bool,
+):
+    """Decode one GOP segment in a single program (the decode mirror of
+    :func:`encode_chunk`).  Returns ``(decoded [K, H, W], ref_out, hp_out)``."""
+    k, h, w = qdcts.shape
+
+    if first_is_intra:
+        dec0, hp_i = intra_decode_frame(qdcts[0], modes0, row_qps[0], bs,
+                                        emit_halfpel=frac)
+        carry = (dec0, hp_i if frac else hp0)
+        p_qdcts, p_mvs, p_qps = qdcts[1:], mvs[1:], row_qps[1:]
+    else:
+        carry = (ref0, hp0)
+        p_qdcts, p_mvs, p_qps = qdcts, mvs, row_qps
+
+    def step(carry, inp):
+        ref, hp = carry
+        qdct, mv, qps = inp
+        dec, hp2 = pframe_decode(qdct, mv, qps, (ref,), (hp,) if frac else (),
+                                 bs, frac, emit_halfpel=frac)
+        if not frac:
+            hp2 = hp
+        return (dec, hp2), dec
+
+    if p_qdcts.shape[0] > 0:
+        (ref_out, hp_out), decs = jax.lax.scan(step, carry, (p_qdcts, p_mvs, p_qps))
+    else:
+        ref_out, hp_out = carry
+        decs = jnp.zeros((0, h, w), jnp.uint8)
+    if first_is_intra:
+        decoded = jnp.concatenate([dec0[None], decs])
+    else:
+        decoded = decs
+    return decoded, ref_out, hp_out

@@ -554,73 +554,145 @@ def _parse_dct(data, ec, params):
     )
 
 
+def _parse_frames(encoded_fh, ec, params):
+    """Yield (index, mode, row_qps, modes|None, mvs|None, qdct) per frame."""
+    frame_index = 0
+    while True:
+        frame_index += 1
+        mode_byte = encoded_fh.read(1)
+        if frame_index > params.frames_to_process or not mode_byte:
+            return
+        mode = int.from_bytes(mode_byte)
+        pred_len = int.from_bytes(encoded_fh.read(2))
+        row_qps, modes, mvs = _parse_prediction(
+            encoded_fh.read(pred_len), ec, params, mode == INTRA
+        )
+        dct_len = int.from_bytes(encoded_fh.read(3))
+        qdct = _parse_dct(encoded_fh.read(dct_len), ec, params)
+        yield frame_index, mode, row_qps, modes, mvs, qdct
+
+
 def decode_video(params: InputParameters):
-    """Pipelined decode: host entropy parsing feeds async device dispatches;
-    decoded frames are fetched, PSNR-checked against the encoder's
-    reconstruction file and written with a lag (same async strategy as the
-    encoder — the device chain never waits on the host)."""
+    """Pipelined decode: host entropy parsing (native codec) feeds async
+    device dispatches.  With a single reference frame the decode mirrors the
+    encoder's GOP chunking — one program per [I P..P] / all-intra segment —
+    otherwise frames dispatch individually; either way decoded planes are
+    fetched and written with a lag so the device chain never waits."""
     ec = params.encoder_config
     file_io = FileIOHelper(params)
     height, width = params.height, params.width
     bs = ec.block_size
-
-    gray = jnp.full((height, width), 128, dtype=jnp.uint8)
-    refs_dev = [gray]
-    irefs_dev = [build_half_pel(gray) if ec.fracMeEnabled else None]
-    pending: deque = deque()
+    frac = ec.fracMeEnabled
 
     with open(file_io.get_mc_reconstructed_file_name(), "rb") as recon_fh, \
          open(file_io.get_encoded_file_name(), "rb") as encoded_fh, \
          open(file_io.get_mc_decoded_file_name(), "wb") as decoded_fh:
 
+        pending: deque = deque()
+
         def drain_one():
-            idx, dev = pending.popleft()
-            decoded_np = np.asarray(dev)
-            ref_plane = np.frombuffer(recon_fh.read(width * height), dtype=np.uint8)
-            frame_psnr = psnr(decoded_np, ref_plane.reshape(height, width))
-            logger.info(f"{idx:2}: psnr [{round(frame_psnr, 2):6.2f}]")
-            write_y_only_frame(decoded_fh, decoded_np)
+            indices, dev = pending.popleft()
+            planes = np.asarray(dev)
+            if planes.ndim == 2:
+                planes = planes[None]
+            for idx, decoded_np in zip(indices, planes):
+                ref_plane = np.frombuffer(recon_fh.read(width * height), dtype=np.uint8)
+                frame_psnr = psnr(decoded_np, ref_plane.reshape(height, width))
+                logger.info(f"{idx:2}: psnr [{round(frame_psnr, 2):6.2f}]")
+                write_y_only_frame(decoded_fh, decoded_np)
 
-        frame_index = 0
-        while True:
-            frame_index += 1
-            mode_byte = encoded_fh.read(1)
-            if frame_index > params.frames_to_process or not mode_byte:
-                break
-            mode = int.from_bytes(mode_byte)
-            if mode == INTRA:
-                refs_dev.clear()
-                irefs_dev.clear()
-
-            pred_len = int.from_bytes(encoded_fh.read(2))
-            row_qps, modes, mvs = _parse_prediction(
-                encoded_fh.read(pred_len), ec, params, mode == INTRA
-            )
-            dct_len = int.from_bytes(encoded_fh.read(3))
-            qdct = _parse_dct(encoded_fh.read(dct_len), ec, params)
-
-            frac = ec.fracMeEnabled
-            if mode == INTRA:
-                decoded, hp = intra_decode_frame(
-                    jnp.asarray(qdct), jnp.asarray(modes), jnp.asarray(row_qps),
-                    bs, emit_halfpel=frac,
-                )
-            else:
-                decoded, hp = pframe_decode(
-                    jnp.asarray(qdct), jnp.asarray(mvs), jnp.asarray(row_qps),
-                    tuple(refs_dev), tuple(irefs_dev) if frac else (),
-                    bs, frac, emit_halfpel=frac,
-                )
-            decoded.copy_to_host_async()
-            pending.append((frame_index, decoded))
-
-            refs_dev.append(decoded)
-            irefs_dev.append(hp)
-            if len(refs_dev) > ec.nRefFrames:
-                refs_dev.pop(0)
-                irefs_dev.pop(0)
-            while len(pending) > PIPELINE_DEPTH:
-                drain_one()
+        if ec.nRefFrames == 1:
+            _decode_chunked(params, ec, encoded_fh, pending, drain_one)
+        else:
+            _decode_per_frame(params, ec, encoded_fh, pending, drain_one)
         while pending:
             drain_one()
     logger.info("End decoding")
+
+
+def _decode_per_frame(params, ec, encoded_fh, pending, drain_one):
+    height, width = params.height, params.width
+    bs = ec.block_size
+    frac = ec.fracMeEnabled
+    gray = jnp.full((height, width), 128, dtype=jnp.uint8)
+    refs_dev = [gray]
+    irefs_dev = [build_half_pel(gray) if frac else None]
+
+    for index, mode, row_qps, modes, mvs, qdct in _parse_frames(encoded_fh, ec, params):
+        if mode == INTRA:
+            refs_dev.clear()
+            irefs_dev.clear()
+            decoded, hp = intra_decode_frame(
+                jnp.asarray(qdct), jnp.asarray(modes), jnp.asarray(row_qps),
+                bs, emit_halfpel=frac,
+            )
+        else:
+            decoded, hp = pframe_decode(
+                jnp.asarray(qdct), jnp.asarray(mvs), jnp.asarray(row_qps),
+                tuple(refs_dev), tuple(irefs_dev) if frac else (),
+                bs, frac, emit_halfpel=frac,
+            )
+        decoded.copy_to_host_async()
+        pending.append(([index], decoded))
+        refs_dev.append(decoded)
+        irefs_dev.append(hp)
+        if len(refs_dev) > ec.nRefFrames:
+            refs_dev.pop(0)
+            irefs_dev.pop(0)
+        while len(pending) > PIPELINE_DEPTH:
+            drain_one()
+
+
+def _decode_chunked(params, ec, encoded_fh, pending, drain_one):
+    from .chunk import decode_chunk, decode_chunk_intra_only
+
+    height, width = params.height, params.width
+    bs = ec.block_size
+    frac = ec.fracMeEnabled
+    nbr, nbc = height // bs, width // bs
+    ref = jnp.full((height, width), 128, dtype=jnp.uint8)
+    hp = build_half_pel(ref) if frac else jnp.zeros((2 * height, 2 * width), jnp.uint8)
+    buf = []  # parsed frames of the chunk being assembled
+
+    def flush():
+        nonlocal ref, hp, buf
+        if not buf:
+            return
+        indices = [b[0] for b in buf]
+        qdcts = jnp.asarray(np.stack([b[5] for b in buf]))
+        qps = jnp.asarray(np.stack([b[2] for b in buf]))
+        all_intra = all(b[1] == INTRA for b in buf)
+        if all_intra and len(buf) > 1:
+            modes = jnp.asarray(np.stack([b[3] for b in buf]))
+            decoded, ref, hp = decode_chunk_intra_only(qdcts, modes, qps, bs, frac)
+        else:
+            first_is_intra = buf[0][1] == INTRA
+            mvs = np.stack([
+                b[4] if b[4] is not None else np.zeros((nbr, nbc, 3), np.int32)
+                for b in buf
+            ])
+            modes0 = jnp.asarray(
+                buf[0][3] if first_is_intra else np.zeros((nbr, nbc), np.int32))
+            decoded, ref, hp = decode_chunk(
+                qdcts, jnp.asarray(mvs), qps, modes0, ref, hp,
+                bs, frac, first_is_intra,
+            )
+        decoded.copy_to_host_async()
+        pending.append((indices, decoded))
+        buf = []
+
+    for rec in _parse_frames(encoded_fh, ec, params):
+        is_intra = rec[1] == INTRA
+        if buf:
+            buf_all_intra = all(b[1] == INTRA for b in buf)
+            # chunk shapes: [I P..P], [P..P], or all-intra [I I ..]
+            if is_intra and not buf_all_intra:
+                flush()
+            elif not is_intra and buf_all_intra and len(buf) > 1:
+                flush()
+        buf.append(rec)
+        if len(buf) >= MAX_CHUNK:
+            flush()
+        while len(pending) > 2:
+            drain_one()
+    flush()

@@ -120,3 +120,55 @@ def test_metrics_and_mv_artifacts(tmp_path):
             return [r[:7] for r in _csv.reader(f)]
 
     assert rows(iog.get_metrics_csv_file_name()) == rows(iot.get_metrics_csv_file_name())
+
+
+def test_scene_change_second_pass(tmp_path):
+    """RC3 with a real scene cut: the P-frame whose first-pass bits overshoot
+    1.3x the table expectation is re-encoded as an I-frame with cleared
+    references (reference encoder.py:89-98)."""
+    from basic_video_codec_tpu.tools.ygen import noise_sequence, textured_frame
+
+    Wq, Hq, Nq = 176, 144, 4
+    base = np.stack([textured_frame(Wq, Hq, seed=1)] * 2)
+    cut = noise_sequence(Wq, Hq, 2, seed=2)  # hard cut to noise
+    frames = np.concatenate([base, cut])
+    cfg = dict(block_size=16, search_range=2, I_Period=8, quantization_factor=9,
+               RCflag=3, targetBR=1_200_000, resolution=(Wq, Hq))
+    ios = {}
+    for sub, enc, dec in (("g", golden_encode, golden_decode), ("t", tpu_encode, tpu_decode)):
+        d = tmp_path / sub
+        d.mkdir()
+        ygen.write_y_file(str(d / "t.y"), frames)
+        params = InputParameters(str(d / "t.y"), Wq, Hq,
+                                 EncoderConfig(**cfg), frames_to_process=Nq)
+        enc(params, results_csv_path=None)
+        dec(params)
+        ios[sub] = FileIOHelper(params, create_dirs=False)
+
+    # the cut frame (index 3) must be INTRA in the bitstream
+    with open(ios["t"].get_encoded_file_name(), "rb") as f:
+        data = f.read()
+    modes = []
+    pos = 0
+    for _ in range(Nq):
+        modes.append(data[pos]); pos += 1
+        plen = int.from_bytes(data[pos:pos + 2]); pos += 2 + plen
+        dlen = int.from_bytes(data[pos:pos + 3]); pos += 3 + dlen
+    assert modes[0] == 1 and modes[2] == 1, modes  # first frame I, cut frame I
+
+    # golden parity: same decisions; noise content sits on the float-DCT
+    # edge, so sizes agree within the documented tolerance rather than
+    # byte-for-byte (PARITY.md)
+    with open(ios["g"].get_encoded_file_name(), "rb") as f:
+        gdata = f.read()
+    gmodes = []
+    pos = 0
+    for _ in range(Nq):
+        gmodes.append(gdata[pos]); pos += 1
+        plen = int.from_bytes(gdata[pos:pos + 2]); pos += 2 + plen
+        dlen = int.from_bytes(gdata[pos:pos + 3]); pos += 3 + dlen
+    assert gmodes == modes
+    assert abs(len(gdata) - len(data)) / len(gdata) < 0.005
+    rt = np.fromfile(ios["t"].get_mc_reconstructed_file_name(), np.uint8)
+    dt = np.fromfile(ios["t"].get_mc_decoded_file_name(), np.uint8)
+    assert np.array_equal(rt, dt)
