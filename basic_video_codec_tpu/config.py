@@ -11,6 +11,11 @@ behaviour:
   reference-exact model (the conformance oracle); "tpu" forces the JAX device
   pipeline; "auto" uses the device pipeline and falls back to golden for the
   rare corner cases it does not cover.
+* ``exact_transform`` — opt-in integer-exact DCT/IDCT: streams become
+  bit-identical across backends/hardware (the float reference cannot offer
+  this); RD behaviour is indistinguishable (the fixed-point basis error is
+  ~2^-13, far below the codec's own quantization).  Streams encoded with it
+  must be decoded with it.
 * ``strict_reference_crashes`` — when True, reproduce even the reference's
   hard crashes (e.g. an RCflag=0 multi-GOP run raises StatisticsError at
   reference IFrame.py:35 because the previous P-frame never populated
@@ -42,6 +47,7 @@ class EncoderConfig:
         resolution=(352, 288),
         *,
         backend="auto",
+        exact_transform=False,
         strict_reference_crashes=False,
     ):
         self.block_size = block_size
@@ -58,6 +64,7 @@ class EncoderConfig:
         self.resolution = resolution
         self.frame_rate = 30
         self.backend = backend
+        self.exact_transform = exact_transform
         self.strict_reference_crashes = strict_reference_crashes
         self.validate()
 

@@ -167,8 +167,9 @@ def encode_iframe(frame: GoldenFrame, ec):
                 curr_block, frame.reconstructed_frame, x, y, bs
             )
             residual = np.subtract(curr_block.astype(np.int16), np.asarray(pred).astype(np.int16))
-            qcoffs, Q = gdct.apply_dct_and_quantization(residual, bs, rc_qp)
-            recon_block, _ = gdct.reconstruct_block(qcoffs, Q, pred)
+            exact = getattr(ec, "exact_transform", False)
+            qcoffs, Q = gdct.apply_dct_and_quantization(residual, bs, rc_qp, exact=exact)
+            recon_block, _ = gdct.reconstruct_block(qcoffs, Q, pred, exact=exact)
 
             frame.intra_modes.append(mode)
             mae_sum += block_mae
@@ -200,7 +201,11 @@ def decode_iframe(frame: GoldenFrame, frame_shape, ec):
         Q = gdct.generate_quantization_matrix(bs, frame.rc_qp_per_row[y // bs])
         for x in range(0, width, bs):
             coffs = frame.quantized_dct_residual_frame[y : y + bs, x : x + bs]
-            idct_res = gdct.apply_idct_2d(gdct.rescale_block(coffs, Q))
+            if getattr(ec, "exact_transform", False):
+                idct_res = gdct.apply_idct_2d_exact(
+                    np.asarray(coffs, dtype=np.int64) * Q.astype(np.int64))
+            else:
+                idct_res = gdct.apply_idct_2d(gdct.rescale_block(coffs, Q))
             mode = frame.intra_modes[(y // bs) * n_cols + (x // bs)]
             pred = gintra.predict_for_mode(mode, recon, x, y, bs)
             block = np.clip(np.round(idct_res + pred).astype(np.int16), 0, 255).astype(np.uint8)
@@ -277,8 +282,9 @@ def encode_pframe(frame: GoldenFrame, ec):
 
             pred = _predicted_block(frame, mv, (x, y), ec).astype(np.int16)
             residual = np.subtract(curr_block, pred)
-            qcoffs, Q = gdct.apply_dct_and_quantization(residual, bs, rc_qp)
-            recon_block, idct_residual = gdct.reconstruct_block(qcoffs, Q, pred)
+            exact = getattr(ec, "exact_transform", False)
+            qcoffs, Q = gdct.apply_dct_and_quantization(residual, bs, rc_qp, exact=exact)
+            recon_block, idct_residual = gdct.reconstruct_block(qcoffs, Q, pred, exact=exact)
 
             frame.reconstructed_frame[y : y + bs, x : x + bs] = recon_block
             frame.quantized_dct_residual_frame[y : y + bs, x : x + bs] = qcoffs
@@ -389,7 +395,11 @@ def decode_pframe(frame: GoldenFrame, frame_shape, ec):
         Q = gdct.generate_quantization_matrix(bs, frame.rc_qp_per_row[y // bs])
         for x in range(0, width, bs):
             coffs = frame.quantized_dct_residual_frame[y : y + bs, x : x + bs]
-            idct_res = gdct.apply_idct_2d(gdct.rescale_block(coffs, Q))
+            if getattr(ec, "exact_transform", False):
+                idct_res = gdct.apply_idct_2d_exact(
+                    np.asarray(coffs, dtype=np.int64) * Q.astype(np.int64))
+            else:
+                idct_res = gdct.apply_idct_2d(gdct.rescale_block(coffs, Q))
             mv = frame.mv_field.get((x, y))
             pred = _predicted_block(frame, mv, (x, y), ec)
             block = np.clip(np.round(idct_res + pred).astype(np.int16), 0, 255).astype(np.uint8)

@@ -21,7 +21,7 @@ from ..ops.intra import intra_decode_frame, intra_encode_frame
 from .pframe import pframe_decode, pframe_encode
 
 
-@partial(jax.jit, static_argnames=("bs", "rc1"))
+@partial(jax.jit, static_argnames=("bs", "rc1", "exact"))
 def encode_chunk_intra_only(
     frames: jnp.ndarray,        # uint8 [K, H, W]
     row_qps: jnp.ndarray,       # int32 [nbr]
@@ -31,6 +31,7 @@ def encode_chunk_intra_only(
     initial_qp: jnp.ndarray,
     bs: int,
     rc1: bool,
+    exact: bool = False,
 ):
     """All-intra chunk (I_Period == 1): every frame clears the reference
     deques, so frames are fully independent — one ``vmap`` instead of a scan.
@@ -38,7 +39,7 @@ def encode_chunk_intra_only(
     def one(frame):
         recon, _, art, qdct, smalls = intra_encode_frame(
             frame, row_qps, budget0, tbl_qps, tbl_bits, initial_qp, bs, rc1,
-            emit_halfpel=False,
+            emit_halfpel=False, exact=exact,
         )
         return recon, art, qdct, smalls
 
@@ -46,7 +47,7 @@ def encode_chunk_intra_only(
 
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
-                                   "first_is_intra"))
+                                   "first_is_intra", "exact"))
 def encode_chunk(
     frames: jnp.ndarray,        # uint8 [K, H, W]
     ref0: jnp.ndarray,          # uint8 [H, W] incoming reference (used iff not first_is_intra)
@@ -62,6 +63,7 @@ def encode_chunk(
     fast: bool,
     frac: bool,
     first_is_intra: bool,
+    exact: bool = False,
 ):
     """Returns ``(intra_out | None, p_out, ref_out, hp_out)`` where
     ``intra_out = (recon, art, qdct, smalls)`` for frames[0] and
@@ -73,7 +75,7 @@ def encode_chunk(
     if first_is_intra:
         recon_i, hp_i, art_i, qdct_i, smalls_i = intra_encode_frame(
             frames[0], row_qps, budget0, tbl_qps, tbl_bits, initial_qp,
-            bs, rc1, emit_halfpel=frac,
+            bs, rc1, emit_halfpel=frac, exact=exact,
         )
         intra_out = (recon_i, art_i, qdct_i, smalls_i)
         carry = (recon_i, hp_i if frac else jnp.zeros((2 * h, 2 * w), jnp.uint8))
@@ -88,7 +90,7 @@ def encode_chunk(
         recon, hp2, art, qdct, smalls = pframe_encode(
             curr, (ref,), (hp,) if frac else (), row_qps, budget0,
             tbl_qps, tbl_bits, initial_qp, bs, search_range, rc1, fast, frac,
-            False, emit_halfpel=frac,
+            False, emit_halfpel=frac, exact=exact,
         )
         if not frac:
             hp2 = hp
@@ -109,18 +111,20 @@ def encode_chunk(
     return intra_out, p_out, ref_out, hp_out
 
 
-@partial(jax.jit, static_argnames=("bs", "frac"))
+@partial(jax.jit, static_argnames=("bs", "frac", "exact"))
 def decode_chunk_intra_only(
     qdcts: jnp.ndarray,     # int32 [K, H, W]
     modes: jnp.ndarray,     # int32 [K, nbr, nbc]
     row_qps: jnp.ndarray,   # int32 [K, nbr]
     bs: int,
     frac: bool,
+    exact: bool = False,
 ):
     """All-intra decode chunk: frames are independent -> vmap.
     Returns ``(decoded [K, H, W], ref_out, hp_out)``."""
     decoded = jax.vmap(
-        lambda q, m, r: intra_decode_frame(q, m, r, bs, emit_halfpel=False)[0]
+        lambda q, m, r: intra_decode_frame(q, m, r, bs, emit_halfpel=False,
+                                           exact=exact)[0]
     )(qdcts, modes, row_qps)
     ref_out = decoded[-1]
     if frac:
@@ -133,7 +137,7 @@ def decode_chunk_intra_only(
     return decoded, ref_out, hp_out
 
 
-@partial(jax.jit, static_argnames=("bs", "frac", "first_is_intra"))
+@partial(jax.jit, static_argnames=("bs", "frac", "first_is_intra", "exact"))
 def decode_chunk(
     qdcts: jnp.ndarray,     # int32 [K, H, W]
     mvs: jnp.ndarray,       # int32 [K, nbr, nbc, 3] (row 0 ignored if intra)
@@ -144,6 +148,7 @@ def decode_chunk(
     bs: int,
     frac: bool,
     first_is_intra: bool,
+    exact: bool = False,
 ):
     """Decode one GOP segment in a single program (the decode mirror of
     :func:`encode_chunk`).  Returns ``(decoded [K, H, W], ref_out, hp_out)``."""
@@ -151,7 +156,7 @@ def decode_chunk(
 
     if first_is_intra:
         dec0, hp_i = intra_decode_frame(qdcts[0], modes0, row_qps[0], bs,
-                                        emit_halfpel=frac)
+                                        emit_halfpel=frac, exact=exact)
         carry = (dec0, hp_i if frac else hp0)
         p_qdcts, p_mvs, p_qps = qdcts[1:], mvs[1:], row_qps[1:]
     else:
@@ -162,7 +167,7 @@ def decode_chunk(
         ref, hp = carry
         qdct, mv, qps = inp
         dec, hp2 = pframe_decode(qdct, mv, qps, (ref,), (hp,) if frac else (),
-                                 bs, frac, emit_halfpel=frac)
+                                 bs, frac, emit_halfpel=frac, exact=exact)
         if not frac:
             hp2 = hp
         return (dec, hp2), dec

@@ -41,7 +41,7 @@ def _wrap_int8_bits(x: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
-                                   "multi_ref", "emit_halfpel"))
+                                   "multi_ref", "emit_halfpel", "exact"))
 def pframe_encode(
     curr: jnp.ndarray,          # uint8 [H, W]
     refs_in,                    # tuple of uint8 [H, W] (deque order, 0 = oldest)
@@ -58,6 +58,7 @@ def pframe_encode(
     frac: bool,
     multi_ref: bool,            # nRefFrames > 1: MV ref index is entropy-coded
     emit_halfpel: bool = False,
+    exact: bool = False,        # integer-exact transform (cross-backend bit-exact)
 ):
     """Returns ``(recon_u8 [H, W], halfpel_u8 [2H, 2W] | None,
     art_u8 [H, W] (res_w_mc bit plane), qdct_i16 [H, W],
@@ -96,7 +97,7 @@ def pframe_encode(
         curr.reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3).astype(jnp.int32)
     )
     residuals = curr_blocks - preds
-    coeffs = T.dct2(residuals.astype(jnp.float32), d)  # [nbr, nbc, bs, bs]
+    coeffs = T.forward_coeffs(residuals, bs, exact)  # [nbr, nbc, bs, bs] f32
 
     # differential-MV prediction bits per row (PFrame.py:136-163): the chain
     # runs raster across the whole frame, qp_diff excluded (added below).
@@ -134,7 +135,7 @@ def pframe_encode(
 
     # 4. reconstruct with each row's Q
     Qrows = qmats[row_qps][:, None]
-    recon_blocks, idct_res = T.reconstruct(qrows.astype(jnp.float32), Qrows, preds, d)
+    recon_blocks, idct_res = T.reconstruct_mode(qrows, Qrows, preds, bs, exact)
     recon = recon_blocks.transpose(0, 2, 1, 3).reshape(h, w)
     qdct = qrows.transpose(0, 2, 1, 3).reshape(h, w)
 
@@ -152,7 +153,7 @@ def pframe_encode(
     return recon_u8, None, art, qdct, smalls
 
 
-@partial(jax.jit, static_argnames=("bs", "frac", "emit_halfpel"))
+@partial(jax.jit, static_argnames=("bs", "frac", "emit_halfpel", "exact"))
 def pframe_decode(
     qdct: jnp.ndarray,         # int16/int32 [H, W]
     mvs: jnp.ndarray,          # int32 [nbr, nbc, 3]
@@ -162,6 +163,7 @@ def pframe_decode(
     bs: int,
     frac: bool,
     emit_halfpel: bool = False,
+    exact: bool = False,
 ):
     """Reference construct_frame_from_dct_and_mv (PFrame.py:252-317), batched."""
     h, w = qdct.shape
@@ -179,7 +181,7 @@ def pframe_decode(
     preds = gather_pred_blocks(refs, interp_refs, mvs, bs, frac).astype(jnp.int32)
     qblocks = qdct.reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3)
     Qrows = qmats[row_qps][:, None]
-    recon_blocks, _ = T.reconstruct(qblocks.astype(jnp.float32), Qrows, preds, d)
+    recon_blocks, _ = T.reconstruct_mode(qblocks, Qrows, preds, bs, exact)
     decoded = recon_blocks.transpose(0, 2, 1, 3).reshape(h, w)
     if emit_halfpel:
         from ..ops.interp import build_half_pel

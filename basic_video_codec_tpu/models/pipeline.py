@@ -118,17 +118,18 @@ def _dispatch_frame(ec, mode, padded, refs_dev, irefs_dev, row_qps, rc1, tbl):
     tbl_qps, tbl_bits = tbl
     frac = ec.fracMeEnabled
 
+    exact = getattr(ec, "exact_transform", False)
     if mode == INTRA:
         recon, hp, art, qdct, smalls = intra_encode_frame(
             curr_dev, jnp.asarray(row_qps), budget0, tbl_qps, tbl_bits,
-            initial_qp, bs, rc1, emit_halfpel=frac,
+            initial_qp, bs, rc1, emit_halfpel=frac, exact=exact,
         )
     else:
         recon, hp, art, qdct, smalls = pframe_encode(
             curr_dev, tuple(refs_dev), tuple(irefs_dev) if frac else (),
             jnp.asarray(row_qps), budget0, tbl_qps, tbl_bits, initial_qp,
             bs, max(ec.search_range, 0), rc1, ec.fastME, frac,
-            ec.nRefFrames > 1, emit_halfpel=frac,
+            ec.nRefFrames > 1, emit_halfpel=frac, exact=exact,
         )
 
     refs_dev.append(recon)
@@ -401,6 +402,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     budget0 = jnp.float32(bit_budget_per_frame(ec)) if rc1 else jnp.float32(0)
     initial_qp = jnp.int32(ec.quantization_factor)
     frac = ec.fracMeEnabled
+    exact = getattr(ec, "exact_transform", False)
 
     gray = jnp.full((params.height, params.width), 128, dtype=jnp.uint8)
     ref = gray
@@ -474,7 +476,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 # every frame clears the references: fully parallel vmap chunk
                 dev = encode_chunk_intra_only(
                     jnp.asarray(frames_np), row_qps, budget0, tbl[0], tbl[1],
-                    initial_qp, bs, rc1,
+                    initial_qp, bs, rc1, exact=exact,
                 )
                 kind = "intra_all"
                 leaves = dev
@@ -482,7 +484,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 dev = encode_chunk(
                     jnp.asarray(frames_np), ref, hp, row_qps, budget0, tbl[0], tbl[1],
                     initial_qp, bs, max(ec.search_range, 0), rc1, ec.fastME, frac,
-                    first_is_intra,
+                    first_is_intra, exact=exact,
                 )
                 ref, hp = dev[2], dev[3]
                 kind = "intra_led" if first_is_intra else "p_only"
@@ -618,19 +620,20 @@ def _decode_per_frame(params, ec, encoded_fh, pending, drain_one):
     refs_dev = [gray]
     irefs_dev = [build_half_pel(gray) if frac else None]
 
+    exact = getattr(ec, "exact_transform", False)
     for index, mode, row_qps, modes, mvs, qdct in _parse_frames(encoded_fh, ec, params):
         if mode == INTRA:
             refs_dev.clear()
             irefs_dev.clear()
             decoded, hp = intra_decode_frame(
                 jnp.asarray(qdct), jnp.asarray(modes), jnp.asarray(row_qps),
-                bs, emit_halfpel=frac,
+                bs, emit_halfpel=frac, exact=exact,
             )
         else:
             decoded, hp = pframe_decode(
                 jnp.asarray(qdct), jnp.asarray(mvs), jnp.asarray(row_qps),
                 tuple(refs_dev), tuple(irefs_dev) if frac else (),
-                bs, frac, emit_halfpel=frac,
+                bs, frac, emit_halfpel=frac, exact=exact,
             )
         decoded.copy_to_host_async()
         pending.append(([index], decoded))
@@ -650,6 +653,7 @@ def _decode_chunked(params, ec, encoded_fh, pending, drain_one):
     bs = ec.block_size
     frac = ec.fracMeEnabled
     nbr, nbc = height // bs, width // bs
+    exact = getattr(ec, "exact_transform", False)
     ref = jnp.full((height, width), 128, dtype=jnp.uint8)
     hp = build_half_pel(ref) if frac else jnp.zeros((2 * height, 2 * width), jnp.uint8)
     buf = []  # parsed frames of the chunk being assembled
@@ -664,7 +668,8 @@ def _decode_chunked(params, ec, encoded_fh, pending, drain_one):
         all_intra = all(b[1] == INTRA for b in buf)
         if all_intra and len(buf) > 1:
             modes = jnp.asarray(np.stack([b[3] for b in buf]))
-            decoded, ref, hp = decode_chunk_intra_only(qdcts, modes, qps, bs, frac)
+            decoded, ref, hp = decode_chunk_intra_only(qdcts, modes, qps, bs, frac,
+                                                       exact=exact)
         else:
             first_is_intra = buf[0][1] == INTRA
             mvs = np.stack([
@@ -675,7 +680,7 @@ def _decode_chunked(params, ec, encoded_fh, pending, drain_one):
                 buf[0][3] if first_is_intra else np.zeros((nbr, nbc), np.int32))
             decoded, ref, hp = decode_chunk(
                 qdcts, jnp.asarray(mvs), qps, modes0, ref, hp,
-                bs, frac, first_is_intra,
+                bs, frac, first_is_intra, exact=exact,
             )
         decoded.copy_to_host_async()
         pending.append((indices, decoded))

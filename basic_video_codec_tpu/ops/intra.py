@@ -41,7 +41,7 @@ def _select_qp_rc1(budget, rows_left, tbl_qps, tbl_bits):
     return jnp.where(fits.any(), tbl_qps[first_fit], tbl_qps[-1])
 
 
-@partial(jax.jit, static_argnames=("bs", "rc1", "emit_halfpel"))
+@partial(jax.jit, static_argnames=("bs", "rc1", "emit_halfpel", "exact"))
 def intra_encode_frame(
     curr: jnp.ndarray,            # uint8 [H, W]
     row_qps_in: jnp.ndarray,      # int32 [nbr] (used when rc1=False)
@@ -52,6 +52,7 @@ def intra_encode_frame(
     bs: int,
     rc1: bool,
     emit_halfpel: bool = False,
+    exact: bool = False,
 ):
     """Returns ``(recon_u8 [H, W], halfpel_u8 [2H, 2W] | None,
     art_u8 [H, W] residual-wrap plane, qdct_i16 [H, W], smalls_i32 [...])``
@@ -93,10 +94,9 @@ def intra_encode_frame(
 
         # --- transform / quantize / reconstruct at the row QP ---
         Q = qmats[qp]
-        residual = (cblk - pred).astype(jnp.float32)
-        coeffs = T.dct2(residual, d)
+        coeffs = T.forward_coeffs(cblk - pred, bs, exact)
         q = T.quantize(coeffs, Q)
-        recon_blk, _ = T.reconstruct(q, Q, pred, d)
+        recon_blk, _ = T.reconstruct_mode(q, Q, pred, bs, exact)
         recon = jax.lax.dynamic_update_slice(recon, recon_blk.astype(jnp.int32), (y, x))
         # artifact plane: int16 residual stored into a uint8 frame wraps
         # mod 256 (reference IFrame.py:30,57)
@@ -140,9 +140,9 @@ def intra_encode_frame(
     return recon_u8, None, residual_u8, qdct, smalls
 
 
-@partial(jax.jit, static_argnames=("bs", "emit_halfpel"))
+@partial(jax.jit, static_argnames=("bs", "emit_halfpel", "exact"))
 def intra_decode_frame(qdct: jnp.ndarray, modes: jnp.ndarray, row_qps: jnp.ndarray,
-                       bs: int, emit_halfpel: bool = False):
+                       bs: int, emit_halfpel: bool = False, exact: bool = False):
     """Decoder-side intra reconstruction (reference IFrame.py:85-114): same
     scan, predictor chosen by the decoded mode."""
     h, w = qdct.shape
@@ -169,7 +169,7 @@ def intra_decode_frame(qdct: jnp.ndarray, modes: jnp.ndarray, row_qps: jnp.ndarr
             jnp.full((bs, bs), 128, dtype=jnp.int32),
         )
         pred = jnp.where(modes[i, j] == 0, pred_h, pred_v)
-        blk, _ = T.reconstruct(coffs.astype(jnp.float32), Q, pred, d)
+        blk, _ = T.reconstruct_mode(coffs, Q, pred, bs, exact)
         recon = jax.lax.dynamic_update_slice(recon, blk.astype(jnp.int32), (y, x))
         return (recon, y, i), None
 

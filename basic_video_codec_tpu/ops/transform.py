@@ -44,6 +44,61 @@ def dct_matrix(n: int) -> np.ndarray:
     return d.astype(np.float32)
 
 
+EXACT_SHIFT = 13  # fixed-point scale of the integer DCT basis
+
+
+@lru_cache(maxsize=None)
+def dct_matrix_int(n: int, shift: int = EXACT_SHIFT) -> np.ndarray:
+    """Fixed-point DCT-II basis ``round(D * 2^shift)`` (int32).
+
+    Powers the optional *exact transform* mode: integer matmuls are
+    bit-deterministic on every backend (verified exact on TPU for the value
+    ranges used), so streams encoded with ``exact_transform=True`` are
+    bit-identical across CPU/TPU — something no float DCT can guarantee.
+    Basis quantization error is ~2^-13, far below the codec's own
+    quantization at any QP.
+    """
+    k = np.arange(n)[:, None].astype(np.float64)
+    m = np.arange(n)[None, :].astype(np.float64)
+    d = np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    d[0] *= np.sqrt(1.0 / n)
+    d[1:] *= np.sqrt(2.0 / n)
+    return np.round(d * (1 << shift)).astype(np.int32)
+
+
+def _rshift_round(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Deterministic round-half-up ``x / 2^s`` for signed int32."""
+    return (x + (1 << (s - 1))) >> s
+
+
+def dct2_exact(blocks_i32: jnp.ndarray, d_int: jnp.ndarray) -> jnp.ndarray:
+    """Integer-exact 2D DCT: two int32 matmuls with a mid-stage rescale;
+    returns float32 coefficient values (exactly determined by the ints).
+
+    Exactness argument: every *product* fits int32 (|t1'| <= 2^13,
+    |d_int| <= 2^13 -> 2^26) and every *true* result fits int32 (final values
+    are coefficient*2^(shift+2) <= 2^27), so two's-complement accumulation is
+    correct even if loosely-bounded partial sums wrap.  The mid stage keeps
+    2 guard bits for precision (basis error then dominates at ~2^-13).
+    """
+    x = blocks_i32.astype(jnp.int32)
+    t1 = jnp.einsum("km,...mn->...kn", d_int, x)          # D_i @ X, <= 2^27
+    t1 = _rshift_round(t1, EXACT_SHIFT - 2)               # ~t1_true * 4
+    y = jnp.einsum("...kn,ln->...kl", t1, d_int)          # true <= 2^27
+    return y.astype(jnp.float32) / jnp.float32(1 << (EXACT_SHIFT + 2))
+
+
+def idct2_exact(rescaled_i32: jnp.ndarray, d_int: jnp.ndarray) -> jnp.ndarray:
+    """Integer-exact inverse: ``D^T Y D`` with the same fixed-point scheme.
+    Input is the rescaled (q * Q) integer coefficients (|Y| <= ~2^13).
+    Same exactness argument: products <= 2^28, true results <= 2^28."""
+    y = rescaled_i32.astype(jnp.int32)
+    t1 = jnp.einsum("km,...kl->...ml", d_int, y)          # D_i^T @ Y
+    t1 = _rshift_round(t1, EXACT_SHIFT)                   # ~t1_true, <= 2^15
+    x = jnp.einsum("...ml,ln->...mn", t1, d_int)          # true <= 2^28
+    return x.astype(jnp.float32) / jnp.float32(1 << EXACT_SHIFT)
+
+
 @lru_cache(maxsize=None)
 def quant_matrices(bs: int, max_qp: int | None = None) -> np.ndarray:
     """``[n_qp, bs, bs]`` float32 stack of power-of-two quant matrices
@@ -98,6 +153,23 @@ def reconstruct(qcoeffs: jnp.ndarray, Q: jnp.ndarray, pred_blocks: jnp.ndarray, 
     recon = jnp.round(idct_res + pred_blocks.astype(jnp.float32))
     recon = jnp.clip(recon, 0, 255).astype(jnp.uint8)
     return recon, idct_res
+
+
+def forward_coeffs(residual_blocks: jnp.ndarray, bs: int, exact: bool) -> jnp.ndarray:
+    """Mode dispatch: float32 MXU DCT (reference parity) or integer-exact."""
+    if exact:
+        return dct2_exact(residual_blocks.astype(jnp.int32), jnp.asarray(dct_matrix_int(bs)))
+    return dct2(residual_blocks.astype(jnp.float32), jnp.asarray(dct_matrix(bs)))
+
+
+def reconstruct_mode(qcoeffs, Q, pred_blocks, bs: int, exact: bool):
+    """Mode dispatch for rescale->IDCT->+pred->round->clip."""
+    if exact:
+        rescaled = qcoeffs.astype(jnp.int32) * Q.astype(jnp.int32)
+        idct_res = idct2_exact(rescaled, jnp.asarray(dct_matrix_int(bs)))
+        recon = jnp.round(idct_res + pred_blocks.astype(jnp.float32))
+        return jnp.clip(recon, 0, 255).astype(jnp.uint8), idct_res
+    return reconstruct(qcoeffs.astype(jnp.float32), Q, pred_blocks, jnp.asarray(dct_matrix(bs)))
 
 
 @partial(jax.jit, static_argnames=("bs", "qp"))
