@@ -300,8 +300,9 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
             write_out(f, p.dispatch_dt)
             return f
 
-        if ec.RCflag <= 1 and ec.nRefFrames == 1:
+        if ec.nRefFrames == 1:
             # GOP-chunked dispatch: one device program per GOP segment
+            # (RC 2/3 use the fused two-pass program, models/two_pass.py)
             _run_chunked(params, ec, f_in, tbl, write_out)
             elapsed = time.time() - start_time
             _append_throughput(params, elapsed, results_csv_path)
@@ -395,14 +396,25 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     from concurrent.futures import ThreadPoolExecutor
 
     from .chunk import encode_chunk, encode_chunk_intra_only
+    from .two_pass import encode_chunk_two_pass
 
     bs = ec.block_size
     y_size = params.width * params.height
     rc1 = ec.RCflag == 1
-    budget0 = jnp.float32(bit_budget_per_frame(ec)) if rc1 else jnp.float32(0)
+    two_pass = ec.RCflag > 1
+    budget0 = jnp.float32(bit_budget_per_frame(ec)) if ec.RCflag else jnp.float32(0)
     initial_qp = jnp.int32(ec.quantization_factor)
     frac = ec.fracMeEnabled
     exact = getattr(ec, "exact_transform", False)
+    if two_pass:
+        # device-side scalars for the fused two-pass program
+        nbr_total = params.height // bs
+        try:
+            exp_p = float(ec.rc_lookup_table[ec.quantization_factor]["P"] * nbr_total)
+        except (KeyError, TypeError):
+            exp_p = float("inf")  # overage undefined -> never a scene change
+        exp_p_frame = jnp.float32(exp_p)
+        prev_avg = jnp.int32(_prev_avg_qp([ec.quantization_factor], ec))
 
     gray = jnp.full((params.height, params.width), 128, dtype=jnp.uint8)
     ref = gray
@@ -421,6 +433,23 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         indices, currs, kind, dev, dispatch_dt = pending_dev.popleft()
         per_frame_dt = dispatch_dt / max(len(indices), 1)
         futures = []
+        if kind == "two_pass":
+            # smalls lead with the final mode (0=P, 1=I); repack per mode
+            recons, arts, qdcts, smalls = jax.device_get(dev)
+            nb = (params.height // bs) * (params.width // bs)
+            for k in range(recons.shape[0]):
+                sm = smalls[k]
+                mode = int(sm[0])
+                tail = sm[1 + 5 * nb :]
+                if mode == INTRA:
+                    per = np.concatenate([sm[1 : 1 + 2 * nb], tail])
+                else:
+                    per = np.concatenate([sm[1 : 1 + 5 * nb], tail])
+                futures.append(fin_pool.submit(
+                    _finalize_arrays, indices[k], mode, currs[k],
+                    recons[k], arts[k], qdcts[k], per, ec))
+            pending_fin.append((futures, per_frame_dt))
+            return
         if kind == "intra_all":
             recons, arts, qdcts, smalls = jax.device_get(dev)
             for k in range(recons.shape[0]):
@@ -453,7 +482,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         while True:
             if n_read >= params.frames_to_process:
                 break
-            intra_only = ec.I_Period == 1
+            intra_only = ec.I_Period == 1 and not two_pass
             pos_in_gop = n_read % ec.I_Period
             first_is_intra = pos_in_gop == 0
             k = (min(MAX_CHUNK, params.frames_to_process - n_read) if intra_only
@@ -472,7 +501,16 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             ])
             nbr = frames_np.shape[1] // bs
             row_qps = jnp.full(nbr, ec.quantization_factor, jnp.int32)
-            if intra_only:
+            if two_pass:
+                dev, ref, hp, prev_avg = encode_chunk_two_pass(
+                    jnp.asarray(frames_np), ref, hp, prev_avg, budget0,
+                    tbl[0], tbl[1], exp_p_frame, initial_qp,
+                    bs, max(ec.search_range, 0), ec.fastME, frac,
+                    first_is_intra, exact=exact,
+                )
+                kind = "two_pass"
+                leaves = dev
+            elif intra_only:
                 # every frame clears the references: fully parallel vmap chunk
                 dev = encode_chunk_intra_only(
                     jnp.asarray(frames_np), row_qps, budget0, tbl[0], tbl[1],
