@@ -6,9 +6,9 @@ dispatches (and later fetches) once per GOP instead of once per frame.  On
 remote-attached TPUs every dispatched program on the inter-frame dependency
 chain costs round-trip latency; chunking divides that cost by the GOP length.
 
-Eligibility: single reference frame and RC modes 0/1 (fixed or in-scan QP).
-nRefFrames > 1 needs a rolling reference stack across scan steps and RC 2/3
-needs host decisions between passes — those run the per-frame path
+Eligibility: single reference frame (RC modes 0/1 here; RC 2/3 use the
+fused two-pass chunk in models/two_pass.py).  nRefFrames > 1 needs a rolling
+reference stack across scan steps and runs the per-frame path
 (models/pipeline.py).
 """
 

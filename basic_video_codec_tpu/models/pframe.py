@@ -15,9 +15,9 @@ Pipeline (replaces reference PFrame.py:29-131's per-block Python loop):
 The MVP chain (PFrame.py:105) only affects fastME and the differential MV
 *encoding* — full search never reads it, so step 1 is embarrassingly parallel.
 
-Outputs are packed into three transfers (uint8 plane stack, int16 qdct,
-one int32 vector) to minimize device->host roundtrips on remote-attached
-TPUs; see models/io_pack.py.
+Outputs are packed into few transfers (recon, one artifact plane, int16
+qdct, one int32 vector) to minimize device->host roundtrips on
+remote-attached TPUs.
 """
 
 from functools import partial

@@ -10,11 +10,12 @@ earlier frames; nothing ever blocks per frame.  This matters doubly on
 remote-attached TPUs where a synchronous roundtrip costs ~30 ms but chained
 dispatch costs ~2 ms.
 
-Rate-control modes 2/3 are two-pass with a host decision between passes
-(scene-change detection + proportional row budgets, reference
-encoder.py:85-98), which forces per-frame synchronization — they run with
-depth 0.  RC 0/1 need no host feedback (RC1's budget loop runs inside the
-device scan) and pipeline at full depth.
+With a single reference frame, dispatch is GOP-chunked (models/chunk.py;
+RC 2/3 use the fused on-device two-pass program, models/two_pass.py) so the
+host touches the device once per GOP.  The per-frame path below remains for
+nRefFrames > 1; there RC 2/3's host decision between passes (scene-change
+detection + proportional row budgets, reference encoder.py:85-98) forces
+per-frame synchronization (depth 0), while RC 0/1 pipeline at full depth.
 
 Output artifacts, bitstream framing, metrics rows and RC decisions are
 identical to the golden model / reference (see golden/encoder.py for the
