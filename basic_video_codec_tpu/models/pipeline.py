@@ -151,6 +151,7 @@ class _Finalized:
         "index", "mode", "curr", "recon", "qdct", "res_w_mc", "res_wo_mc",
         "mv_line", "pred_bytes", "pred_bits", "dct_bytes", "dct_bits",
         "avg_mae", "comparisons", "rc_qp_per_row", "bits_per_row", "host_dt",
+        "psnr",
     )
 
     def is_iframe(self):
@@ -163,12 +164,16 @@ def _finalize_frame(p: _Pending, ec) -> _Finalized:
     return _finalize_arrays(p.index, p.mode, p.curr, recon, art, qdct, smalls, ec)
 
 
-def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec) -> _Finalized:
-    """Entropy-pack one frame from host-resident arrays."""
+def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec,
+                     prev_recon=None) -> _Finalized:
+    """Entropy-pack one frame from host-resident arrays.  When the previous
+    frame's reconstruction is supplied, the res_wo_mc artifact and PSNR are
+    computed here (on the worker pool) instead of on the serial writer."""
     t0 = time.time()
     bs = ec.block_size
     f = _Finalized()
     f.index, f.mode, f.curr = index, mode, curr
+    f.psnr = psnr(curr, recon)
     h, w = qdct.shape
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
@@ -185,10 +190,16 @@ def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec) -> _Finali
         f.avg_mae = float(maes.astype(np.float64).sum() / (bs * bs) / nb)
         aux = modes
     else:
-        # art = res_w_mc; res_wo_mc is recomputed by the writer from host
-        # data; smalls = (mvs, sads, comps, row_qps, row_bits)
+        # art = res_w_mc; smalls = (mvs, sads, comps, row_qps, row_bits).
+        # res_wo_mc = curr minus the OLDEST reference (PFrame.py:103,116):
+        # computable here for the single-reference chunked paths, otherwise
+        # left for the in-order writer and its reference-history deque
         f.res_w_mc = art
-        f.res_wo_mc = None  # filled by the in-order writer
+        if prev_recon is not None:
+            diff = curr.astype(np.int16) - prev_recon.astype(np.int16)
+            f.res_wo_mc = (diff % 256).astype(np.uint8)
+        else:
+            f.res_wo_mc = None  # filled by the in-order writer
         mvs = smalls[: 3 * nb].reshape(nbr, nbc, 3)
         sads = smalls[3 * nb : 4 * nb]
         comps = smalls[4 * nb : 5 * nb]
@@ -268,14 +279,13 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
                 diff = f.curr.astype(np.int16) - recon_history[0].astype(np.int16)
                 f.res_wo_mc = (diff % 256).astype(np.uint8)
             recon_history.append(f.recon)
+            frame_psnr = f.psnr
             start_idx = encoded_fh.tell()
             encoded_fh.write(f.mode.to_bytes(1))
             encoded_fh.write(((f.pred_bits + 7) // 8).to_bytes(2))
             encoded_fh.write(f.pred_bytes)
             encoded_fh.write(((f.dct_bits + 7) // 8).to_bytes(3))
             encoded_fh.write(f.dct_bytes)
-
-            frame_psnr = psnr(f.curr, f.recon)
             frame_bytes = encoded_fh.tell() - start_idx
             metrics_writer.writerow(
                 FrameMetrics(
@@ -426,6 +436,9 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     pending_fin: deque = deque()   # (futures, per_frame_dt) awaiting write
     fin_pool = ThreadPoolExecutor(max_workers=4)
     n_read = 0  # 0-based count of frames consumed
+    # host mirror of the previous frame's reconstruction (prev-chunk carry),
+    # so workers can derive res_wo_mc without the serial writer
+    last_recon = np.full((params.height, params.width), 128, np.uint8)
 
     # NOTE: device_get stays on the dispatch thread — concurrent transfers
     # from a second thread contend with dispatch inside the device client
@@ -434,6 +447,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         indices, currs, kind, dev, dispatch_dt = pending_dev.popleft()
         per_frame_dt = dispatch_dt / max(len(indices), 1)
         futures = []
+        nonlocal last_recon
         if kind == "two_pass":
             # smalls lead with the final mode (0=P, 1=I); repack per mode
             recons, arts, qdcts, smalls = jax.device_get(dev)
@@ -446,9 +460,11 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     per = np.concatenate([sm[1 : 1 + 2 * nb], tail])
                 else:
                     per = np.concatenate([sm[1 : 1 + 5 * nb], tail])
+                prev = last_recon if k == 0 else recons[k - 1]
                 futures.append(fin_pool.submit(
                     _finalize_arrays, indices[k], mode, currs[k],
-                    recons[k], arts[k], qdcts[k], per, ec))
+                    recons[k], arts[k], qdcts[k], per, ec, prev))
+            last_recon = recons[-1]
             pending_fin.append((futures, per_frame_dt))
             return
         if kind == "intra_all":
@@ -457,6 +473,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 futures.append(fin_pool.submit(
                     _finalize_arrays, indices[k], INTRA, currs[k],
                     recons[k], arts[k], qdcts[k], smalls[k], ec))
+            last_recon = recons[-1]
             pending_fin.append((futures, per_frame_dt))
             return
         intra_out, p_out, _, _ = dev
@@ -466,12 +483,16 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             futures.append(fin_pool.submit(
                 _finalize_arrays, indices[0], INTRA, currs[0],
                 recon, art, qdct, smalls, ec))
-            pos = 1
+            last_recon = recon
         recons, arts, qdcts, smalls = jax.device_get(p_out)
+        pos = 1 if kind == "intra_led" else 0
         for k in range(recons.shape[0]):
+            prev = last_recon if k == 0 else recons[k - 1]
             futures.append(fin_pool.submit(
                 _finalize_arrays, indices[pos + k], INTER, currs[pos + k],
-                recons[k], arts[k], qdcts[k], smalls[k], ec))
+                recons[k], arts[k], qdcts[k], smalls[k], ec, prev))
+        if recons.shape[0]:
+            last_recon = recons[-1]
         pending_fin.append((futures, per_frame_dt))
 
     def write_chunk():
