@@ -158,14 +158,22 @@ class _Finalized:
         return self.mode == INTRA
 
 
-def _finalize_frame(p: _Pending, ec) -> _Finalized:
+def _wrap_diff_u8(curr, prev_recon):
+    """res_wo_mc plane: curr minus reference, int16 stored as int8 bit pattern
+    (reference PFrame.py:103,116 with the int8-plane wrap quirk)."""
+    diff = curr.astype(np.int16) - prev_recon.astype(np.int16)
+    return (diff % 256).astype(np.uint8)
+
+
+def _finalize_frame(p: _Pending, ec, want_psnr=True) -> _Finalized:
     """Fetch one frame's packed device outputs and pack its entropy bits."""
     recon, art, qdct, smalls = jax.device_get(p.dev)
-    return _finalize_arrays(p.index, p.mode, p.curr, recon, art, qdct, smalls, ec)
+    return _finalize_arrays(p.index, p.mode, p.curr, recon, art, qdct, smalls, ec,
+                            want_psnr=want_psnr)
 
 
 def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec,
-                     prev_recon=None) -> _Finalized:
+                     prev_recon=None, want_psnr=True) -> _Finalized:
     """Entropy-pack one frame from host-resident arrays.  When the previous
     frame's reconstruction is supplied, the res_wo_mc artifact and PSNR are
     computed here (on the worker pool) instead of on the serial writer."""
@@ -173,7 +181,8 @@ def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec,
     bs = ec.block_size
     f = _Finalized()
     f.index, f.mode, f.curr = index, mode, curr
-    f.psnr = psnr(curr, recon)
+    # skipped for throwaway first passes (their PSNR is never read)
+    f.psnr = psnr(curr, recon) if want_psnr else None
     h, w = qdct.shape
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
@@ -196,8 +205,7 @@ def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec,
         # left for the in-order writer and its reference-history deque
         f.res_w_mc = art
         if prev_recon is not None:
-            diff = curr.astype(np.int16) - prev_recon.astype(np.int16)
-            f.res_wo_mc = (diff % 256).astype(np.uint8)
+            f.res_wo_mc = _wrap_diff_u8(curr, prev_recon)
         else:
             f.res_wo_mc = None  # filled by the in-order writer
         mvs = smalls[: 3 * nb].reshape(nbr, nbc, 3)
@@ -276,10 +284,9 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
             if f.is_iframe():
                 recon_history.clear()
             elif f.res_wo_mc is None:
-                diff = f.curr.astype(np.int16) - recon_history[0].astype(np.int16)
-                f.res_wo_mc = (diff % 256).astype(np.uint8)
+                f.res_wo_mc = _wrap_diff_u8(f.curr, recon_history[0])
             recon_history.append(f.recon)
-            frame_psnr = f.psnr
+            frame_psnr = f.psnr if f.psnr is not None else psnr(f.curr, f.recon)
             start_idx = encoded_fh.tell()
             encoded_fh.write(f.mode.to_bytes(1))
             encoded_fh.write(((f.pred_bits + 7) // 8).to_bytes(2))
@@ -349,7 +356,7 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
                 p = _Pending()
                 p.index, p.mode, p.curr, p.dev = frame_index, mode, padded, dev
                 p.dispatch_dt = time.time() - t_disp
-                first = _finalize_frame(p, ec)
+                first = _finalize_frame(p, ec, want_psnr=False)
                 overage = _overage(first, ec)
                 scene_change = (
                     not first.is_iframe()
@@ -464,7 +471,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 futures.append(fin_pool.submit(
                     _finalize_arrays, indices[k], mode, currs[k],
                     recons[k], arts[k], qdcts[k], per, ec, prev))
-            last_recon = recons[-1]
+            last_recon = recons[-1].copy()  # don't pin the whole chunk stack
             pending_fin.append((futures, per_frame_dt))
             return
         if kind == "intra_all":
@@ -473,11 +480,10 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 futures.append(fin_pool.submit(
                     _finalize_arrays, indices[k], INTRA, currs[k],
                     recons[k], arts[k], qdcts[k], smalls[k], ec))
-            last_recon = recons[-1]
+            last_recon = recons[-1].copy()
             pending_fin.append((futures, per_frame_dt))
             return
         intra_out, p_out, _, _ = dev
-        pos = 0
         if kind == "intra_led":
             recon, art, qdct, smalls = jax.device_get(intra_out)
             futures.append(fin_pool.submit(
@@ -492,7 +498,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 _finalize_arrays, indices[pos + k], INTER, currs[pos + k],
                 recons[k], arts[k], qdcts[k], smalls[k], ec, prev))
         if recons.shape[0]:
-            last_recon = recons[-1]
+            last_recon = recons[-1].copy()
         pending_fin.append((futures, per_frame_dt))
 
     def write_chunk():
