@@ -9,6 +9,10 @@ from .frame_utils import (
     psnr,
     calculate_num_frames,
     pad_with_zeros,
+    signed_to_unsigned,
+    unsigned_to_signed,
+    int_to_3_bytes,
+    bytes_to_int_3,
 )
 
 __all__ = [
@@ -22,4 +26,8 @@ __all__ = [
     "psnr",
     "calculate_num_frames",
     "pad_with_zeros",
+    "signed_to_unsigned",
+    "unsigned_to_signed",
+    "int_to_3_bytes",
+    "bytes_to_int_3",
 ]

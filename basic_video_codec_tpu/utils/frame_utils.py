@@ -106,3 +106,24 @@ def pad_with_zeros(array: list, desired_length: int) -> list:
     if len(array) < desired_length:
         array.extend([0] * (desired_length - len(array)))
     return array
+
+
+def signed_to_unsigned(value: int, bits: int) -> int:
+    """Two's-complement encode (reference common.py:96-100)."""
+    return (1 << bits) + value if value < 0 else value
+
+
+def unsigned_to_signed(value: int, bits: int) -> int:
+    """Two's-complement decode (reference common.py:103-107)."""
+    return value - (1 << bits) if value >= (1 << (bits - 1)) else value
+
+
+def int_to_3_bytes(value: int) -> bytes:
+    """24-bit big-endian length field (reference common.py:110-118; the
+    bitstream framing's DCT-payload length, encoder.py:117)."""
+    return value.to_bytes(3, "big")
+
+
+def bytes_to_int_3(three_bytes: bytes) -> int:
+    """Inverse of :func:`int_to_3_bytes` (reference common.py:121-126)."""
+    return int.from_bytes(three_bytes[:3], "big")

@@ -167,3 +167,15 @@ def test_timer_and_annotate():
     with annotate("host-stage"):
         pass
     assert "stage" in t.report()
+
+
+def test_byte_helpers():
+    from basic_video_codec_tpu.utils import (
+        bytes_to_int_3, int_to_3_bytes, signed_to_unsigned, unsigned_to_signed,
+    )
+
+    assert signed_to_unsigned(-1, 8) == 255
+    assert unsigned_to_signed(255, 8) == -1
+    assert unsigned_to_signed(signed_to_unsigned(-12345, 16), 16) == -12345
+    assert int_to_3_bytes(0x0A0B0C) == bytes([0x0A, 0x0B, 0x0C])
+    assert bytes_to_int_3(int_to_3_bytes(16_000_000)) == 16_000_000
