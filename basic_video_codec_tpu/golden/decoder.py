@@ -24,7 +24,9 @@ logger = get_logger()
 def decode_video(params: InputParameters):
     ec = params.encoder_config
     file_io = FileIOHelper(params)
-    height, width = params.height, params.width
+    from ..utils.frame_utils import padded_dims
+
+    width, height = padded_dims(params.width, params.height, ec.block_size)
     frame_size = width * height
 
     refs = deque(maxlen=ec.nRefFrames)

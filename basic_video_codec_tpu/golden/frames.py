@@ -217,9 +217,12 @@ def decode_iframe(frame: GoldenFrame, frame_shape, ec):
 def decode_iframe_prediction_data(frame: GoldenFrame, data: bytes, params):
     """Reference IFrame.entropy_decode_prediction_data (IFrame.py:141-171)."""
     ec = params.encoder_config
+    from ..utils.frame_utils import padded_dims
+
+    pw, ph = padded_dims(params.width, params.height, ec.block_size)
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-    blocks_in_row = ec.resolution[0] // ec.block_size
-    num_rows = ec.resolution[1] // ec.block_size
+    blocks_in_row = pw // ec.block_size
+    num_rows = ph // ec.block_size
     modes = []
     pos = 0
     for _ in range(num_rows):
@@ -328,14 +331,15 @@ def _encode_pframe_prediction_row(frame, row_idx, ec, rc_qp_diff):
     previous row otherwise; the chain carries across row boundaries.
     """
     bs = ec.block_size
+    width = frame.curr_frame.shape[1]  # padded width (see utils.padded_dims)
     block_y = row_idx * bs
     if len(frame.pred_writer) == 0:
         prev_mv = (0, 0, 0)
     else:
-        prev_mv = frame.mv_field[(ec.resolution[0] - bs, block_y - bs)]
+        prev_mv = frame.mv_field[(width - bs, block_y - bs)]
 
     syms = [rc_qp_diff]
-    for block_x in range(0, ec.resolution[0], bs):
+    for block_x in range(0, width, bs):
         mv = frame.mv_field[(block_x, block_y)]
         syms.append(mv[0] - prev_mv[0])
         syms.append(mv[1] - prev_mv[1])
@@ -348,10 +352,13 @@ def _encode_pframe_prediction_row(frame, row_idx, ec, rc_qp_diff):
 def decode_pframe_prediction_data(frame: GoldenFrame, data: bytes, params):
     """Reference PFrame.entropy_decode_prediction_data (PFrame.py:166-228)."""
     ec = params.encoder_config
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    from ..utils.frame_utils import padded_dims
+
     bs = ec.block_size
-    blocks_in_row = ec.resolution[0] // bs
-    num_rows = ec.resolution[1] // bs
+    pw, ph = padded_dims(params.width, params.height, bs)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    blocks_in_row = pw // bs
+    num_rows = ph // bs
 
     frame.mv_field = {}
     prev_mv = (0, 0, 0)
@@ -431,9 +438,12 @@ def decode_dct_coffs(frame: GoldenFrame, data: bytes, params):
         else:
             current.append(symbol)
 
+    from ..utils.frame_utils import padded_dims
+
     inv = inverse_zigzag_indices(bs)
-    n_cols = params.width // bs
-    out = np.zeros((params.height, params.width), dtype=int)
+    pw, ph = padded_dims(params.width, params.height, bs)
+    n_cols = pw // bs
+    out = np.zeros((ph, pw), dtype=int)
     for idx, rle_block in enumerate(rle_blocks):
         coffs = rle_decode(rle_block)
         pad_with_zeros(coffs, bs * bs)

@@ -49,7 +49,7 @@ from ..metrics.frame_metrics import FrameMetrics
 from ..ops.interp import build_half_pel
 from ..ops.intra import intra_decode_frame, intra_encode_frame
 from ..rc.rate_control import bit_budget_per_frame, find_rc_qp_for_row
-from ..utils.frame_utils import pad_frame, psnr
+from ..utils.frame_utils import pad_frame, padded_dims, psnr
 from ..utils.logger import get_logger
 from .pframe import pframe_decode, pframe_encode
 
@@ -426,7 +426,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     exact = getattr(ec, "exact_transform", False)
     if two_pass:
         # device-side scalars for the fused two-pass program
-        nbr_total = params.height // bs
+        nbr_total = padded_dims(params.width, params.height, bs)[1] // bs
         try:
             exp_p = float(ec.rc_lookup_table[ec.quantization_factor]["P"] * nbr_total)
         except (KeyError, TypeError):
@@ -595,8 +595,9 @@ def _overage(f: _Finalized, ec):
 def _parse_prediction(data, ec, params, is_intra):
     """Entropy-decode one frame's prediction payload into planes."""
     bs = ec.block_size
-    nbc = ec.resolution[0] // bs
-    nbr = ec.resolution[1] // bs
+    pw, ph = padded_dims(params.width, params.height, bs)
+    nbc = pw // bs
+    nbr = ph // bs
     per_row = 1 + nbc * (1 if is_intra else (3 if ec.nRefFrames > 1 else 2))
     syms = decode_symbols_np(data, nbr * per_row).reshape(nbr, per_row)
     row_qps = ec.quantization_factor + syms[:, 0]
@@ -612,8 +613,9 @@ def _parse_prediction(data, ec, params, is_intra):
 
 def _parse_dct(data, ec, params):
     bs = ec.block_size
-    nbc = params.width // bs
-    nbr = params.height // bs
+    pw, ph = padded_dims(params.width, params.height, bs)
+    nbc = pw // bs
+    nbr = ph // bs
     scans = decode_dct_scans(data, nbr * nbc, bs * bs, EOB_MARKER)
     out = np.zeros((nbr * nbc, bs * bs), dtype=np.int32)
     out[:, zigzag_indices(bs)] = scans  # flat[zz[k]] = scan[k]
@@ -648,8 +650,8 @@ def decode_video(params: InputParameters):
     fetched and written with a lag so the device chain never waits."""
     ec = params.encoder_config
     file_io = FileIOHelper(params)
-    height, width = params.height, params.width
     bs = ec.block_size
+    width, height = padded_dims(params.width, params.height, bs)
     frac = ec.fracMeEnabled
 
     with open(file_io.get_mc_reconstructed_file_name(), "rb") as recon_fh, \
@@ -679,8 +681,8 @@ def decode_video(params: InputParameters):
 
 
 def _decode_per_frame(params, ec, encoded_fh, pending, drain_one):
-    height, width = params.height, params.width
     bs = ec.block_size
+    width, height = padded_dims(params.width, params.height, bs)
     frac = ec.fracMeEnabled
     gray = jnp.full((height, width), 128, dtype=jnp.uint8)
     refs_dev = [gray]
@@ -715,8 +717,8 @@ def _decode_per_frame(params, ec, encoded_fh, pending, drain_one):
 def _decode_chunked(params, ec, encoded_fh, pending, drain_one):
     from .chunk import decode_chunk, decode_chunk_intra_only
 
-    height, width = params.height, params.width
     bs = ec.block_size
+    width, height = padded_dims(params.width, params.height, bs)
     frac = ec.fracMeEnabled
     nbr, nbc = height // bs, width // bs
     exact = getattr(ec, "exact_transform", False)

@@ -24,6 +24,19 @@ def calculate_num_frames(file_path: str, width: int, height: int) -> int:
     return file_size // frame_size
 
 
+def padded_dims(width: int, height: int, block_size: int) -> tuple[int, int]:
+    """(width, height) rounded up to block multiples — the dimensions every
+    plane actually has after :func:`pad_frame`.  The reference sizes its
+    entropy row structure from the *configured* resolution while its blocks
+    come from the padded frame (IFrame.py:123 vs encoder.py:83), which breaks
+    non-multiple resolutions; this framework consistently uses padded dims
+    (documented divergence, PARITY.md)."""
+    return (
+        width + (block_size - width % block_size) % block_size,
+        height + (block_size - height % block_size) % block_size,
+    )
+
+
 def pad_frame(frame: np.ndarray, block_size: int, pad_value: int = 128) -> np.ndarray:
     """Pad bottom/right to a block multiple with ``pad_value`` (reference common.py:22-32)."""
     height, width = frame.shape

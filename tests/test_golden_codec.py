@@ -124,3 +124,22 @@ def test_mv_file_contents(tmp_path):
     assert lines[0] == ""  # I-frame writes a bare newline
     mvs = parse_mv(lines[1])
     assert len(mvs) == (W // 8) * (H // 8)
+
+
+def test_non_multiple_resolution_pads_and_round_trips(tmp_path):
+    """Non-block-multiple dims: frames are padded and the entropy structure
+    follows the padded geometry consistently (the reference mixes configured
+    and padded dims and crashes here — documented divergence, PARITY.md)."""
+    Wn, Hn, Nn = 100, 60, 3  # pads to 112x64 at block 16
+    y_path = str(tmp_path / "odd.y")
+    ygen.write_y_file(y_path, ygen.moving_sequence(Wn, Hn, Nn, seed=2))
+    ec = EncoderConfig(16, 2, 2, 4, resolution=(Wn, Hn), backend="golden")
+    params = InputParameters(y_path, Wn, Hn, ec, Nn)
+    encode_video(params, results_csv_path=None)
+    decode_video(params)
+    io = FileIOHelper(params, create_dirs=False)
+    pw, ph = 112, 64
+    rec = np.fromfile(io.get_mc_reconstructed_file_name(), np.uint8)
+    dec = np.fromfile(io.get_mc_decoded_file_name(), np.uint8)
+    assert rec.size == pw * ph * Nn
+    assert np.array_equal(rec, dec)

@@ -172,3 +172,20 @@ def test_scene_change_second_pass(tmp_path):
     rt = np.fromfile(ios["t"].get_mc_reconstructed_file_name(), np.uint8)
     dt = np.fromfile(ios["t"].get_mc_decoded_file_name(), np.uint8)
     assert np.array_equal(rt, dt)
+
+
+def test_non_multiple_resolution_tpu(tmp_path):
+    """Padding path on the device pipeline: 100x60 at block 16 pads to 112x64;
+    decode must still bit-match the encoder reconstruction."""
+    Wn, Hn, Nn = 100, 60, 4
+    y_path = str(tmp_path / "odd.y")
+    ygen.write_y_file(y_path, ygen.moving_sequence(Wn, Hn, Nn, seed=2))
+    ec = EncoderConfig(16, 2, 2, 4, resolution=(Wn, Hn))
+    params = InputParameters(y_path, Wn, Hn, ec, Nn)
+    tpu_encode(params, results_csv_path=None)
+    tpu_decode(params)
+    io = FileIOHelper(params, create_dirs=False)
+    rec = np.fromfile(io.get_mc_reconstructed_file_name(), np.uint8)
+    dec = np.fromfile(io.get_mc_decoded_file_name(), np.uint8)
+    assert rec.size == 112 * 64 * Nn
+    assert np.array_equal(rec, dec)
