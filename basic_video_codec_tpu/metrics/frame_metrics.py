@@ -1,62 +1,49 @@
-"""Per-frame metrics record — CSV schema parity with reference
-encoder/FrameMetrics.py:4-54 (column order, formatting precision included)."""
+"""Per-frame metrics record.
 
-from typing import List
+CSV schema parity with the reference (encoder/FrameMetrics.py:4-54): column
+order ``idx, I-Frame, avg_MAE, mae_comps, PSNR, frame_bytes, file_bits,
+enc_time, elapsed_time`` with two-decimal formatting on the float columns —
+this is the interchange format the RD tooling and RC calibration consume.
+"""
+
+from dataclasses import dataclass, fields
 
 
+@dataclass
 class FrameMetrics:
-    HEADER = [
-        "idx", "I-Frame", "avg_MAE", "mae_comps", "PSNR",
-        "frame_bytes", "file_bits", "enc_time", "elapsed_time",
-    ]
+    idx: int
+    is_i_frame: bool
+    avg_mae: float
+    mae_comps: int
+    psnr: float
+    frame_bytes: int
+    file_bits: int
+    encoding_time: float
+    elapsed_time: float
 
-    def __init__(self, idx, is_i_frame, avg_mae, mae_comps, psnr,
-                 frame_bytes, file_bits, encoding_time, elapsed_time):
-        self.idx = idx
-        self.is_i_frame = is_i_frame
-        self.avg_mae = avg_mae
-        self.mae_comps = mae_comps
-        self.psnr = psnr
-        self.frame_bytes = frame_bytes
-        self.file_bits = file_bits
-        self.encoding_time = encoding_time
-        self.elapsed_time = elapsed_time
+    HEADER = ("idx", "I-Frame", "avg_MAE", "mae_comps", "PSNR",
+              "frame_bytes", "file_bits", "enc_time", "elapsed_time")
 
-    def to_csv_row(self) -> List:
-        return [
-            self.idx,
-            1 if self.is_i_frame else 0,
-            f"{self.avg_mae:.2f}",
-            self.mae_comps,
-            f"{self.psnr:.2f}",
-            self.frame_bytes,
-            self.file_bits,
-            f"{self.encoding_time:.2f}",
-            f"{self.elapsed_time:.2f}",
-        ]
+    # which dataclass fields are serialized as %.2f strings
+    _FLOAT_COLS = frozenset({"avg_mae", "psnr", "encoding_time", "elapsed_time"})
 
-    @staticmethod
-    def from_csv_row(row: List) -> "FrameMetrics":
-        return FrameMetrics(
-            idx=int(row[0]),
-            is_i_frame=bool(int(row[1])),
-            avg_mae=float(row[2]),
-            mae_comps=int(row[3]),
-            psnr=float(row[4]),
-            frame_bytes=int(row[5]),
-            file_bits=int(row[6]),
-            encoding_time=float(row[7]),
-            elapsed_time=float(row[8]),
-        )
+    def to_csv_row(self) -> list:
+        row = []
+        for f in fields(self):
+            v = getattr(self, f.name)
+            if f.name == "is_i_frame":
+                row.append(1 if v else 0)
+            elif f.name in self._FLOAT_COLS:
+                row.append(f"{v:.2f}")
+            else:
+                row.append(v)
+        return row
+
+    @classmethod
+    def from_csv_row(cls, row) -> "FrameMetrics":
+        casts = (int, lambda v: bool(int(v)), float, int, float, int, int, float, float)
+        return cls(*(cast(v) for cast, v in zip(casts, row)))
 
     @staticmethod
-    def get_header():
+    def get_header() -> list:
         return list(FrameMetrics.HEADER)
-
-    def __repr__(self):
-        return (
-            f"FrameMetrics(idx={self.idx}, is_i_frame={self.is_i_frame}, "
-            f"avg_mae={self.avg_mae:.2f}, mae_comps={self.mae_comps}, "
-            f"psnr={self.psnr:.2f}, frame_bytes={self.frame_bytes}, "
-            f"file_bits={self.file_bits})"
-        )
