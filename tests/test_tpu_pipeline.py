@@ -189,3 +189,26 @@ def test_non_multiple_resolution_tpu(tmp_path):
     dec = np.fromfile(io.get_mc_decoded_file_name(), np.uint8)
     assert rec.size == 112 * 64 * Nn
     assert np.array_equal(rec, dec)
+
+
+def test_short_and_empty_inputs(tmp_path):
+    """Fewer frames than requested -> encode what exists; empty file -> zero
+    frames, valid (empty) artifacts (the reference's loop-break semantics,
+    encoder.py:79-81)."""
+    ec = EncoderConfig(8, 2, 4, 4, resolution=(W, H))
+    short = str(tmp_path / "short.y")
+    ygen.write_y_file(short, ygen.moving_sequence(W, H, 2, seed=1))
+    p = InputParameters(short, W, H, ec, frames_to_process=10)
+    tpu_encode(p, results_csv_path=None)
+    tpu_decode(p)
+    io = FileIOHelper(p, create_dirs=False)
+    rec = np.fromfile(io.get_mc_reconstructed_file_name(), np.uint8)
+    dec = np.fromfile(io.get_mc_decoded_file_name(), np.uint8)
+    assert rec.size == W * H * 2 and np.array_equal(rec, dec)
+
+    empty = str(tmp_path / "empty.y")
+    open(empty, "wb").close()
+    p = InputParameters(empty, W, H, ec, frames_to_process=5)
+    tpu_encode(p, results_csv_path=None)
+    io = FileIOHelper(p, create_dirs=False)
+    assert os.path.getsize(io.get_encoded_file_name()) == 0
