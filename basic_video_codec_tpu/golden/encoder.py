@@ -32,7 +32,11 @@ SCENE_CHANGE_THRESHOLD = 1.3  # reference encoder/encoder.py:30
 
 def _load_rc_table(ec):
     """The reference loads lookups unconditionally (``if RCflag or 1:``,
-    encoder.py:39-42); we tolerate missing tables when RC is off."""
+    encoder.py:39-42); we tolerate missing tables when RC is off, and keep a
+    caller-supplied table (calibration for resolutions without shipped CSVs,
+    e.g. from rc.lookup.generate_rc_lookup)."""
+    if ec.rc_lookup_table is not None:
+        return
     try:
         ec.rc_lookup_table = get_combined_lookup_table(
             rc_lookup_file_path(ec, "I"), rc_lookup_file_path(ec, "P")

@@ -328,11 +328,17 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
 
         prev_rc_rows = [ec.quantization_factor]  # seed (reference encoder.py:72-73)
         frame_index = 0
+        truncated_tail = 0
         while True:
             t_disp = time.time()
             frame_index += 1
             buf = f_in.read(y_size)
             if not buf or frame_index > params.frames_to_process:
+                break
+            if len(buf) < y_size:
+                # truncated tail frame: drain the pipelined full frames so
+                # they are written, then raise like np.frombuffer().reshape
+                truncated_tail = len(buf)
                 break
             padded = pad_frame(
                 np.frombuffer(buf, dtype=np.uint8).reshape(params.height, params.width), bs
@@ -393,6 +399,10 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
         while pending:
             f = drain_one()
             prev_rc_rows = f.rc_qp_per_row
+        if truncated_tail:
+            raise ValueError(
+                f"truncated frame: read {truncated_tail} of {y_size} bytes"
+            )
 
     elapsed = time.time() - start_time
     _append_throughput(params, elapsed, results_csv_path)
@@ -425,8 +435,11 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     frac = ec.fracMeEnabled
     exact = getattr(ec, "exact_transform", False)
     if two_pass:
-        # device-side scalars for the fused two-pass program
-        nbr_total = padded_dims(params.width, params.height, bs)[1] // bs
+        # device-side scalars for the fused two-pass program.  The expected
+        # frame size uses UNPADDED rows like the reference (Frame.py:158
+        # sizes it from ec.resolution) and the golden oracle / per-frame
+        # path (_overage below) — identical at block multiples.
+        nbr_total = ec.resolution[1] // bs
         try:
             exp_p = float(ec.rc_lookup_table[ec.quantization_factor]["P"] * nbr_total)
         except (KeyError, TypeError):
@@ -458,7 +471,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         if kind == "two_pass":
             # smalls lead with the final mode (0=P, 1=I); repack per mode
             recons, arts, qdcts, smalls = jax.device_get(dev)
-            nb = (params.height // bs) * (params.width // bs)
+            # smalls are laid out over PADDED block counts (two_pass.py)
+            nb = (qdcts.shape[1] // bs) * (qdcts.shape[2] // bs)
             for k in range(recons.shape[0]):
                 sm = smalls[k]
                 mode = int(sm[0])
@@ -506,6 +520,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         for fut in futures:
             write_out(fut.result(), per_frame_dt)
 
+    truncated_tail = 0
     try:
         while True:
             if n_read >= params.frames_to_process:
@@ -518,6 +533,11 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                           params.frames_to_process - n_read))
             raw = f_in.read(y_size * k)
             n_frames = len(raw) // y_size
+            # A truncated tail frame raises like the golden / per-frame paths
+            # (np.frombuffer(buf).reshape on a short read) — but only after
+            # the full frames read with it are encoded and written, matching
+            # the reference's frame-at-a-time loop.
+            truncated_tail = len(raw) % y_size
             if n_frames == 0:
                 break
             t_disp = time.time()
@@ -561,6 +581,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             pending_dev.append((indices, frames_np, kind, dev,
                                 time.time() - t_disp))
             n_read += n_frames
+            if truncated_tail:
+                break
             while len(pending_dev) > 2:
                 fetch_chunk()
             while len(pending_fin) > 1:
@@ -569,6 +591,10 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             fetch_chunk()
         while pending_fin:
             write_chunk()
+        if truncated_tail:
+            raise ValueError(
+                f"truncated frame: read {truncated_tail} of {y_size} bytes"
+            )
     finally:
         fin_pool.shutdown(wait=True)
 
@@ -625,7 +651,12 @@ def _parse_dct(data, ec, params):
 
 
 def _parse_frames(encoded_fh, ec, params):
-    """Yield (index, mode, row_qps, modes|None, mvs|None, qdct) per frame."""
+    """Yield (index, mode, row_qps, modes|None, mvs|None, qdct) per frame.
+
+    Stops at end-of-stream (reference decoder.py:46-48's loop break) and —
+    a robustness superset of the reference, which crashes there — at a
+    stream truncated mid-frame: the last complete frame is the final one
+    decoded, earlier frames are unaffected."""
     frame_index = 0
     while True:
         frame_index += 1
@@ -633,12 +664,18 @@ def _parse_frames(encoded_fh, ec, params):
         if frame_index > params.frames_to_process or not mode_byte:
             return
         mode = int.from_bytes(mode_byte)
-        pred_len = int.from_bytes(encoded_fh.read(2))
-        row_qps, modes, mvs = _parse_prediction(
-            encoded_fh.read(pred_len), ec, params, mode == INTRA
-        )
-        dct_len = int.from_bytes(encoded_fh.read(3))
-        qdct = _parse_dct(encoded_fh.read(dct_len), ec, params)
+        len2 = encoded_fh.read(2)
+        pred_data = encoded_fh.read(int.from_bytes(len2)) if len(len2) == 2 else b""
+        if len(len2) < 2 or len(pred_data) < int.from_bytes(len2):
+            logger.warning(f"encoded stream truncated mid-frame {frame_index}; stopping")
+            return
+        row_qps, modes, mvs = _parse_prediction(pred_data, ec, params, mode == INTRA)
+        len3 = encoded_fh.read(3)
+        dct_data = encoded_fh.read(int.from_bytes(len3)) if len(len3) == 3 else b""
+        if len(len3) < 3 or len(dct_data) < int.from_bytes(len3):
+            logger.warning(f"encoded stream truncated mid-frame {frame_index}; stopping")
+            return
+        qdct = _parse_dct(dct_data, ec, params)
         yield frame_index, mode, row_qps, modes, mvs, qdct
 
 

@@ -21,8 +21,16 @@ def bit_budget_per_frame(ec) -> float:
 
 
 def calculate_constant_row_bit_budget(remaining_bits, row_idx, ec) -> float:
+    # Row count from the PADDED geometry: the encode loops iterate padded
+    # block rows, so sizing rows-left from ec.resolution (as the reference
+    # does, RateControl.py:12-16) would divide by zero on the last padded
+    # row at non-block-multiple resolutions — a config the reference cannot
+    # run at all (PARITY.md divergence 6).  Identical at block multiples.
+    from ..utils.frame_utils import padded_dims
+
     frame_width, frame_height = ec.resolution
-    blocks_per_col = frame_height // ec.block_size
+    padded_h = padded_dims(frame_width, frame_height, ec.block_size)[1]
+    blocks_per_col = padded_h // ec.block_size
     rows_left = blocks_per_col - row_idx
     return remaining_bits / rows_left
 

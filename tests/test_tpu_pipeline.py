@@ -191,6 +191,113 @@ def test_non_multiple_resolution_tpu(tmp_path):
     assert np.array_equal(rec, dec)
 
 
+# synthetic calibration table for resolutions without shipped CSVs
+# (bits-per-block-row magnitudes scaled for a 112x64 padded plane)
+_ODD_RC_TABLE = {
+    qp: {"I": v, "P": max(v * 3 // 4, 40), "C": v * 7 // 8}
+    for qp, v in [(1, 5200), (2, 3900), (3, 2800), (4, 1900), (5, 1250),
+                  (6, 800), (7, 500), (8, 320), (9, 210), (10, 160), (11, 140)]
+}
+
+
+@pytest.mark.parametrize("rcflag", [1, 2])
+def test_rate_control_odd_resolution(tmp_path, rcflag):
+    """RC at a non-block-multiple resolution (100x60, bs=16, pads to 112x64):
+    rows-left and smalls layouts must use the padded geometry end-to-end
+    (PARITY.md divergence 6; round-1 ADVICE items 1-2).  exact_transform
+    makes golden and TPU streams byte-identical at every chosen QP."""
+    Wn, Hn, Nn = 100, 60, 5
+    y = ygen.moving_sequence(Wn, Hn, Nn, seed=9)
+    ios = {}
+    for sub, enc, dec in (("g", golden_encode, golden_decode), ("t", tpu_encode, tpu_decode)):
+        d = tmp_path / sub
+        d.mkdir()
+        ygen.write_y_file(str(d / "t.y"), y)
+        ec = EncoderConfig(16, 2, 3, 4, RCflag=rcflag, targetBR=360_000,
+                           resolution=(Wn, Hn), exact_transform=True)
+        ec.rc_lookup_table = dict(_ODD_RC_TABLE)
+        params = InputParameters(str(d / "t.y"), Wn, Hn, ec, frames_to_process=Nn)
+        enc(params, results_csv_path=None)
+        dec(params)
+        ios[sub] = FileIOHelper(params, create_dirs=False)
+    assert filecmp.cmp(ios["g"].get_encoded_file_name(),
+                       ios["t"].get_encoded_file_name(), shallow=False)
+    rt = np.fromfile(ios["t"].get_mc_reconstructed_file_name(), np.uint8)
+    dt = np.fromfile(ios["t"].get_mc_decoded_file_name(), np.uint8)
+    assert rt.size == 112 * 64 * Nn and np.array_equal(rt, dt)
+
+
+@pytest.mark.parametrize("nref", [1, 2])
+def test_truncated_input_raises(tmp_path, nref):
+    """A truncated tail frame raises ValueError on every encode path
+    (reference: np.frombuffer(buf).reshape on a short read) AFTER the full
+    frames read before it were encoded and written."""
+    ec = EncoderConfig(8, 2, 4, 4, nRefFrames=nref, resolution=(W, H))
+    y_path = str(tmp_path / f"trunc{nref}.y")
+    ygen.write_y_file(y_path, ygen.moving_sequence(W, H, 3, seed=3))
+    with open(y_path, "ab") as f:
+        f.write(b"\x80" * (W * H // 2))  # half a tail frame
+    p = InputParameters(y_path, W, H, ec, frames_to_process=10)
+    with pytest.raises(ValueError):
+        tpu_encode(p, results_csv_path=None)
+    io = FileIOHelper(p, create_dirs=False)
+    rec = np.fromfile(io.get_mc_reconstructed_file_name(), np.uint8)
+    assert rec.size == W * H * 3, "full frames before the truncated tail must be written"
+    with pytest.raises(ValueError):
+        golden_encode(p, results_csv_path=None)
+
+
+def test_decode_truncated_and_empty_streams(tmp_path):
+    """Decode robustness (reference decoder.py:46-48 loop-break semantics):
+    empty stream -> zero frames; stream cut at a frame boundary -> the prefix
+    decodes unchanged; cut mid-frame -> graceful stop after the last complete
+    frame (robustness superset: the reference crashes there); and
+    frames_to_process beyond the stream -> whole stream, no error."""
+    ec = EncoderConfig(8, 2, 3, 4, resolution=(W, H))
+    y_path = str(tmp_path / "t.y")
+    ygen.write_y_file(y_path, ygen.moving_sequence(W, H, 5, seed=4))
+    p = InputParameters(y_path, W, H, ec, frames_to_process=5)
+    tpu_encode(p, results_csv_path=None)
+    io = FileIOHelper(p, create_dirs=False)
+    enc_path = io.get_encoded_file_name()
+    with open(enc_path, "rb") as f:
+        full = f.read()
+    tpu_decode(p)
+    baseline = np.fromfile(io.get_mc_decoded_file_name(), np.uint8)
+    assert baseline.size == W * H * 5
+
+    # frame boundaries from the framing: 1B mode, 2B len, pred, 3B len, dct
+    bounds = []
+    pos = 0
+    for _ in range(5):
+        plen = int.from_bytes(full[pos + 1 : pos + 3])
+        dlen = int.from_bytes(full[pos + 3 + plen : pos + 6 + plen])
+        pos += 6 + plen + dlen
+        bounds.append(pos)
+
+    def decode_with(stream_bytes):
+        with open(enc_path, "wb") as f:
+            f.write(stream_bytes)
+        tpu_decode(p)
+        return np.fromfile(io.get_mc_decoded_file_name(), np.uint8)
+
+    try:
+        assert decode_with(b"").size == 0
+        out = decode_with(full[: bounds[2]])  # cut at a frame boundary
+        assert out.size == W * H * 3
+        assert np.array_equal(out, baseline[: out.size]), "prefix frames must be unchanged"
+        out = decode_with(full[: bounds[2] + 4])  # cut mid-frame (inside frame 4)
+        assert out.size == W * H * 3
+        assert np.array_equal(out, baseline[: out.size])
+        p.frames_to_process = 50  # beyond the stream
+        out = decode_with(full)
+        assert out.size == W * H * 5 and np.array_equal(out, baseline)
+    finally:
+        p.frames_to_process = 5
+        with open(enc_path, "wb") as f:
+            f.write(full)
+
+
 def test_short_and_empty_inputs(tmp_path):
     """Fewer frames than requested -> encode what exists; empty file -> zero
     frames, valid (empty) artifacts (the reference's loop-break semantics,
