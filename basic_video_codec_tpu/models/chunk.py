@@ -17,11 +17,63 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..entropy.zigzag import zigzag_indices
+from ..ops import pack as P
 from ..ops.intra import intra_decode_frame, intra_encode_frame
+from ..ops.me import gather_pred_blocks
 from .pframe import pframe_decode, pframe_encode
 
 
-@partial(jax.jit, static_argnames=("bs", "rc1", "exact"))
+def _pack_qdct_stack(qdcts, bs, vdtype):
+    """vmap pack_qdct over stacked frames [K, H, W]."""
+    h, w = qdcts.shape[1:]
+    zz = jnp.asarray(zigzag_indices(bs))
+    cap = P.qdct_caps((h // bs) * (w // bs))
+    return jax.vmap(lambda q: P.pack_qdct(q, bs, zz, cap, vdtype))(qdcts)
+
+
+def _pack_art_stack(arts, recons, prevs, prev_hps, smalls, bs, frac):
+    """vmap pack_art over stacked P-frames; predictions are regathered from
+    each frame's previous reconstruction + MVs (single-reference path)."""
+    k, h, w = arts.shape
+    nbr, nbc = h // bs, w // bs
+    nb = nbr * nbc
+    cap = P.esc_cap(h, w)
+    mvs = smalls[:, : 3 * nb].reshape(k, nbr, nbc, 3)
+
+    def one(art, recon, prev, prev_hp, mv):
+        pred = gather_pred_blocks(prev[None], prev_hp[None], mv, bs, frac)
+        pred = pred.transpose(0, 2, 1, 3).reshape(h, w).astype(jnp.int32)
+        return P.pack_art(art, recon, pred, cap)
+
+    return jax.vmap(one)(arts, recons, prevs, prev_hps, mvs)
+
+
+def _meta_p(smalls, nb, nbr):
+    """P-frame smalls [5nb+2nbr] -> (meta i32 [3+2nbr], mv i16, modes u8).
+    meta = (mode=0, sad_sum, comparison_sum, row_qps, row_bits)."""
+    mv = smalls[: 3 * nb].astype(jnp.int16)
+    meta = jnp.concatenate([
+        jnp.stack([jnp.int32(0), smalls[3 * nb : 4 * nb].sum(),
+                   smalls[4 * nb : 5 * nb].sum()]),
+        smalls[5 * nb :],
+    ])
+    return meta, mv, jnp.zeros(nb, jnp.uint8)
+
+
+def _meta_i(smalls, nb, nbr):
+    """Intra smalls [2nb+2nbr] -> (meta, mv=zeros, modes).
+    meta = (mode=1, mae_sum, 2*nb, row_qps, row_bits)."""
+    modes = smalls[:nb].astype(jnp.uint8)
+    meta = jnp.concatenate([
+        jnp.stack([jnp.int32(1), smalls[nb : 2 * nb].sum(),
+                   jnp.int32(2 * nb)]),
+        smalls[2 * nb :],
+    ])
+    return meta, jnp.zeros(3 * nb, jnp.int16), modes
+
+
+@partial(jax.jit, static_argnames=("bs", "rc1", "exact", "compact", "int8q"))
 def encode_chunk_intra_only(
     frames: jnp.ndarray,        # uint8 [K, H, W]
     row_qps: jnp.ndarray,       # int32 [nbr]
@@ -32,10 +84,14 @@ def encode_chunk_intra_only(
     bs: int,
     rc1: bool,
     exact: bool = False,
+    compact: bool = False,
+    int8q: bool = False,
 ):
     """All-intra chunk (I_Period == 1): every frame clears the reference
     deques, so frames are fully independent — one ``vmap`` instead of a scan.
-    Returns stacked ``(recons, arts, qdcts, smalls)``."""
+    Returns stacked ``(recons, arts, qdcts, smalls)``; with ``compact``,
+    appends ``(qvals, qlens, qtotals)`` (I-frame res planes are host-derived,
+    ops/pack.py)."""
     def one(frame):
         recon, _, art, qdct, smalls = intra_encode_frame(
             frame, row_qps, budget0, tbl_qps, tbl_bits, initial_qp, bs, rc1,
@@ -43,11 +99,24 @@ def encode_chunk_intra_only(
         )
         return recon, art, qdct, smalls
 
-    return jax.vmap(one)(frames)
+    recons, arts, qdcts, smalls = jax.vmap(one)(frames)
+    if not compact:
+        return recons, arts, qdcts, smalls
+    h, w = frames.shape[1:]
+    nbr = h // bs
+    nb = nbr * (w // bs)
+    qv, ql, qt = _pack_qdct_stack(qdcts, bs, jnp.int8 if int8q else jnp.int16)
+
+    def row(r, sm, v, l, t):
+        meta, _, modes = _meta_i(sm, nb, nbr)
+        return P.pack_row(r, meta, None, modes, v, l, t)
+
+    packed = jax.vmap(row)(recons, smalls, qv, ql, qt)
+    return recons, arts, qdcts, smalls, packed
 
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
-                                   "first_is_intra", "exact"))
+                                   "first_is_intra", "exact", "compact", "int8q"))
 def encode_chunk(
     frames: jnp.ndarray,        # uint8 [K, H, W]
     ref0: jnp.ndarray,          # uint8 [H, W] incoming reference (used iff not first_is_intra)
@@ -64,13 +133,23 @@ def encode_chunk(
     frac: bool,
     first_is_intra: bool,
     exact: bool = False,
+    compact: bool = False,
+    int8q: bool = False,
 ):
     """Returns ``(intra_out | None, p_out, ref_out, hp_out)`` where
     ``intra_out = (recon, art, qdct, smalls)`` for frames[0] and
     ``p_out = (recons, arts, qdcts, smalls)`` stacked over the chunk's
     P-frames; ``ref_out``/``hp_out`` carry the reference into the next chunk.
+
+    With ``compact``, returns a fifth element ``packed`` — ONE uint8
+    buffer [K_frames, NB] holding every per-frame field the host needs
+    (ops/pack.py FrameLayout; the intra frame is row 0 with its smalls
+    zero-padded to the P length), so a chunk costs a single device->host
+    transfer.  The full art/qdct planes remain device-resident for the
+    per-frame overflow fallback.
     """
     h, w = frames.shape[1:]
+    zeros_hp = jnp.zeros((2 * h, 2 * w), jnp.uint8)
 
     if first_is_intra:
         recon_i, hp_i, art_i, qdct_i, smalls_i = intra_encode_frame(
@@ -78,12 +157,14 @@ def encode_chunk(
             bs, rc1, emit_halfpel=frac, exact=exact,
         )
         intra_out = (recon_i, art_i, qdct_i, smalls_i)
-        carry = (recon_i, hp_i if frac else jnp.zeros((2 * h, 2 * w), jnp.uint8))
+        carry = (recon_i, hp_i if frac else zeros_hp)
         p_frames = frames[1:]
     else:
         intra_out = None
-        carry = (ref0, hp0 if frac else jnp.zeros((2 * h, 2 * w), jnp.uint8))
+        carry = (ref0, hp0 if frac else zeros_hp)
         p_frames = frames
+
+    emit_hp = compact and frac  # packers regather predictions per frame
 
     def step(carry, curr):
         ref, hp = carry
@@ -94,7 +175,8 @@ def encode_chunk(
         )
         if not frac:
             hp2 = hp
-        return (recon, hp2), (recon, art, qdct, smalls)
+        outs = (recon, art, qdct, smalls) + ((hp2,) if emit_hp else ())
+        return (recon, hp2), outs
 
     if p_frames.shape[0] > 0:
         (ref_out, hp_out), p_out = jax.lax.scan(step, carry, p_frames)
@@ -107,8 +189,47 @@ def encode_chunk(
             jnp.zeros((0, h, w), jnp.uint8),
             jnp.zeros((0, h, w), jnp.int16),
             jnp.zeros((0, 5 * nb + 2 * nbr), jnp.int32),
-        )
-    return intra_out, p_out, ref_out, hp_out
+        ) + ((jnp.zeros((0, 2 * h, 2 * w), jnp.uint8),) if emit_hp else ())
+
+    if not compact:
+        return intra_out, p_out, ref_out, hp_out
+
+    nbr, nbc = h // bs, w // bs
+    nb = nbr * nbc
+    vdtype = jnp.int8 if int8q else jnp.int16
+    layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True)
+    rows = []
+    if intra_out is not None:
+        zz = jnp.asarray(zigzag_indices(bs))
+        qv_i, ql_i, qt_i = P.pack_qdct(qdct_i, bs, zz, P.qdct_caps(nb), vdtype)
+        meta_i, mv_z, modes_i = _meta_i(smalls_i, nb, nbr)
+        rows.append(P.pack_row(
+            recon_i, meta_i, mv_z, modes_i, qv_i, ql_i, qt_i,
+            jnp.zeros(h * w // 4, jnp.uint8), jnp.zeros(layout.cape, jnp.uint8),
+            jnp.int32(0))[None])
+    recons, arts, qdcts, smalls = p_out[:4]
+    k = recons.shape[0]
+    if k > 0:
+        prev0 = carry[0][None]  # intra recon or incoming reference
+        prevs = jnp.concatenate([prev0, recons[:-1]])
+        if emit_hp:
+            prev_hps = jnp.concatenate([carry[1][None], p_out[4][:-1]])
+        else:
+            prev_hps = jnp.zeros((k, 2 * h, 2 * w), jnp.uint8)
+        qv, ql, qt = _pack_qdct_stack(qdcts, bs, vdtype)
+        ac, ae, an = _pack_art_stack(arts, recons, prevs, prev_hps,
+                                     smalls, bs, frac)
+
+        def row(r, sm, v, l, t, c, e, n):
+            meta, mv, modes = _meta_p(sm, nb, nbr)
+            return P.pack_row(r, meta, mv, modes, v, l, t, c, e, n)
+
+        rows.append(jax.vmap(row)(recons, smalls, qv, ql, qt, ac, ae, an))
+    packed = (jnp.concatenate(rows) if rows
+              else jnp.zeros((0, layout.total), jnp.uint8))
+    p_out = p_out[:4]
+    return intra_out[:4] if intra_out is not None else None, \
+        p_out, ref_out, hp_out, packed
 
 
 @partial(jax.jit, static_argnames=("bs", "frac", "exact"))

@@ -172,9 +172,12 @@ def _finalize_frame(p: _Pending, ec, want_psnr=True) -> _Finalized:
                             want_psnr=want_psnr)
 
 
-def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec,
-                     prev_recon=None, want_psnr=True) -> _Finalized:
-    """Entropy-pack one frame from host-resident arrays.  When the previous
+def _finalize_fields(index, mode, curr, recon, art, qdct, aux, metric_sum,
+                     comparisons, row_qps, row_bits, ec, prev_recon=None,
+                     want_psnr=True) -> _Finalized:
+    """Entropy-pack one frame from host-resident fields.  ``aux`` is the
+    intra-mode grid [nbr, nbc] (INTRA) or the MV field [nbr, nbc, 3] (INTER);
+    ``metric_sum`` the summed per-block MAE numerators.  When the previous
     frame's reconstruction is supplied, the res_wo_mc artifact and PSNR are
     computed here (on the worker pool) instead of on the serial writer."""
     t0 = time.time()
@@ -187,19 +190,13 @@ def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec,
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     f.recon = recon
+    f.comparisons = int(comparisons)
+    f.avg_mae = float(metric_sum) / (bs * bs) / nb
     if mode == INTRA:
-        # art = residual-u8 plane; smalls = (modes, maes, row_qps, row_bits)
         f.res_w_mc = art
         f.res_wo_mc = art
         f.mv_line = "\n"
-        modes = smalls[:nb].reshape(nbr, nbc)
-        maes = smalls[nb : 2 * nb]
-        row_qps, row_bits = smalls[2 * nb : 2 * nb + nbr], smalls[2 * nb + nbr :]
-        f.comparisons = 2 * nb
-        f.avg_mae = float(maes.astype(np.float64).sum() / (bs * bs) / nb)
-        aux = modes
     else:
-        # art = res_w_mc; smalls = (mvs, sads, comps, row_qps, row_bits).
         # res_wo_mc = curr minus the OLDEST reference (PFrame.py:103,116):
         # computable here for the single-reference chunked paths, otherwise
         # left for the in-order writer and its reference-history deque
@@ -208,14 +205,7 @@ def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec,
             f.res_wo_mc = _wrap_diff_u8(curr, prev_recon)
         else:
             f.res_wo_mc = None  # filled by the in-order writer
-        mvs = smalls[: 3 * nb].reshape(nbr, nbc, 3)
-        sads = smalls[3 * nb : 4 * nb]
-        comps = smalls[4 * nb : 5 * nb]
-        row_qps, row_bits = smalls[5 * nb : 5 * nb + nbr], smalls[5 * nb + nbr :]
-        f.mv_line = format_mv_lines(mvs, bs)
-        f.comparisons = int(comps.astype(np.int64).sum())
-        f.avg_mae = float(sads.astype(np.float64).sum() / (bs * bs) / nb)
-        aux = mvs
+        f.mv_line = format_mv_lines(aux, bs)
     f.qdct = qdct
     f.rc_qp_per_row = row_qps.tolist() if ec.RCflag else []
     f.bits_per_row = row_bits.tolist()
@@ -240,6 +230,69 @@ def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec,
     )
     f.host_dt = time.time() - t0
     return f
+
+
+def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec,
+                     prev_recon=None, want_psnr=True) -> _Finalized:
+    """Finalize from the full device smalls vector (per-frame dispatch and
+    non-compact chunk paths): intra smalls = (modes, maes, row_qps,
+    row_bits), inter smalls = (mvs, sads, comps, row_qps, row_bits)."""
+    bs = ec.block_size
+    h, w = qdct.shape
+    nbr, nbc = h // bs, w // bs
+    nb = nbr * nbc
+    if mode == INTRA:
+        aux = smalls[:nb].reshape(nbr, nbc)
+        metric_sum = smalls[nb : 2 * nb].astype(np.float64).sum()
+        comparisons = 2 * nb  # reference params.py:63
+        row_qps, row_bits = smalls[2 * nb : 2 * nb + nbr], smalls[2 * nb + nbr :]
+    else:
+        aux = smalls[: 3 * nb].reshape(nbr, nbc, 3)
+        metric_sum = smalls[3 * nb : 4 * nb].astype(np.float64).sum()
+        comparisons = smalls[4 * nb : 5 * nb].astype(np.int64).sum()
+        row_qps, row_bits = smalls[5 * nb : 5 * nb + nbr], smalls[5 * nb + nbr :]
+    return _finalize_fields(index, mode, curr, recon, art, qdct, aux,
+                            metric_sum, comparisons, row_qps, row_bits, ec,
+                            prev_recon=prev_recon, want_psnr=want_psnr)
+
+
+def _finalize_compact(index, curr, f, ec, prev_recon, q_full=None,
+                      a_full=None) -> _Finalized:
+    """Rebuild the qdct / res_w_mc planes from one packed-frame field dict
+    (ops/pack.py FrameLayout.split) and finalize.  ``q_full`` / ``a_full``
+    carry full planes for the rare per-frame overflow fallback (fetched by
+    the dispatch thread)."""
+    from ..golden.interp import build_pre_interpolated_buffer
+    from ..ops import pack as PK
+
+    bs = ec.block_size
+    recon = f["recon"]
+    h, w = recon.shape
+    nbr, nbc = h // bs, w // bs
+    nb = nbr * nbc
+    meta = f["meta"]
+    mode = int(meta[0])
+    metric_sum, comparisons = int(meta[1]), int(meta[2])
+    row_qps, row_bits = meta[3 : 3 + nbr], meta[3 + nbr :]
+    if q_full is not None:
+        qdct = np.asarray(q_full, dtype=np.int16)
+    else:
+        qdct = PK.unpack_qdct(f["qv"], f["ql"], h, w, bs, zigzag_indices(bs))
+    if mode == INTRA:
+        aux = f["modes"][:nb].reshape(nbr, nbc).astype(np.int32)
+        art = PK.host_intra_art(curr, recon, aux, bs)
+    else:
+        aux = f["mv"].astype(np.int32).reshape(nbr, nbc, 3)
+        if a_full is not None:
+            art = np.asarray(a_full)
+        else:
+            prev_hp = (build_pre_interpolated_buffer(prev_recon)
+                       if ec.fracMeEnabled else None)
+            pred = PK.host_pred_inter(prev_recon, aux, bs, ec.fracMeEnabled, prev_hp)
+            art = PK.unpack_art(f["ac"], f["ae"], recon, pred)
+    return _finalize_fields(index, mode, curr, recon, art, qdct, aux,
+                            metric_sum, comparisons, row_qps, row_bits, ec,
+                            prev_recon=prev_recon)
 
 
 def encode_video(params: InputParameters, results_csv_path: str | None = "results.csv"):
@@ -460,19 +513,85 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     # so workers can derive res_wo_mc without the serial writer
     last_recon = np.full((params.height, params.width), 128, np.uint8)
 
+    # Compact device->host transfers (ops/pack.py): ~2 bytes/pixel instead
+    # of 4 — the remote-tunnel bandwidth (~15-25 MB/s) is the end-to-end
+    # bottleneck, not compute.  BVC_COMPACT=0 restores full-plane fetches.
+    from ..ops import pack as PK
+
+    # The fused two-pass path keeps full-plane transfers: its scatter
+    # compaction costs ~16 ms/frame of device time on this backend
+    # (PROFILE.md §3), more than the bytes it saves at block 16.
+    compact = os.environ.get("BVC_COMPACT", "1") != "0" and not two_pass
+    int8q = PK.qdct_int8_safe(ec)
+    pw, ph = padded_dims(params.width, params.height, bs)
+    nb_pad = (ph // bs) * (pw // bs)
+    qcap = PK.qdct_caps(nb_pad)
+    ecap = PK.esc_cap(ph, pw)
+
+    vbytes = 1 if int8q else 2
+    layouts = {
+        "two_pass": PK.FrameLayout(ph, pw, bs, 2, True, True),
+        "intra_all": PK.FrameLayout(ph, pw, bs, vbytes, False, False),
+        "intra_led": PK.FrameLayout(ph, pw, bs, vbytes, True, True),
+        "p_only": PK.FrameLayout(ph, pw, bs, vbytes, True, True),
+    }
+
     # NOTE: device_get stays on the dispatch thread — concurrent transfers
     # from a second thread contend with dispatch inside the device client
-    # and halve throughput (measured).
+    # and halve throughput (measured).  Each chunk is fetched as ONE packed
+    # uint8 buffer (ops/pack.py) — per-transfer tunnel latency would
+    # otherwise dominate now that the payload is small.  Overflow-fallback
+    # full planes are fetched here too, for the same reason (rare by
+    # construction).
+    def submit_compact(futures, idx, curr, f, prev, d_qdcts, d_arts, k=None):
+        # index the device stacks lazily — slicing dispatches a device
+        # program, so it must only happen on the (rare) overflow path
+        q_full = (jax.device_get(d_qdcts[k] if k is not None else d_qdcts)
+                  if f["qt"] > qcap else None)
+        a_full = (jax.device_get(d_arts[k] if k is not None else d_arts)
+                  if int(f["meta"][0]) == INTER and f["an"] > ecap else None)
+        futures.append(fin_pool.submit(
+            _finalize_compact, idx, curr, f, ec, prev, q_full, a_full))
+
+    def fetch_compact(indices, currs, kind, dev):
+        """Fetch one packed buffer; submit per-frame finalize jobs."""
+        nonlocal last_recon
+        futures = []
+        lay = layouts[kind]
+        if kind == "two_pass" or kind == "intra_all":
+            packed, d_arts, d_qdcts, pos = jax.device_get(dev[4]), dev[1], dev[2], 0
+            intra_head = None
+        else:
+            packed = jax.device_get(dev[4])
+            d_arts, d_qdcts = dev[1][1], dev[1][2]
+            intra_head = dev[0] if kind == "intra_led" else None
+            pos = 1 if kind == "intra_led" else 0
+        prev = last_recon
+        for k in range(packed.shape[0]):
+            f = lay.split(packed[k])
+            if intra_head is not None and k == 0:
+                submit_compact(futures, indices[0], currs[0], f, prev,
+                               intra_head[2], intra_head[1])
+            else:
+                submit_compact(futures, indices[k], currs[k], f, prev,
+                               d_qdcts, d_arts, k - pos)
+            prev = f["recon"]
+        last_recon = prev.copy()
+        return futures
+
     def fetch_chunk():
         indices, currs, kind, dev, dispatch_dt = pending_dev.popleft()
         per_frame_dt = dispatch_dt / max(len(indices), 1)
-        futures = []
         nonlocal last_recon
+        if compact:
+            pending_fin.append((fetch_compact(indices, currs, kind, dev),
+                                per_frame_dt))
+            return
+        futures = []
         if kind == "two_pass":
             # smalls lead with the final mode (0=P, 1=I); repack per mode
-            recons, arts, qdcts, smalls = jax.device_get(dev)
-            # smalls are laid out over PADDED block counts (two_pass.py)
-            nb = (qdcts.shape[1] // bs) * (qdcts.shape[2] // bs)
+            nb = nb_pad  # smalls are laid out over PADDED block counts
+            recons, arts, qdcts, smalls = jax.device_get(dev[:4])
             for k in range(recons.shape[0]):
                 sm = smalls[k]
                 mode = int(sm[0])
@@ -485,7 +604,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 futures.append(fin_pool.submit(
                     _finalize_arrays, indices[k], mode, currs[k],
                     recons[k], arts[k], qdcts[k], per, ec, prev))
-            last_recon = recons[-1].copy()  # don't pin the whole chunk stack
+            last_recon = recons[-1].copy()  # don't pin the chunk stack
             pending_fin.append((futures, per_frame_dt))
             return
         if kind == "intra_all":
@@ -497,15 +616,15 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             last_recon = recons[-1].copy()
             pending_fin.append((futures, per_frame_dt))
             return
-        intra_out, p_out, _, _ = dev
+        intra_out, p_out = dev[0], dev[1]
         if kind == "intra_led":
-            recon, art, qdct, smalls = jax.device_get(intra_out)
+            recon, art, qdct, smalls = jax.device_get(intra_out[:4])
             futures.append(fin_pool.submit(
                 _finalize_arrays, indices[0], INTRA, currs[0],
                 recon, art, qdct, smalls, ec))
             last_recon = recon
-        recons, arts, qdcts, smalls = jax.device_get(p_out)
         pos = 1 if kind == "intra_led" else 0
+        recons, arts, qdcts, smalls = jax.device_get(p_out[:4])
         for k in range(recons.shape[0]):
             prev = last_recon if k == 0 else recons[k - 1]
             futures.append(fin_pool.submit(
@@ -554,27 +673,28 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     jnp.asarray(frames_np), ref, hp, prev_avg, budget0,
                     tbl[0], tbl[1], exp_p_frame, initial_qp,
                     bs, max(ec.search_range, 0), ec.fastME, frac,
-                    first_is_intra, exact=exact,
+                    first_is_intra, exact=exact, compact=compact,
                 )
                 kind = "two_pass"
-                leaves = dev
+                leaves = (dev[4],) if compact else dev
             elif intra_only:
                 # every frame clears the references: fully parallel vmap chunk
                 dev = encode_chunk_intra_only(
                     jnp.asarray(frames_np), row_qps, budget0, tbl[0], tbl[1],
-                    initial_qp, bs, rc1, exact=exact,
+                    initial_qp, bs, rc1, exact=exact, compact=compact,
+                    int8q=int8q,
                 )
                 kind = "intra_all"
-                leaves = dev
+                leaves = (dev[4],) if compact else dev
             else:
                 dev = encode_chunk(
                     jnp.asarray(frames_np), ref, hp, row_qps, budget0, tbl[0], tbl[1],
                     initial_qp, bs, max(ec.search_range, 0), rc1, ec.fastME, frac,
-                    first_is_intra, exact=exact,
+                    first_is_intra, exact=exact, compact=compact, int8q=int8q,
                 )
                 ref, hp = dev[2], dev[3]
                 kind = "intra_led" if first_is_intra else "p_only"
-                leaves = dev[:2]
+                leaves = (dev[4],) if compact else dev[:2]
             for leaf in jax.tree_util.tree_leaves(leaves):
                 leaf.copy_to_host_async()
             indices = list(range(n_read + 1, n_read + n_frames + 1))  # 1-based

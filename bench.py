@@ -24,7 +24,7 @@ W, H = 352, 288
 BLOCK, R, QP, IPERIOD = 8, 2, 5, 10  # I_Period 10 = the reference RD sweep's largest
 WARMUP_FRAMES = 20  # covers the chunked I+P compile paths
 BENCH_FRAMES = 80
-REPS = 4  # best-of-N damps remote-tunnel latency variance between runs
+REPS = 8  # best-of-N damps remote-tunnel latency variance between runs
 
 
 def main():

@@ -1,0 +1,207 @@
+"""Compact device->host transfer codecs (ops/pack.py): lossless round trips,
+overflow fallbacks, and host-side plane rebuilds vs the device kernels."""
+
+import numpy as np
+import pytest
+
+import basic_video_codec_tpu.ops.pack as PK
+from basic_video_codec_tpu.entropy.zigzag import zigzag_indices
+
+
+def _random_qdct(rng, h, w, bs, density=0.15, lo=-120, hi=120):
+    q = np.zeros((h, w), np.int16)
+    mask = rng.random((h, w)) < density
+    q[mask] = rng.integers(lo, hi + 1, size=mask.sum())
+    return q
+
+
+@pytest.mark.parametrize("bs", [4, 8, 16])
+def test_qdct_pack_roundtrip(bs):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    h, w = 4 * bs, 6 * bs
+    nb = (h // bs) * (w // bs)
+    q = _random_qdct(rng, h, w, bs)
+    zz = zigzag_indices(bs)
+    cap = nb * bs * bs  # roomy: dense random content has near-full prefixes
+    vals, lens, total = PK.pack_qdct(jnp.asarray(q), bs, jnp.asarray(zz), cap, jnp.int16)
+    assert int(total) <= cap
+    out = PK.unpack_qdct(np.asarray(vals), np.asarray(lens), h, w, bs, zz)
+    assert np.array_equal(out, q)
+
+
+def test_qdct_pack_overflow_flagged():
+    import jax.numpy as jnp
+
+    bs, h, w = 8, 32, 32
+    q = np.full((h, w), 7, np.int16)  # every block has a full prefix
+    zz = zigzag_indices(bs)
+    cap = 64  # far too small
+    vals, lens, total = PK.pack_qdct(jnp.asarray(q), bs, jnp.asarray(zz), cap, jnp.int16)
+    assert int(total) == h * w > cap  # overflow is detectable
+    assert np.asarray(vals).shape == (cap,)
+
+
+def test_art_pack_roundtrip_with_escapes():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    h, w = 48, 64
+    pred = rng.integers(0, 256, (h, w)).astype(np.int32)
+    recon = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    # art mostly base +-1, with a sprinkle of arbitrary (clipped-pixel) bytes
+    base = (recon.astype(np.int32) - pred) % 256
+    delta = rng.choice([0, 1, -1], (h, w), p=[0.8, 0.1, 0.1])
+    art = ((base + delta) % 256).astype(np.uint8)
+    esc_px = rng.random((h, w)) < 0.03
+    art[esc_px] = rng.integers(0, 256, esc_px.sum())
+    cap = PK.esc_cap(h, w)
+    codes, esc, n_esc = PK.pack_art(jnp.asarray(art), jnp.asarray(recon),
+                                    jnp.asarray(pred), cap)
+    assert int(n_esc) <= cap
+    out = PK.unpack_art(np.asarray(codes), np.asarray(esc), recon, pred)
+    assert np.array_equal(out, art)
+
+
+def test_art_pack_overflow_flagged():
+    import jax.numpy as jnp
+
+    h, w = 32, 32
+    pred = np.zeros((h, w), np.int32)
+    recon = np.zeros((h, w), np.uint8)
+    art = np.full((h, w), 77, np.uint8)  # every pixel escapes
+    cap = 16
+    codes, esc, n_esc = PK.pack_art(jnp.asarray(art), jnp.asarray(recon),
+                                    jnp.asarray(pred), cap)
+    assert int(n_esc) == h * w > cap
+
+
+@pytest.mark.parametrize("frac", [False, True])
+def test_host_pred_matches_device_gather(frac):
+    import jax.numpy as jnp
+
+    from basic_video_codec_tpu.golden.interp import build_pre_interpolated_buffer
+    from basic_video_codec_tpu.ops.me import gather_pred_blocks
+
+    rng = np.random.default_rng(2)
+    bs, h, w = 8, 48, 64
+    nbr, nbc = h // bs, w // bs
+    prev = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    hp = build_pre_interpolated_buffer(prev)
+    r = 2 * (2 if frac else 1)
+    mvs = np.zeros((nbr, nbc, 3), np.int32)
+    mvs[..., 0] = rng.integers(-r, r + 1, (nbr, nbc))
+    mvs[..., 1] = rng.integers(-r, r + 1, (nbr, nbc))
+    # clamp to stay in range at the borders
+    lim = (2 if frac else 1)
+    for i in range(nbr):
+        for j in range(nbc):
+            mvs[i, j, 0] = np.clip(mvs[i, j, 0], -j * bs * lim,
+                                   (w - (j + 1) * bs) * lim)
+            mvs[i, j, 1] = np.clip(mvs[i, j, 1], -i * bs * lim,
+                                   (h - (i + 1) * bs) * lim)
+    dev = gather_pred_blocks(jnp.asarray(prev)[None], jnp.asarray(hp)[None],
+                             jnp.asarray(mvs), bs, frac)
+    dev_plane = np.asarray(dev).transpose(0, 2, 1, 3).reshape(h, w)
+    host = PK.host_pred_inter(prev, mvs, bs, frac, hp)
+    assert np.array_equal(host, dev_plane)
+
+
+def test_host_intra_art_matches_device():
+    import jax.numpy as jnp
+
+    from basic_video_codec_tpu.ops.intra import intra_encode_frame
+
+    rng = np.random.default_rng(3)
+    bs, h, w = 8, 48, 64
+    curr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    nbr, nbc = h // bs, w // bs
+    recon, _, art, _, smalls = intra_encode_frame(
+        jnp.asarray(curr), jnp.full(nbr, 4, jnp.int32), jnp.float32(0),
+        jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.float32), jnp.int32(4),
+        bs, False,
+    )
+    modes = np.asarray(smalls)[: nbr * nbc].reshape(nbr, nbc)
+    host = PK.host_intra_art(curr, np.asarray(recon), modes, bs)
+    assert np.array_equal(host, np.asarray(art))
+
+
+@pytest.mark.parametrize("odd_nb", [False, True])
+def test_frame_bytes_roundtrip(odd_nb):
+    """pack_row (device bitcast+concat) and FrameLayout.split (host views)
+    must invert each other, including byte order of i16/i32 fields and the
+    odd-block-count modes padding."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    h, w, bs = 32, (56 if odd_nb else 64), 8  # 7x4=28 blocks vs 8x4=32
+    nbr = h // bs
+    nb = nbr * (w // bs)
+    lay = PK.FrameLayout(h, w, bs, 2, True, True)
+    recon = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    meta = rng.integers(-2 ** 30, 2 ** 30, 3 + 2 * nbr).astype(np.int32)
+    mv = rng.integers(-3000, 3000, 3 * nb).astype(np.int16)
+    modes = rng.integers(0, 2, nb).astype(np.uint8)
+    qv = rng.integers(-3000, 3000, lay.capq).astype(np.int16)
+    ql = rng.integers(0, 64, nb).astype(np.int32)
+    qt = np.int32(12345)
+    ac = rng.integers(0, 256, h * w // 4).astype(np.uint8)
+    ae = rng.integers(0, 256, lay.cape).astype(np.uint8)
+    an = np.int32(-7)
+    buf = np.asarray(PK.pack_row(
+        jnp.asarray(recon), jnp.asarray(meta), jnp.asarray(mv),
+        jnp.asarray(modes), jnp.asarray(qv), jnp.asarray(ql), jnp.asarray(qt),
+        jnp.asarray(ac), jnp.asarray(ae), jnp.asarray(an)))
+    assert buf.shape == (lay.total,)
+    f = lay.split(buf)
+    assert np.array_equal(f["recon"], recon)
+    assert np.array_equal(f["meta"], meta)
+    assert np.array_equal(f["mv"], mv)
+    assert np.array_equal(f["modes"][:nb], modes)
+    assert np.array_equal(f["qv"], qv)
+    assert np.array_equal(f["ql"], ql.astype(np.int16))
+    assert f["qt"] == 12345 and f["an"] == -7
+    assert np.array_equal(f["ac"], ac) and np.array_equal(f["ae"], ae)
+
+
+def test_pipeline_overflow_fallback(tmp_path, monkeypatch):
+    """Force tiny caps so every frame overflows: the pipeline must fall back
+    to full-plane fetches and still produce byte-identical artifacts."""
+    import filecmp
+
+    from basic_video_codec_tpu.config import EncoderConfig, InputParameters
+    from basic_video_codec_tpu.io.fileio import FileIOHelper
+    from basic_video_codec_tpu.models import chunk as chunk_mod
+    from basic_video_codec_tpu.models.pipeline import encode_video
+    from basic_video_codec_tpu.tools import ygen
+
+    W, H, N = 64, 48, 5
+    y = ygen.moving_sequence(W, H, N, seed=7)
+
+    def run(sub):
+        d = tmp_path / sub
+        d.mkdir()
+        ygen.write_y_file(str(d / "t.y"), y)
+        ec = EncoderConfig(8, 2, 3, 2, resolution=(W, H))
+        p = InputParameters(str(d / "t.y"), W, H, ec, frames_to_process=N)
+        encode_video(p, results_csv_path=None)
+        return FileIOHelper(p, create_dirs=False)
+
+    io_normal = run("normal")
+    # tiny caps -> every frame takes the overflow path; clear the jit caches
+    # so the new cap values are actually traced in
+    chunk_mod.encode_chunk.clear_cache()
+    chunk_mod.encode_chunk_intra_only.clear_cache()
+    monkeypatch.setattr(PK, "qdct_caps", lambda nb: 8)
+    monkeypatch.setattr(PK, "esc_cap", lambda h, w: 8)
+    try:
+        io_tiny = run("tiny")
+        for get in ("get_encoded_file_name", "get_mc_reconstructed_file_name",
+                    "get_quant_dct_coff_fh_file_name",
+                    "get_residual_w_mc_file_name"):
+            assert filecmp.cmp(getattr(io_normal, get)(), getattr(io_tiny, get)(),
+                               shallow=False), get
+    finally:
+        chunk_mod.encode_chunk.clear_cache()
+        chunk_mod.encode_chunk_intra_only.clear_cache()
