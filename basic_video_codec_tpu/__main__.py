@@ -34,6 +34,9 @@ def _add_codec_args(p):
     p.add_argument("--rc", type=int, default=0, choices=(0, 1, 2, 3))
     p.add_argument("--target-br", type=int, default=0)
     p.add_argument("--backend", default="auto", choices=("auto", "tpu", "golden"))
+    p.add_argument("--parallel-gops", type=int, default=0,
+                   help="encode this many GOPs concurrently, one per device "
+                        "(multi-chip; output is byte-identical to serial)")
 
 
 def _params(args) -> InputParameters:
@@ -42,7 +45,7 @@ def _params(args) -> InputParameters:
         I_Period=args.i_period, quantization_factor=args.qp, nRefFrames=args.nref,
         fastME=args.fastme, fracMeEnabled=args.fracme, RCflag=args.rc,
         targetBR=args.target_br, resolution=(args.width, args.height),
-        backend=args.backend,
+        backend=args.backend, parallel_gops=args.parallel_gops,
     )
     return InputParameters(args.y_only_file, args.width, args.height, ec, args.frames)
 

@@ -49,6 +49,7 @@ class EncoderConfig:
         backend="auto",
         exact_transform=False,
         strict_reference_crashes=False,
+        parallel_gops=0,
     ):
         self.block_size = block_size
         self.search_range = search_range
@@ -66,6 +67,12 @@ class EncoderConfig:
         self.backend = backend
         self.exact_transform = exact_transform
         self.strict_reference_crashes = strict_reference_crashes
+        # > 1: encode this many GOPs concurrently, sharded over the device
+        # mesh's data axis (parallel/gop.py).  Output artifacts are
+        # byte-identical to a serial run.  Requires nRefFrames == 1 and
+        # RCflag <= 1 (RC 2/3 carry the previous frame's average QP across
+        # GOP boundaries, a serial dependence).
+        self.parallel_gops = parallel_gops
         self.validate()
 
     def validate(self):

@@ -372,9 +372,13 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
             return f
 
         if ec.nRefFrames == 1:
-            # GOP-chunked dispatch: one device program per GOP segment
-            # (RC 2/3 use the fused two-pass program, models/two_pass.py)
-            _run_chunked(params, ec, f_in, tbl, write_out)
+            if getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag <= 1:
+                # multi-chip: GOP batches sharded over the mesh's data axis
+                _run_gop_sharded(params, ec, f_in, tbl, write_out)
+            else:
+                # GOP-chunked dispatch: one device program per GOP segment
+                # (RC 2/3 use the fused two-pass program, models/two_pass.py)
+                _run_chunked(params, ec, f_in, tbl, write_out)
             elapsed = time.time() - start_time
             _append_throughput(params, elapsed, results_csv_path)
             return
@@ -711,6 +715,164 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             fetch_chunk()
         while pending_fin:
             write_chunk()
+        if truncated_tail:
+            raise ValueError(
+                f"truncated frame: read {truncated_tail} of {y_size} bytes"
+            )
+    finally:
+        fin_pool.shutdown(wait=True)
+
+
+def _run_gop_sharded(params, ec, f_in, tbl, write_out):
+    """Multi-chip encode: whole GOPs sharded ONE PER DEVICE over the mesh's
+    ``data`` axis (parallel/gop.py), producing the real bitstream.
+
+    Every GOP starts with an I-frame that clears the references
+    (reference encoder.py:174-186), so GOPs are independent, and each shard
+    runs the *identical* serial chunk program under ``shard_map`` — the
+    artifact tree is byte-identical to a single-device run
+    (tests/test_parallel.py).  Eligibility (checked by the caller):
+    nRefFrames == 1 and RCflag <= 1 (RC 2/3 carry the previous frame's
+    average QP across GOP boundaries, a serial dependence).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..ops import pack as PK
+    from ..parallel.gop import gop_batch_fn, shard_gops
+    from ..parallel.mesh import make_mesh
+
+    bs = ec.block_size
+    y_size = params.width * params.height
+    intra_only = ec.I_Period == 1
+    # with I_Period == 1 the serial path encodes MAX_CHUNK-frame all-intra
+    # batches; shard the same program with per-device frame groups
+    K = MAX_CHUNK if intra_only else ec.I_Period
+    rc1 = ec.RCflag == 1
+    budget0 = jnp.float32(bit_budget_per_frame(ec)) if ec.RCflag else jnp.float32(0)
+    initial_qp = jnp.int32(ec.quantization_factor)
+    frac = ec.fracMeEnabled
+    exact = getattr(ec, "exact_transform", False)
+    compact = os.environ.get("BVC_COMPACT", "1") != "0"
+    int8q = PK.qdct_int8_safe(ec)
+    pw, ph = padded_dims(params.width, params.height, bs)
+    nb_pad = (ph // bs) * (pw // bs)
+    qcap = PK.qdct_caps(nb_pad)
+    ecap = PK.esc_cap(ph, pw)
+    vbytes = 1 if int8q else 2
+    layout = (PK.FrameLayout(ph, pw, bs, vbytes, False, False) if intra_only
+              else PK.FrameLayout(ph, pw, bs, vbytes, True, True))
+
+    data = max(1, min(len(jax.devices()), ec.parallel_gops))
+    mesh = make_mesh(data, data=data, space=1)
+    nbr = ph // bs
+    row_qps = jnp.full(nbr, ec.quantization_factor, jnp.int32)
+    batch_fn = gop_batch_fn(mesh, intra_only, bs, max(ec.search_range, 0),
+                            rc1, ec.fastME, frac, exact, compact, int8q)
+
+    fin_pool = ThreadPoolExecutor(max_workers=4)
+    pending: deque = deque()  # (n_real_per_gop, frames, base_index, dev, dt)
+    frame_index = 0
+    truncated_tail = 0
+
+    def planes_of(dev, g, k):
+        """(qdct, art) device planes of frame k in shard g (fallback)."""
+        if intra_only:
+            return dev[2][g, k], dev[1][g, k]
+        if k == 0:
+            return dev[0][2][g], dev[0][1][g]
+        return dev[1][2][g, k - 1], dev[1][1][g, k - 1]
+
+    def fetch_batch():
+        n_real, gop_frames, base_index, dev, dispatch_dt = pending.popleft()
+        per_frame_dt = dispatch_dt / max(sum(n_real), 1)
+        futures = []
+        idx = base_index
+        if compact:
+            packed = jax.device_get(dev[4] if not intra_only else dev[4])
+            for g, n in enumerate(n_real):
+                prev = None
+                for k in range(n):
+                    f = layout.split(packed[g, k])
+                    qd, ad = planes_of(dev, g, k)
+                    q_full = jax.device_get(qd) if f["qt"] > qcap else None
+                    a_full = (jax.device_get(ad)
+                              if int(f["meta"][0]) == INTER and f["an"] > ecap
+                              else None)
+                    futures.append(fin_pool.submit(
+                        _finalize_compact, idx, gop_frames[g][k], f, ec,
+                        prev, q_full, a_full))
+                    prev = f["recon"]
+                    idx += 1
+        elif intra_only:
+            recons, arts, qdcts, smalls = jax.device_get(dev[:4])
+            for g, n in enumerate(n_real):
+                for k in range(n):
+                    futures.append(fin_pool.submit(
+                        _finalize_arrays, idx, INTRA, gop_frames[g][k],
+                        recons[g, k], arts[g, k], qdcts[g, k], smalls[g, k], ec))
+                    idx += 1
+        else:
+            intra_out, p_out = jax.device_get((dev[0], dev[1]))
+            recon_i, art_i, qdct_i, smalls_i = intra_out
+            recons, arts, qdcts, smalls = p_out
+            for g, n in enumerate(n_real):
+                for k in range(n):
+                    if k == 0:
+                        futures.append(fin_pool.submit(
+                            _finalize_arrays, idx, INTRA, gop_frames[g][0],
+                            recon_i[g], art_i[g], qdct_i[g], smalls_i[g], ec))
+                    else:
+                        prev = recon_i[g] if k == 1 else recons[g, k - 2]
+                        futures.append(fin_pool.submit(
+                            _finalize_arrays, idx, INTER, gop_frames[g][k],
+                            recons[g, k - 1], arts[g, k - 1], qdcts[g, k - 1],
+                            smalls[g, k - 1], ec, prev))
+                    idx += 1
+        for fut in futures:
+            write_out(fut.result(), per_frame_dt)
+
+    try:
+        while True:
+            if frame_index >= params.frames_to_process:
+                break
+            want = min(data * K, params.frames_to_process - frame_index)
+            raw = f_in.read(y_size * want)
+            n_frames = len(raw) // y_size
+            truncated_tail = len(raw) % y_size
+            if n_frames == 0:
+                break
+            t_disp = time.time()
+            frames = [
+                pad_frame(np.frombuffer(
+                    raw[i * y_size : (i + 1) * y_size], dtype=np.uint8
+                ).reshape(params.height, params.width), bs)
+                for i in range(n_frames)
+            ]
+            gop_frames = [frames[i : i + K] for i in range(0, n_frames, K)]
+            n_real = [len(gf) for gf in gop_frames]
+            # pad the final short GOP (the scan is forward: padding frames
+            # cannot affect real ones) and the batch up to the data-axis
+            # size with dummy GOPs; their outputs are dropped
+            padded = [gf + [gf[-1]] * (K - len(gf)) for gf in gop_frames]
+            while len(padded) < data:
+                padded.append([padded[0][0]] * K)
+                n_real.append(0)
+            gops_np = np.stack([np.stack(gf) for gf in padded])
+            dev = batch_fn(shard_gops(mesh, gops_np), row_qps, budget0,
+                           tbl[0], tbl[1], initial_qp)
+            leaves = ((dev[4],) if compact
+                      else (dev[:4] if intra_only else (dev[0], dev[1])))
+            for leaf in jax.tree_util.tree_leaves(leaves):
+                leaf.copy_to_host_async()
+            pending.append((n_real, gop_frames, frame_index + 1, dev,
+                            time.time() - t_disp))
+            frame_index += n_frames
+            while len(pending) > 1:
+                fetch_batch()
+            if truncated_tail:
+                break
+        while pending:
+            fetch_batch()
         if truncated_tail:
             raise ValueError(
                 f"truncated frame: read {truncated_tail} of {y_size} bytes"

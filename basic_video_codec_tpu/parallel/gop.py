@@ -1,16 +1,22 @@
-"""GOP-parallel batch encoding over the ``data`` mesh axis.
+"""GOP-parallel encoding over the ``data`` mesh axis.
 
 GOPs are independent by construction: every I-frame clears the reference
 deques (reference encoder.py:174-186), so a video is a sequence of closed
-GOPs and a fleet of sequences/GOPs is embarrassingly parallel.  This module
-compiles a whole GOP — one intra frame followed by ``T-1`` P-frames, each
-feeding its reconstruction to the next — into a single ``lax.scan`` program
-and lets ``jit`` + sharding place independent GOPs on different chips; no
-collectives are needed inside the step.
+GOPs and a batch of GOPs is embarrassingly parallel.  This module wraps the
+*production* GOP program — ``models.chunk.encode_chunk``, the same compiled
+scan the single-chip pipeline dispatches — in a ``shard_map`` that places
+ONE GOP on each device of the mesh's ``data`` axis (no collectives inside a
+step, so the axis can also span hosts/DCN).
 
-Entropy *bit lengths* are produced on device (exact, closed-form); the byte
-streams themselves are finalized on host per GOP, which is itself
-embarrassingly parallel.
+The product path is :func:`gop_batch_fn`, used by
+``models.pipeline.encode_video`` when ``EncoderConfig.parallel_gops > 1``:
+each shard produces the exact same per-frame outputs (including the compact
+packed transfer buffers, ops/pack.py) as the serial chunked dispatch, so
+the resulting ``encoded.bin`` and artifact tree are byte-identical to a
+single-device run — asserted in tests/test_parallel.py.
+
+:func:`encode_gop` remains as a convenience single-GOP fixed-QP API (same
+program underneath).
 """
 
 from functools import partial
@@ -19,58 +25,91 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..entropy.zigzag import zigzag_indices
-from ..ops import bitlen
-from ..ops import transform as T
-from ..ops.intra import intra_encode_frame
-from ..ops.me import full_search, gather_pred_blocks
-from ..ops.interp import build_half_pel
+from ..models.chunk import encode_chunk, encode_chunk_intra_only
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def gop_batch_fn(mesh, intra_only: bool, bs: int, search_range: int, rc1: bool,
+                 fast: bool, frac: bool, exact: bool, compact: bool, int8q: bool):
+    """Build the sharded GOP-batch program: ONE GOP per device via
+    ``shard_map``, each shard running the *identical* serial chunk program.
+
+    One-GOP-per-shard (not a vmapped batch) is deliberate: a vmapped variant
+    compiles different HLO whose float32 DCT can round +-1 differently from
+    the serial program on edge coefficients — shard_map keeps the local
+    computation textually identical, so the multi-device bitstream is
+    byte-identical to the serial one."""
+    from jax import shard_map
+
+    in_spec = P("data", None, None, None)
+
+    def body(gops, row_qps, budget0, tbl_qps, tbl_bits, initial_qp):
+        local = gops[0]  # [K, H, W]: exactly one GOP on this shard
+        h, w = local.shape[1:]
+        if intra_only:
+            out = encode_chunk_intra_only(
+                local, row_qps, budget0, tbl_qps, tbl_bits, initial_qp,
+                bs, rc1, exact=exact, compact=compact, int8q=int8q,
+            )
+        else:
+            out = encode_chunk(
+                local, jnp.zeros((h, w), jnp.uint8),
+                jnp.zeros((2 * h, 2 * w), jnp.uint8),
+                row_qps, budget0, tbl_qps, tbl_bits, initial_qp,
+                bs, search_range, rc1, fast, frac, True,
+                exact=exact, compact=compact, int8q=int8q,
+            )
+        return jax.tree_util.tree_map(lambda x: x[None], out)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(in_spec, P(), P(), P(), P(), P()),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_gops(mesh, gops_np):
+    """Place a [G, K, H, W] GOP batch with G sharded over ``data``."""
+    return jax.device_put(
+        gops_np, NamedSharding(mesh, P("data", None, None, None)))
 
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "qp", "frac"))
 def encode_gop(frames: jnp.ndarray, bs: int, search_range: int, qp: int, frac: bool):
-    """Encode one GOP: frames[0] intra, frames[1:] inter (single reference =
-    previous reconstruction), fixed QP.  Returns
-    (recon [T,H,W] u8, qdct [T,H,W] i16, mvs [T-1,nbr,nbc,3], frame_bits [T])."""
+    """Encode one GOP at fixed QP through the production chunk program:
+    frames[0] intra, frames[1:] inter (single reference = previous
+    reconstruction).  Returns ``(recon [T,H,W] u8, qdct [T,H,W] i16,
+    mvs [T-1,nbr,nbc,3], frame_bits [T])`` — frame_bits are the exact
+    device-priced entropy bits (prediction + DCT payloads)."""
     t, h, w = frames.shape
     nbr, nbc = h // bs, w // bs
-    d = jnp.asarray(T.dct_matrix(bs))
-    Q = jnp.asarray(T.quant_matrices(bs))[qp]
-    zz = jnp.asarray(zigzag_indices(bs))
-
-    row_qps = jnp.full(h // bs, qp, jnp.int32)
-    tbl = jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.float32)
-    recon0, _, _, qdct0, smalls0 = intra_encode_frame(
-        frames[0], row_qps, jnp.float32(0), tbl[0], tbl[1].astype(jnp.float32),
-        jnp.int32(qp), bs, False,
+    nb = nbr * nbc
+    row_qps = jnp.full(nbr, qp, jnp.int32)
+    tblq = jnp.zeros(1, jnp.int32)
+    tblb = jnp.zeros(1, jnp.float32)
+    intra_out, p_out, _, _ = encode_chunk(
+        frames, jnp.zeros((h, w), jnp.uint8), jnp.zeros((2 * h, 2 * w), jnp.uint8),
+        row_qps, jnp.float32(0), tblq, tblb, jnp.int32(qp),
+        bs, search_range, False, False, frac, True,
     )
-    row_bits0 = smalls0[-(h // bs):]  # packed tail (see ops/intra.py)
-
-    def p_step(carry, curr):
-        ref = carry  # uint8 [H, W]
-        refs = ref[None]
-        irefs = build_half_pel(ref)[None] if frac else jnp.zeros((1, 2 * h, 2 * w), jnp.uint8)
-        mvs, sads, preds = full_search(curr, refs, irefs, bs, search_range, frac)
-        cblocks = curr.astype(jnp.int32).reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3)
-        q = T.quantize(T.dct2((cblocks - preds).astype(jnp.float32), d), Q)
-        qi = q.astype(jnp.int32)
-        bits = bitlen.rle_block_bits(qi.reshape(nbr * nbc, bs * bs)[:, zz]).sum()
-        recon_blocks, _ = T.reconstruct(q, Q, preds, d)
-        recon = recon_blocks.transpose(0, 2, 1, 3).reshape(h, w).astype(jnp.uint8)
-        qdct = qi.astype(jnp.int16).transpose(0, 2, 1, 3).reshape(h, w)
-        return recon, (recon, qdct, mvs, bits)
-
-    _, (recons, qdcts, mvs, pbits) = jax.lax.scan(p_step, recon0.astype(jnp.uint8), frames[1:])
-    recon_all = jnp.concatenate([recon0[None], recons])
-    qdct_all = jnp.concatenate([qdct0[None], qdcts])
-    bits_all = jnp.concatenate([row_bits0.sum()[None], pbits])
-    return recon_all, qdct_all, mvs, bits_all
+    recon_i, _, qdct_i, smalls_i = intra_out
+    recons, _, qdcts, smalls = p_out
+    recon_all = jnp.concatenate([recon_i[None], recons])
+    qdct_all = jnp.concatenate([qdct_i[None], qdcts])
+    mvs = smalls[:, : 3 * nb].reshape(-1, nbr, nbc, 3)
+    bits_i = smalls_i[2 * nb + nbr :].sum()
+    bits_p = smalls[:, 5 * nb + nbr :].sum(axis=1)
+    return recon_all, qdct_all, mvs, jnp.concatenate([bits_i[None], bits_p])
 
 
 def encode_gops_sharded(mesh, gops, bs: int, search_range: int, qp: int, frac: bool = False):
     """Batch of GOPs ``[B, T, H, W]`` sharded over the ``data`` axis; each
     device encodes its GOPs independently (vmap of :func:`encode_gop`)."""
-    sharding = NamedSharding(mesh, P("data", None, None, None))
-    gops = jax.device_put(gops, sharding)
+    gops = shard_gops(mesh, gops)
     fn = jax.vmap(partial(encode_gop, bs=bs, search_range=search_range, qp=qp, frac=frac))
     return jax.jit(fn)(gops)

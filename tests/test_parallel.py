@@ -61,6 +61,62 @@ class TestSpatialSharding:
         assert int(np.asarray(fbits)[0]) == int(symbols_bit_length(syms).sum())
 
 
+class TestShardedEncodeVideo:
+    """The product path: encode_video with parallel_gops > 1 must emit a
+    byte-identical bitstream + artifact tree to the serial run (the batched
+    program IS the serial chunk program, vmapped over GOPs and sharded over
+    the data axis)."""
+
+    @pytest.mark.parametrize("cfg", [
+        dict(),                                      # fixed QP
+        dict(RCflag=1, targetBR=480_000),            # RC1
+        dict(fastME=True, fracMeEnabled=True),       # feature combo
+        dict(I_Period=1),                            # all-intra GOPs
+    ], ids=["fixed_qp", "rc1", "fastme_frac", "intra_only"])
+    def test_byte_identical_to_serial(self, tmp_path, cfg):
+        import filecmp
+
+        from basic_video_codec_tpu.config import EncoderConfig, InputParameters
+        from basic_video_codec_tpu.io.fileio import FileIOHelper
+        from basic_video_codec_tpu.models.pipeline import decode_video, encode_video
+
+        W, H, N = 176, 144, 13  # 4+ GOPs at I_Period 4, ragged tail
+        y = ygen.moving_sequence(W, H, N, seed=21)
+        base = dict(block_size=8, search_range=2, I_Period=4,
+                    quantization_factor=4, resolution=(W, H))
+        base.update(cfg)
+        ios = {}
+        for sub, par in (("serial", 0), ("sharded", 8)):
+            d = tmp_path / sub
+            d.mkdir()
+            ygen.write_y_file(str(d / "t.y"), y)
+            ec = EncoderConfig(**base, parallel_gops=par)
+            p = InputParameters(str(d / "t.y"), W, H, ec, frames_to_process=N)
+            encode_video(p, results_csv_path=None)
+            ios[sub] = FileIOHelper(p, create_dirs=False)
+        for get in ("get_encoded_file_name", "get_mc_reconstructed_file_name",
+                    "get_quant_dct_coff_fh_file_name",
+                    "get_residual_w_mc_file_name",
+                    "get_residual_wo_mc_file_name", "get_mv_file_name"):
+            assert filecmp.cmp(getattr(ios["serial"], get)(),
+                               getattr(ios["sharded"], get)(), shallow=False), get
+        # metrics rows: all content columns identical (timing cols differ)
+        import csv as _csv
+
+        def rows(io):
+            with open(io.get_metrics_csv_file_name()) as f:
+                return [r[:7] for r in _csv.reader(f)]
+
+        assert rows(ios["serial"]) == rows(ios["sharded"])
+        # and the sharded stream decodes back to the recon (codec invariant)
+        p = InputParameters(str(tmp_path / "sharded" / "t.y"), W, H,
+                            EncoderConfig(**base), frames_to_process=N)
+        decode_video(p)
+        rec = np.fromfile(ios["sharded"].get_mc_reconstructed_file_name(), np.uint8)
+        dec = np.fromfile(ios["sharded"].get_mc_decoded_file_name(), np.uint8)
+        assert np.array_equal(rec, dec)
+
+
 class TestGopParallel:
     def test_encode_gop_self_consistent(self):
         frames = ygen.moving_sequence(48, 32, 4, seed=15)
