@@ -232,6 +232,145 @@ def encode_chunk(
         p_out, ref_out, hp_out, packed
 
 
+def _push_ref(refs, hps, n_valid, recon, hp, frac):
+    """Append to a fixed-shape rolling reference stack (deque semantics:
+    slot 0 = oldest, reference encoder.py:33/PFrame.py:103).  While warming
+    up, the new frame lands in slot ``n_valid``; once full, the stack shifts
+    left and the new frame takes the last slot."""
+    R = refs.shape[0]
+    full = n_valid >= R
+    refs_s = jnp.where(full, jnp.roll(refs, -1, axis=0), refs)
+    idx = jnp.where(full, R - 1, n_valid)
+    refs2 = jax.lax.dynamic_update_index_in_dim(refs_s, recon, idx, 0)
+    if frac:
+        hps_s = jnp.where(full, jnp.roll(hps, -1, axis=0), hps)
+        hps2 = jax.lax.dynamic_update_index_in_dim(hps_s, hp, idx, 0)
+    else:
+        hps2 = hps
+    return refs2, hps2, jnp.minimum(n_valid + 1, R)
+
+
+@partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
+                                   "first_is_intra", "exact", "compact", "int8q"))
+def encode_chunk_multiref(
+    frames: jnp.ndarray,        # uint8 [K, H, W]
+    refs0: jnp.ndarray,         # uint8 [R, H, W] incoming rolling stack
+    hps0: jnp.ndarray,          # uint8 [R, 2H, 2W] (used iff frac)
+    n_valid0: jnp.ndarray,      # int32 scalar: populated slots of refs0
+    row_qps: jnp.ndarray,
+    budget0: jnp.ndarray,
+    tbl_qps: jnp.ndarray,
+    tbl_bits: jnp.ndarray,
+    initial_qp: jnp.ndarray,
+    bs: int,
+    search_range: int,
+    rc1: bool,
+    fast: bool,
+    frac: bool,
+    first_is_intra: bool,
+    exact: bool = False,
+    compact: bool = False,
+    int8q: bool = False,
+):
+    """nRefFrames > 1 GOP chunk: :func:`encode_chunk` with the single
+    reference replaced by a rolling stack carried through the scan.  The
+    stack is fixed-shape; ``n_valid`` masks the warm-up (ops/me.py /
+    ops/fastme.py candidate masking reproduces the reference's
+    variable-length deque decisions exactly).
+
+    Returns ``(intra_out | None, p_out, refs_out, hps_out, n_valid_out
+    [, packed])`` with the same per-frame leaves as :func:`encode_chunk`.
+    """
+    k, h, w = frames.shape
+    R = refs0.shape[0]
+    nbr, nbc = h // bs, w // bs
+    nb = nbr * nbc
+
+    if first_is_intra:
+        recon_i, hp_i, art_i, qdct_i, smalls_i = intra_encode_frame(
+            frames[0], row_qps, budget0, tbl_qps, tbl_bits, initial_qp,
+            bs, rc1, emit_halfpel=frac, exact=exact,
+        )
+        intra_out = (recon_i, art_i, qdct_i, smalls_i)
+        refs_c = jnp.zeros((R, h, w), jnp.uint8)
+        hps_c = jnp.zeros((R, 2 * h, 2 * w), jnp.uint8)
+        refs_c, hps_c, nv = _push_ref(
+            refs_c, hps_c, jnp.int32(0), recon_i,
+            hp_i if frac else jnp.zeros((2 * h, 2 * w), jnp.uint8), frac)
+        carry = (refs_c, hps_c, nv)
+        p_frames = frames[1:]
+    else:
+        intra_out = None
+        carry = (refs0, hps0, n_valid0)
+        p_frames = frames
+
+    def step(carry, curr):
+        refs, hps, nv = carry
+        recon, hp2, art, qdct, smalls = pframe_encode(
+            curr, refs, hps if frac else (), row_qps, budget0,
+            tbl_qps, tbl_bits, initial_qp, bs, search_range, rc1, fast, frac,
+            True, emit_halfpel=frac, exact=exact, n_valid=nv,
+        )
+        outs = (recon, art, qdct, smalls)
+        if compact:
+            outs = outs + (refs, hps, nv)  # the stack this frame predicted from
+        refs, hps, nv = _push_ref(
+            refs, hps, nv, recon,
+            hp2 if frac else jnp.zeros((2 * h, 2 * w), jnp.uint8), frac)
+        return (refs, hps, nv), outs
+
+    if p_frames.shape[0] > 0:
+        (refs_out, hps_out, nv_out), p_out = jax.lax.scan(step, carry, p_frames)
+    else:
+        refs_out, hps_out, nv_out = carry
+        p_out = (
+            jnp.zeros((0, h, w), jnp.uint8),
+            jnp.zeros((0, h, w), jnp.uint8),
+            jnp.zeros((0, h, w), jnp.int16),
+            jnp.zeros((0, 5 * nb + 2 * nbr), jnp.int32),
+        ) + ((jnp.zeros((0, R, h, w), jnp.uint8),
+              jnp.zeros((0, R, 2 * h, 2 * w), jnp.uint8),
+              jnp.zeros((0,), jnp.int32)) if compact else ())
+
+    if not compact:
+        return intra_out, p_out, refs_out, hps_out, nv_out
+
+    vdtype = jnp.int8 if int8q else jnp.int16
+    layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True)
+    rows = []
+    if intra_out is not None:
+        zz = jnp.asarray(zigzag_indices(bs))
+        qv_i, ql_i, qt_i = P.pack_qdct(qdct_i, bs, zz, P.qdct_caps(nb), vdtype)
+        meta_i, mv_z, modes_i = _meta_i(smalls_i, nb, nbr)
+        rows.append(P.pack_row(
+            recon_i, meta_i, mv_z, modes_i, qv_i, ql_i, qt_i,
+            jnp.zeros(h * w // 4, jnp.uint8), jnp.zeros(layout.cape, jnp.uint8),
+            jnp.int32(0))[None])
+    recons, arts, qdcts, smalls = p_out[:4]
+    if recons.shape[0] > 0:
+        ref_stacks, hp_stacks = p_out[4], p_out[5]
+        qv, ql, qt = _pack_qdct_stack(qdcts, bs, vdtype)
+        cap = P.esc_cap(h, w)
+        mvs_all = smalls[:, : 3 * nb].reshape(-1, nbr, nbc, 3)
+
+        def pack_one(art, recon, refstack, hpstack, mv):
+            pred = gather_pred_blocks(refstack, hpstack, mv, bs, frac)
+            pred = pred.transpose(0, 2, 1, 3).reshape(h, w).astype(jnp.int32)
+            return P.pack_art(art, recon, pred, cap)
+
+        ac, ae, an = jax.vmap(pack_one)(arts, recons, ref_stacks, hp_stacks,
+                                        mvs_all)
+
+        def row(r, sm, v, l, t, c, e, n):
+            meta, mv, modes = _meta_p(sm, nb, nbr)
+            return P.pack_row(r, meta, mv, modes, v, l, t, c, e, n)
+
+        rows.append(jax.vmap(row)(recons, smalls, qv, ql, qt, ac, ae, an))
+    packed = (jnp.concatenate(rows) if rows
+              else jnp.zeros((0, layout.total), jnp.uint8))
+    return intra_out, p_out[:4], refs_out, hps_out, nv_out, packed
+
+
 @partial(jax.jit, static_argnames=("bs", "frac", "exact"))
 def decode_chunk_intra_only(
     qdcts: jnp.ndarray,     # int32 [K, H, W]
@@ -303,3 +442,61 @@ def decode_chunk(
     else:
         decoded = decs
     return decoded, ref_out, hp_out
+
+
+@partial(jax.jit, static_argnames=("bs", "frac", "first_is_intra", "exact"))
+def decode_chunk_multiref(
+    qdcts: jnp.ndarray,     # int32 [K, H, W]
+    mvs: jnp.ndarray,       # int32 [K, nbr, nbc, 3] (row 0 ignored if intra)
+    row_qps: jnp.ndarray,   # int32 [K, nbr]
+    modes0: jnp.ndarray,    # int32 [nbr, nbc] (frame 0's intra modes)
+    refs0: jnp.ndarray,     # uint8 [R, H, W] incoming rolling stack
+    hps0: jnp.ndarray,      # uint8 [R, 2H, 2W]
+    n_valid0: jnp.ndarray,  # int32 scalar
+    bs: int,
+    frac: bool,
+    first_is_intra: bool,
+    exact: bool = False,
+):
+    """nRefFrames > 1 decode chunk: :func:`decode_chunk` with a rolling
+    reference stack (encoder-produced MV ref indices are always < the
+    populated slot count, so no candidate masking is needed here).
+    Returns ``(decoded [K, H, W], refs_out, hps_out, n_valid_out)``."""
+    k, h, w = qdcts.shape
+    R = refs0.shape[0]
+
+    if first_is_intra:
+        dec0, hp_i = intra_decode_frame(qdcts[0], modes0, row_qps[0], bs,
+                                        emit_halfpel=frac, exact=exact)
+        refs_c = jnp.zeros((R, h, w), jnp.uint8)
+        hps_c = jnp.zeros((R, 2 * h, 2 * w), jnp.uint8)
+        refs_c, hps_c, nv = _push_ref(
+            refs_c, hps_c, jnp.int32(0), dec0,
+            hp_i if frac else jnp.zeros((2 * h, 2 * w), jnp.uint8), frac)
+        carry = (refs_c, hps_c, nv)
+        p_qdcts, p_mvs, p_qps = qdcts[1:], mvs[1:], row_qps[1:]
+    else:
+        carry = (refs0, hps0, n_valid0)
+        p_qdcts, p_mvs, p_qps = qdcts, mvs, row_qps
+
+    def step(carry, inp):
+        refs, hps, nv = carry
+        qdct, mv, qps = inp
+        dec, hp2 = pframe_decode(qdct, mv, qps, refs, hps if frac else (),
+                                 bs, frac, emit_halfpel=frac, exact=exact)
+        refs, hps, nv = _push_ref(
+            refs, hps, nv, dec,
+            hp2 if frac else jnp.zeros((2 * h, 2 * w), jnp.uint8), frac)
+        return (refs, hps, nv), dec
+
+    if p_qdcts.shape[0] > 0:
+        (refs_out, hps_out, nv_out), decs = jax.lax.scan(
+            step, carry, (p_qdcts, p_mvs, p_qps))
+    else:
+        refs_out, hps_out, nv_out = carry
+        decs = jnp.zeros((0, h, w), jnp.uint8)
+    if first_is_intra:
+        decoded = jnp.concatenate([dec0[None], decs])
+    else:
+        decoded = decs
+    return decoded, refs_out, hps_out, nv_out

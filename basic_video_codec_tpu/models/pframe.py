@@ -45,6 +45,7 @@ def _wrap_int8_bits(x: jnp.ndarray) -> jnp.ndarray:
 def pframe_encode(
     curr: jnp.ndarray,          # uint8 [H, W]
     refs_in,                    # tuple of uint8 [H, W] (deque order, 0 = oldest)
+                                # or a pre-stacked [R, H, W] rolling stack
     interps_in,                 # tuple of uint8 [2H, 2W] (may be () when not frac)
     row_qps_in: jnp.ndarray,    # int32 [nbr] (used when rc1=False)
     budget0: jnp.ndarray,       # float32 scalar (used when rc1=True)
@@ -59,6 +60,7 @@ def pframe_encode(
     multi_ref: bool,            # nRefFrames > 1: MV ref index is entropy-coded
     emit_halfpel: bool = False,
     exact: bool = False,        # integer-exact transform (cross-backend bit-exact)
+    n_valid: jnp.ndarray | None = None,  # populated slots of a rolling stack
 ):
     """Returns ``(recon_u8 [H, W], halfpel_u8 [2H, 2W] | None,
     art_u8 [H, W] (res_w_mc bit plane), qdct_i16 [H, W],
@@ -76,21 +78,24 @@ def pframe_encode(
     d = jnp.asarray(T.dct_matrix(bs))
     qmats = jnp.asarray(T.quant_matrices(bs))
     zz = jnp.asarray(zigzag_indices(bs))
-    refs = jnp.stack(refs_in)
+    refs = refs_in if isinstance(refs_in, jnp.ndarray) else jnp.stack(refs_in)
     if frac:
-        interp_refs = jnp.stack(interps_in)
+        interp_refs = (interps_in if isinstance(interps_in, jnp.ndarray)
+                       else jnp.stack(interps_in))
     else:
-        interp_refs = jnp.zeros((len(refs_in), 2 * h, 2 * w), jnp.uint8)
+        interp_refs = jnp.zeros((refs.shape[0], 2 * h, 2 * w), jnp.uint8)
 
     # 1. motion estimation (+ fused MC prediction on the full-search path)
     if fast:
-        mvs, sads, comps = fast_search_frame(curr, refs, interp_refs, bs, frac)
+        mvs, sads, comps = fast_search_frame(curr, refs, interp_refs, bs, frac,
+                                             n_valid=n_valid)
         preds = gather_pred_blocks(refs, interp_refs, mvs, bs, frac).astype(jnp.int32)
     else:
-        mvs, sads, preds = full_search(curr, refs, interp_refs, bs, search_range, frac)
+        mvs, sads, preds = full_search(curr, refs, interp_refs, bs, search_range,
+                                       frac, n_valid=n_valid)
         sr = search_range * 2 if frac else search_range
-        n_window = refs.shape[0] * (2 * sr + 1) ** 2
-        comps = jnp.full((nbr, nbc), n_window, dtype=jnp.int32)
+        n_window = (refs.shape[0] if n_valid is None else n_valid) * (2 * sr + 1) ** 2
+        comps = jnp.full((nbr, nbc), 1, dtype=jnp.int32) * n_window
 
     # 2. residual -> batched DCT (QP-independent float coefficients)
     curr_blocks = (
@@ -170,11 +175,12 @@ def pframe_decode(
     nbr, nbc = h // bs, w // bs
     d = jnp.asarray(T.dct_matrix(bs))
     qmats = jnp.asarray(T.quant_matrices(bs))
-    refs = jnp.stack(refs_in)
+    refs = refs_in if isinstance(refs_in, jnp.ndarray) else jnp.stack(refs_in)
     if frac:
-        interp_refs = jnp.stack(interps_in)
+        interp_refs = (interps_in if isinstance(interps_in, jnp.ndarray)
+                       else jnp.stack(interps_in))
     else:
-        interp_refs = jnp.zeros((len(refs_in), 2 * h, 2 * w), jnp.uint8)
+        interp_refs = jnp.zeros((refs.shape[0], 2 * h, 2 * w), jnp.uint8)
     # NOTE: the reference forces ref idx 0 when only one reference frame is
     # held (PFrame.py:232-235); encoder-produced streams always satisfy
     # mv[2] < n_ref so a plain gather is equivalent.

@@ -10,12 +10,13 @@ earlier frames; nothing ever blocks per frame.  This matters doubly on
 remote-attached TPUs where a synchronous roundtrip costs ~30 ms but chained
 dispatch costs ~2 ms.
 
-With a single reference frame, dispatch is GOP-chunked (models/chunk.py;
-RC 2/3 use the fused on-device two-pass program, models/two_pass.py) so the
-host touches the device once per GOP.  The per-frame path below remains for
-nRefFrames > 1; there RC 2/3's host decision between passes (scene-change
-detection + proportional row budgets, reference encoder.py:85-98) forces
-per-frame synchronization (depth 0), while RC 0/1 pipeline at full depth.
+Dispatch is GOP-chunked (models/chunk.py; RC 2/3 use the fused on-device
+two-pass program, models/two_pass.py; nRefFrames > 1 carries a rolling
+reference stack through the scan) so the host touches the device once per
+GOP.  The per-frame path below remains only for nRefFrames > 1 with RC 2/3,
+where the host decision between passes (scene-change detection +
+proportional row budgets, reference encoder.py:85-98) forces per-frame
+synchronization (depth 0).
 
 Output artifacts, bitstream framing, metrics rows and RC decisions are
 identical to the golden model / reference (see golden/encoder.py for the
@@ -256,12 +257,14 @@ def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec,
                             prev_recon=prev_recon, want_psnr=want_psnr)
 
 
-def _finalize_compact(index, curr, f, ec, prev_recon, q_full=None,
+def _finalize_compact(index, curr, f, ec, prev, q_full=None,
                       a_full=None) -> _Finalized:
     """Rebuild the qdct / res_w_mc planes from one packed-frame field dict
-    (ops/pack.py FrameLayout.split) and finalize.  ``q_full`` / ``a_full``
-    carry full planes for the rare per-frame overflow fallback (fetched by
-    the dispatch thread)."""
+    (ops/pack.py FrameLayout.split) and finalize.  ``prev`` is the previous
+    reconstruction (single reference) or the host-mirrored reference deque
+    as a list, oldest first (nRefFrames > 1).  ``q_full`` / ``a_full`` carry
+    full planes for the rare per-frame overflow fallback (fetched by the
+    dispatch thread)."""
     from ..golden.interp import build_pre_interpolated_buffer
     from ..ops import pack as PK
 
@@ -274,6 +277,12 @@ def _finalize_compact(index, curr, f, ec, prev_recon, q_full=None,
     mode = int(meta[0])
     metric_sum, comparisons = int(meta[1]), int(meta[2])
     row_qps, row_bits = meta[3 : 3 + nbr], meta[3 + nbr :]
+    if isinstance(prev, list):
+        refs = np.stack(prev) if prev else None
+        oldest = prev[0] if prev else None
+    else:
+        refs = prev
+        oldest = prev
     if q_full is not None:
         qdct = np.asarray(q_full, dtype=np.int16)
     else:
@@ -286,13 +295,15 @@ def _finalize_compact(index, curr, f, ec, prev_recon, q_full=None,
         if a_full is not None:
             art = np.asarray(a_full)
         else:
-            prev_hp = (build_pre_interpolated_buffer(prev_recon)
-                       if ec.fracMeEnabled else None)
-            pred = PK.host_pred_inter(prev_recon, aux, bs, ec.fracMeEnabled, prev_hp)
+            hps = None
+            if ec.fracMeEnabled:
+                planes = refs if refs.ndim == 3 else refs[None]
+                hps = np.stack([build_pre_interpolated_buffer(r) for r in planes])
+            pred = PK.host_pred_inter(refs, aux, bs, ec.fracMeEnabled, hps)
             art = PK.unpack_art(f["ac"], f["ae"], recon, pred)
     return _finalize_fields(index, mode, curr, recon, art, qdct, aux,
                             metric_sum, comparisons, row_qps, row_bits, ec,
-                            prev_recon=prev_recon)
+                            prev_recon=oldest)
 
 
 def encode_video(params: InputParameters, results_csv_path: str | None = "results.csv"):
@@ -371,13 +382,16 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
             write_out(f, p.dispatch_dt)
             return f
 
-        if ec.nRefFrames == 1:
-            if getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag <= 1:
+        if ec.nRefFrames == 1 or ec.RCflag <= 1:
+            if (getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag <= 1
+                    and ec.nRefFrames == 1):
                 # multi-chip: GOP batches sharded over the mesh's data axis
                 _run_gop_sharded(params, ec, f_in, tbl, write_out)
             else:
                 # GOP-chunked dispatch: one device program per GOP segment
-                # (RC 2/3 use the fused two-pass program, models/two_pass.py)
+                # (RC 2/3 use the fused two-pass program, models/two_pass.py;
+                # nRefFrames > 1 carries a rolling reference stack,
+                # models/chunk.py::encode_chunk_multiref)
                 _run_chunked(params, ec, f_in, tbl, write_out)
             elapsed = time.time() - start_time
             _append_throughput(params, elapsed, results_csv_path)
@@ -480,7 +494,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    from .chunk import encode_chunk, encode_chunk_intra_only
+    from .chunk import encode_chunk, encode_chunk_intra_only, encode_chunk_multiref
     from .two_pass import encode_chunk_two_pass
 
     bs = ec.block_size
@@ -508,14 +522,27 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     ref = gray
     hp = build_half_pel(gray) if frac else jnp.zeros(
         (2 * params.height, 2 * params.width), jnp.uint8)
+    multiref = ec.nRefFrames > 1
+    R = ec.nRefFrames
+    if multiref:
+        # rolling reference stack, deque semantics: slot 0 = oldest; the
+        # reference seeds the deque with one gray frame (encoder.py:33)
+        ref = jnp.zeros((R, params.height, params.width), jnp.uint8
+                        ).at[0].set(gray)
+        hp = jnp.zeros((R, 2 * params.height, 2 * params.width), jnp.uint8)
+        if frac:
+            hp = hp.at[0].set(build_half_pel(gray))
+        nv = jnp.int32(1)
 
     pending_dev: deque = deque()   # dispatched chunks awaiting fetch
     pending_fin: deque = deque()   # (futures, per_frame_dt) awaiting write
     fin_pool = ThreadPoolExecutor(max_workers=4)
     n_read = 0  # 0-based count of frames consumed
     # host mirror of the previous frame's reconstruction (prev-chunk carry),
-    # so workers can derive res_wo_mc without the serial writer
+    # so workers can derive res_wo_mc without the serial writer; with
+    # nRefFrames > 1 a full host-side deque mirrors the reference stack
     last_recon = np.full((params.height, params.width), 128, np.uint8)
+    recon_hist: deque = deque([last_recon], maxlen=R)
 
     # Compact device->host transfers (ops/pack.py): ~2 bytes/pixel instead
     # of 4 — the remote-tunnel bandwidth (~15-25 MB/s) is the end-to-end
@@ -573,13 +600,19 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         prev = last_recon
         for k in range(packed.shape[0]):
             f = lay.split(packed[k])
-            if intra_head is not None and k == 0:
-                submit_compact(futures, indices[0], currs[0], f, prev,
+            is_intra_row = intra_head is not None and k == 0
+            if multiref and is_intra_row:
+                recon_hist.clear()
+            prev_arg = list(recon_hist) if multiref else prev
+            if is_intra_row:
+                submit_compact(futures, indices[0], currs[0], f, prev_arg,
                                intra_head[2], intra_head[1])
             else:
-                submit_compact(futures, indices[k], currs[k], f, prev,
+                submit_compact(futures, indices[k], currs[k], f, prev_arg,
                                d_qdcts, d_arts, k - pos)
             prev = f["recon"]
+            if multiref:
+                recon_hist.append(prev)
         last_recon = prev.copy()
         return futures
 
@@ -627,13 +660,20 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 _finalize_arrays, indices[0], INTRA, currs[0],
                 recon, art, qdct, smalls, ec))
             last_recon = recon
+            if multiref:
+                recon_hist.clear()
+                recon_hist.append(recon)
         pos = 1 if kind == "intra_led" else 0
         recons, arts, qdcts, smalls = jax.device_get(p_out[:4])
         for k in range(recons.shape[0]):
-            prev = last_recon if k == 0 else recons[k - 1]
+            # res_wo_mc subtracts the OLDEST reference (PFrame.py:103,116)
+            prev = (recon_hist[0] if multiref
+                    else (last_recon if k == 0 else recons[k - 1]))
             futures.append(fin_pool.submit(
                 _finalize_arrays, indices[pos + k], INTER, currs[pos + k],
                 recons[k], arts[k], qdcts[k], smalls[k], ec, prev))
+            if multiref:
+                recon_hist.append(recons[k])
         if recons.shape[0]:
             last_recon = recons[-1].copy()
         pending_fin.append((futures, per_frame_dt))
@@ -690,6 +730,19 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 )
                 kind = "intra_all"
                 leaves = (dev[4],) if compact else dev
+            elif multiref:
+                out = encode_chunk_multiref(
+                    jnp.asarray(frames_np), ref, hp, nv, row_qps, budget0,
+                    tbl[0], tbl[1], initial_qp, bs, max(ec.search_range, 0),
+                    rc1, ec.fastME, frac, first_is_intra, exact=exact,
+                    compact=compact, int8q=int8q,
+                )
+                ref, hp, nv = out[2], out[3], out[4]
+                # normalize to the fetcher's (intra_out, p_out, _, _, packed)
+                dev = ((out[0], out[1], None, None, out[5]) if compact
+                       else (out[0], out[1]))
+                kind = "intra_led" if first_is_intra else "p_only"
+                leaves = (dev[4],) if compact else dev[:2]
             else:
                 dev = encode_chunk(
                     jnp.asarray(frames_np), ref, hp, row_qps, budget0, tbl[0], tbl[1],
@@ -963,10 +1016,10 @@ def _parse_frames(encoded_fh, ec, params):
 
 def decode_video(params: InputParameters):
     """Pipelined decode: host entropy parsing (native codec) feeds async
-    device dispatches.  With a single reference frame the decode mirrors the
-    encoder's GOP chunking — one program per [I P..P] / all-intra segment —
-    otherwise frames dispatch individually; either way decoded planes are
-    fetched and written with a lag so the device chain never waits."""
+    device dispatches.  The decode mirrors the encoder's GOP chunking — one
+    program per [I P..P] / all-intra segment, with a rolling reference stack
+    for nRefFrames > 1 — and decoded planes are fetched and written with a
+    lag so the device chain never waits."""
     ec = params.encoder_config
     file_io = FileIOHelper(params)
     bs = ec.block_size
@@ -990,70 +1043,45 @@ def decode_video(params: InputParameters):
                 logger.info(f"{idx:2}: psnr [{round(frame_psnr, 2):6.2f}]")
                 write_y_only_frame(decoded_fh, decoded_np)
 
-        if ec.nRefFrames == 1:
-            _decode_chunked(params, ec, encoded_fh, pending, drain_one)
-        else:
-            _decode_per_frame(params, ec, encoded_fh, pending, drain_one)
+        _decode_chunked(params, ec, encoded_fh, pending, drain_one)
         while pending:
             drain_one()
     logger.info("End decoding")
 
 
-def _decode_per_frame(params, ec, encoded_fh, pending, drain_one):
-    bs = ec.block_size
-    width, height = padded_dims(params.width, params.height, bs)
-    frac = ec.fracMeEnabled
-    gray = jnp.full((height, width), 128, dtype=jnp.uint8)
-    refs_dev = [gray]
-    irefs_dev = [build_half_pel(gray) if frac else None]
-
-    exact = getattr(ec, "exact_transform", False)
-    for index, mode, row_qps, modes, mvs, qdct in _parse_frames(encoded_fh, ec, params):
-        if mode == INTRA:
-            refs_dev.clear()
-            irefs_dev.clear()
-            decoded, hp = intra_decode_frame(
-                jnp.asarray(qdct), jnp.asarray(modes), jnp.asarray(row_qps),
-                bs, emit_halfpel=frac, exact=exact,
-            )
-        else:
-            decoded, hp = pframe_decode(
-                jnp.asarray(qdct), jnp.asarray(mvs), jnp.asarray(row_qps),
-                tuple(refs_dev), tuple(irefs_dev) if frac else (),
-                bs, frac, emit_halfpel=frac, exact=exact,
-            )
-        decoded.copy_to_host_async()
-        pending.append(([index], decoded))
-        refs_dev.append(decoded)
-        irefs_dev.append(hp)
-        if len(refs_dev) > ec.nRefFrames:
-            refs_dev.pop(0)
-            irefs_dev.pop(0)
-        while len(pending) > PIPELINE_DEPTH:
-            drain_one()
-
-
 def _decode_chunked(params, ec, encoded_fh, pending, drain_one):
-    from .chunk import decode_chunk, decode_chunk_intra_only
+    from .chunk import decode_chunk, decode_chunk_intra_only, decode_chunk_multiref
 
     bs = ec.block_size
     width, height = padded_dims(params.width, params.height, bs)
     frac = ec.fracMeEnabled
     nbr, nbc = height // bs, width // bs
     exact = getattr(ec, "exact_transform", False)
-    ref = jnp.full((height, width), 128, dtype=jnp.uint8)
-    hp = build_half_pel(ref) if frac else jnp.zeros((2 * height, 2 * width), jnp.uint8)
+    multiref = ec.nRefFrames > 1
+    R = ec.nRefFrames
+    gray = jnp.full((height, width), 128, dtype=jnp.uint8)
+    if multiref:
+        # rolling reference stack (slot 0 = oldest), seeded with one gray
+        # frame like the reference's deque (decoder.py:34-38)
+        ref = jnp.zeros((R, height, width), jnp.uint8).at[0].set(gray)
+        hp = jnp.zeros((R, 2 * height, 2 * width), jnp.uint8)
+        if frac:
+            hp = hp.at[0].set(build_half_pel(gray))
+        nv = jnp.int32(1)
+    else:
+        ref = gray
+        hp = build_half_pel(gray) if frac else jnp.zeros((2 * height, 2 * width), jnp.uint8)
     buf = []  # parsed frames of the chunk being assembled
 
     def flush():
-        nonlocal ref, hp, buf
+        nonlocal ref, hp, nv, buf
         if not buf:
             return
         indices = [b[0] for b in buf]
         qdcts = jnp.asarray(np.stack([b[5] for b in buf]))
         qps = jnp.asarray(np.stack([b[2] for b in buf]))
         all_intra = all(b[1] == INTRA for b in buf)
-        if all_intra and len(buf) > 1:
+        if all_intra and len(buf) > 1 and not multiref:
             modes = jnp.asarray(np.stack([b[3] for b in buf]))
             decoded, ref, hp = decode_chunk_intra_only(qdcts, modes, qps, bs, frac,
                                                        exact=exact)
@@ -1065,10 +1093,16 @@ def _decode_chunked(params, ec, encoded_fh, pending, drain_one):
             ])
             modes0 = jnp.asarray(
                 buf[0][3] if first_is_intra else np.zeros((nbr, nbc), np.int32))
-            decoded, ref, hp = decode_chunk(
-                qdcts, jnp.asarray(mvs), qps, modes0, ref, hp,
-                bs, frac, first_is_intra, exact=exact,
-            )
+            if multiref:
+                decoded, ref, hp, nv = decode_chunk_multiref(
+                    qdcts, jnp.asarray(mvs), qps, modes0, ref, hp, nv,
+                    bs, frac, first_is_intra, exact=exact,
+                )
+            else:
+                decoded, ref, hp = decode_chunk(
+                    qdcts, jnp.asarray(mvs), qps, modes0, ref, hp,
+                    bs, frac, first_is_intra, exact=exact,
+                )
         decoded.copy_to_host_async()
         pending.append((indices, decoded))
         buf = []
@@ -1077,8 +1111,9 @@ def _decode_chunked(params, ec, encoded_fh, pending, drain_one):
         is_intra = rec[1] == INTRA
         if buf:
             buf_all_intra = all(b[1] == INTRA for b in buf)
-            # chunk shapes: [I P..P], [P..P], or all-intra [I I ..]
-            if is_intra and not buf_all_intra:
+            # chunk shapes: [I P..P], [P..P], or (single-ref) all-intra
+            # [I I ..]; the multiref program handles one leading intra only
+            if is_intra and (multiref or not buf_all_intra):
                 flush()
             elif not is_intra and buf_all_intra and len(buf) > 1:
                 flush()

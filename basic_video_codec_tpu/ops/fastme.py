@@ -35,8 +35,13 @@ BIG = jnp.int32(2 ** 30)
 
 @partial(jax.jit, static_argnames=("bs", "frac"))
 def fast_search_frame(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.ndarray,
-                      bs: int, frac: bool):
+                      bs: int, frac: bool, n_valid: jnp.ndarray | None = None):
     """FastME for every block of a frame, raster order, MVP chained.
+
+    ``n_valid`` (optional int32 scalar) masks unpopulated tail slots of a
+    fixed-shape rolling reference stack (models/chunk.py warm-up): their
+    candidates can never win and the comparison count uses the true deque
+    length, so decisions match the reference's variable-length deque exactly.
 
     Returns ``(mvs int32 [nbr, nbc, 3], sads int32 [nbr, nbc],
     comps int32 [nbr, nbc])``.
@@ -45,7 +50,12 @@ def fast_search_frame(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.nda
     nbr, nbc = h // bs, w // bs
     n_ref = refs.shape[0]
     curr_i = curr.astype(jnp.int32)
-    ref_weight = n_ref * (n_ref + 1) // 2  # late-binding re-evaluation count
+    if n_valid is None:
+        ref_weight = n_ref * (n_ref + 1) // 2  # late-binding re-evaluation count
+        ref_mask = None
+    else:
+        ref_weight = n_valid * (n_valid + 1) // 2
+        ref_mask = jnp.arange(n_ref) < n_valid  # [n_ref]
 
     if frac:
         lim_h, lim_w, bspan, scale = 2 * h, 2 * w, 2 * bs, 2
@@ -70,6 +80,8 @@ def fast_search_frame(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.nda
             cols = pxc + a[None, :]
             blocks = planes[:, rows, cols]
             sads = jnp.abs(cblk[None] - blocks).sum(axis=(1, 2))  # [n_ref]
+            if ref_mask is not None:
+                sads = jnp.where(ref_mask, sads, BIG)
             return jnp.where(valid, sads, BIG), valid
 
         sads, valid = jax.vmap(one_offset)(offs)  # [6, n_ref], [6]

@@ -54,7 +54,8 @@ def _block_sums(diff: jnp.ndarray, bs: int) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "frac"))
 def full_search(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.ndarray,
-                bs: int, search_range: int, frac: bool):
+                bs: int, search_range: int, frac: bool,
+                n_valid: jnp.ndarray | None = None):
     """Batched exhaustive search + motion-compensated prediction.
 
     Parameters
@@ -63,6 +64,12 @@ def full_search(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.ndarray,
     refs : uint8 ``[n_ref, H, W]`` reference frames (deque order: 0 = oldest)
     interp_refs : uint8 ``[n_ref, 2H, 2W]`` half-pel buffers (used iff frac)
     search_range : the *config* search range; doubled internally when frac
+    n_valid : optional int32 scalar — number of leading reference slots that
+        hold real frames (the rolling-stack warm-up in models/chunk.py keeps
+        a fixed-shape stack whose tail is not yet populated); candidates of
+        slots >= n_valid are masked out, which reproduces the reference's
+        enumeration over the deque's actual length exactly (invalid slots
+        can never win, and valid ones keep their enumeration order).
 
     Returns ``(mvs int32 [nbr, nbc, 3] as (mv_x, mv_y, ref),
     sad int32 [nbr, nbc], pred int32 [nbr, nbc, bs, bs])``.
@@ -99,7 +106,7 @@ def full_search(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.ndarray,
         ox, oy = bx, by
 
     def score(carry, cand):
-        dy, dx = cand[1], cand[2]
+        k, dy, dx = cand[0], cand[1], cand[2]
         aligned = aligned_frame(cand)
         sad = _block_sums(jnp.abs(curr_i - aligned), bs)  # [nbr, nbc]
         valid = (
@@ -108,6 +115,8 @@ def full_search(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.ndarray,
             & ((oy + dy) >= 0)[:, None]
             & ((oy + dy + bspan) <= lim_h)[:, None]
         )
+        if n_valid is not None:
+            valid = valid & (k < n_valid)  # unpopulated rolling-stack slot
         l1 = jnp.abs(dx) + jnp.abs(dy)
         key = jnp.where(valid, sad * 256 + l1, INVALID_KEY)
         return carry, (key, sad)

@@ -237,26 +237,32 @@ def unpack_art(codes2: np.ndarray, esc: np.ndarray, recon: np.ndarray,
     return art.reshape(h, w)
 
 
-def host_pred_inter(prev_recon: np.ndarray, mvs: np.ndarray, bs: int,
-                    frac: bool, prev_hp: np.ndarray | None = None) -> np.ndarray:
+def host_pred_inter(refs: np.ndarray, mvs: np.ndarray, bs: int,
+                    frac: bool, hps: np.ndarray | None = None) -> np.ndarray:
     """Motion-compensated prediction plane from host-resident data — the
-    NumPy twin of ops.me.gather_pred_blocks for the single-reference chunked
-    path (mv ref index is always 0 there)."""
+    NumPy twin of ops.me.gather_pred_blocks.  ``refs`` is either one plane
+    [H, W] (single-reference path: mv ref index is always 0) or the rolling
+    stack [R, H, W] in deque order; ``hps`` likewise when ``frac``."""
+    if refs.ndim == 2:
+        refs = refs[None]
+    if hps is not None and hps.ndim == 2:
+        hps = hps[None]
     nbr, nbc = mvs.shape[:2]
     a = np.arange(bs)
+    ref_idx = mvs[..., 2][..., None, None]
     if frac:
-        plane = prev_hp
+        planes = hps
         oy = (np.arange(nbr) * bs * 2)[:, None, None, None]
         ox = (np.arange(nbc) * bs * 2)[None, :, None, None]
         rows = oy + mvs[..., 1][..., None, None] + 2 * a[None, None, :, None]
         cols = ox + mvs[..., 0][..., None, None] + 2 * a[None, None, None, :]
     else:
-        plane = prev_recon
+        planes = refs
         oy = (np.arange(nbr) * bs)[:, None, None, None]
         ox = (np.arange(nbc) * bs)[None, :, None, None]
         rows = oy + mvs[..., 1][..., None, None] + a[None, None, :, None]
         cols = ox + mvs[..., 0][..., None, None] + a[None, None, None, :]
-    pred = plane[rows, cols]
+    pred = planes[ref_idx, rows, cols]
     h, w = nbr * bs, nbc * bs
     return pred.transpose(0, 2, 1, 3).reshape(h, w).astype(np.int32)
 

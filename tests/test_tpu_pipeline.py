@@ -191,6 +191,28 @@ def test_non_multiple_resolution_tpu(tmp_path):
     assert np.array_equal(rec, dec)
 
 
+def test_nref4_chunked_multi_gop(tmp_path):
+    """nRefFrames=4 through the GOP-chunked rolling-stack path: multiple
+    GOPs, chunk boundaries mid-GOP, RC1 in-scan QP selection, and the
+    reference-deque warm-up after each I-frame.  exact_transform pins the
+    float edge so every decision (ME over the warm-up-masked stack, RC,
+    entropy) must be byte-identical to the golden oracle."""
+    iog, iot = _run_both(
+        tmp_path, "nref4", W=176, H=144, N=9,
+        block_size=16, search_range=2, I_Period=4, nRefFrames=4,
+        RCflag=1, targetBR=600_000, resolution=(176, 144),
+        exact_transform=True,
+    )
+    assert filecmp.cmp(iog.get_encoded_file_name(), iot.get_encoded_file_name(),
+                       shallow=False)
+    assert filecmp.cmp(iog.get_mv_file_name(), iot.get_mv_file_name(), shallow=False)
+    assert filecmp.cmp(iog.get_residual_wo_mc_file_name(),
+                       iot.get_residual_wo_mc_file_name(), shallow=False)
+    rt = np.fromfile(iot.get_mc_reconstructed_file_name(), np.uint8)
+    dt = np.fromfile(iot.get_mc_decoded_file_name(), np.uint8)
+    assert np.array_equal(rt, dt)
+
+
 # synthetic calibration table for resolutions without shipped CSVs
 # (bits-per-block-row magnitudes scaled for a 112x64 padded plane)
 _ODD_RC_TABLE = {
