@@ -85,14 +85,26 @@ def pframe_encode(
     else:
         interp_refs = jnp.zeros((refs.shape[0], 2 * h, 2 * w), jnp.uint8)
 
-    # 1. motion estimation (+ fused MC prediction on the full-search path)
+    # 1. motion estimation (+ fused MC prediction on the full-search path).
+    # The Pallas kernel is selected where measured faster AND within its
+    # VMEM unroll budget (ops/pallas_me.py use_pallas); results are
+    # bit-identical to the XLA scan.  Rolling-stack warm-up masking
+    # (n_valid) runs on the XLA path.
     if fast:
         mvs, sads, comps = fast_search_frame(curr, refs, interp_refs, bs, frac,
                                              n_valid=n_valid)
         preds = gather_pred_blocks(refs, interp_refs, mvs, bs, frac).astype(jnp.int32)
     else:
-        mvs, sads, preds = full_search(curr, refs, interp_refs, bs, search_range,
-                                       frac, n_valid=n_valid)
+        from ..ops.pallas_me import full_search_pallas, use_pallas
+
+        if n_valid is None and use_pallas(h, w, bs, search_range,
+                                          refs.shape[0], frac):
+            mvs, sads, preds = full_search_pallas(curr, refs, interp_refs, bs,
+                                                  search_range, frac)
+            preds = preds.astype(jnp.int32)
+        else:
+            mvs, sads, preds = full_search(curr, refs, interp_refs, bs,
+                                           search_range, frac, n_valid=n_valid)
         sr = search_range * 2 if frac else search_range
         n_window = (refs.shape[0] if n_valid is None else n_valid) * (2 * sr + 1) ** 2
         comps = jnp.full((nbr, nbc), 1, dtype=jnp.int32) * n_window

@@ -551,7 +551,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
 
     # The fused two-pass path keeps full-plane transfers: its scatter
     # compaction costs ~16 ms/frame of device time on this backend
-    # (PROFILE.md §3), more than the bytes it saves at block 16.
+    # (PROFILE.md §4), more than the bytes it saves at block 16.
     compact = os.environ.get("BVC_COMPACT", "1") != "0" and not two_pass
     int8q = PK.qdct_int8_safe(ec)
     pw, ph = padded_dims(params.width, params.height, bs)

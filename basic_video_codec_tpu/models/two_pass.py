@@ -215,7 +215,7 @@ def encode_chunk_two_pass(
         if compact:
             # packing happens AFTER the scan, batched over the chunk —
             # scatter-compaction inside the serial frame chain costs ~ms per
-            # frame on this backend (PROFILE.md §3)
+            # frame on this backend (PROFILE.md §4)
             outs = outs + (pred_plane,)
         return (recon, hp2, new_avg), outs
 

@@ -133,7 +133,7 @@ def full_search_pallas(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.nd
     a_np, b_np = _selectors(h, w, bs)
 
     kernel = partial(_me_kernel, bs=bs, r=sr, n_ref=n_ref, frac=frac, h=h, w=w)
-    spec = pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
     dx, dy, k_sel, sad, pred = pl.pallas_call(
         kernel,
         out_shape=(
@@ -155,3 +155,26 @@ def full_search_pallas(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.nd
 def pallas_supported(n_ref: int, search_range: int, frac: bool) -> bool:
     sr = search_range * 2 if frac else search_range
     return n_ref * (2 * sr + 1) ** 2 <= MAX_UNROLL_CANDIDATES
+
+
+# Measured selection gate (real v5e, CIF, see PROFILE.md §4): the Pallas
+# kernel beats the XLA scan for small candidate windows (25 candidates:
+# 1.15 ms vs 1.49 ms) but the unrolled-candidate stack blows the 16 MB
+# scoped-VMEM budget for large ones (81 candidates at CIF: 20.4 MB -> OOM).
+PALLAS_MAX_CANDIDATES = 32
+PALLAS_VMEM_BUDGET = 12 << 20  # conservative margin under the 16 MB limit
+
+
+def use_pallas(h: int, w: int, bs: int, search_range: int, n_ref: int,
+               frac: bool) -> bool:
+    """True when the Pallas path is both compilable (VMEM) and measured
+    faster than ops.me.full_search for this shape class, on a TPU backend."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    sr = search_range * 2 if frac else search_range
+    n_cand = n_ref * (2 * sr + 1) ** 2
+    scale = 2 if frac else 1
+    vmem = 4 * (n_ref * (h * scale + 2 * sr) * (w * scale + 2 * sr) + 8 * h * w)
+    return n_cand <= PALLAS_MAX_CANDIDATES and vmem <= PALLAS_VMEM_BUDGET
