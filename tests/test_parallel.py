@@ -42,6 +42,47 @@ class TestSpatialSharding:
             assert np.array_equal(np.asarray(mvs)[b], np.asarray(mv1)[..., :2]), b
             assert np.array_equal(np.asarray(sads)[b], np.asarray(sad1)), b
 
+    @pytest.mark.parametrize("frac", [False, True])
+    def test_cif_scale_band_edge_winners(self, frac):
+        """CIF frame over 4 space shards with vertical motion (+-3 px,
+        crossing band boundaries): MVs, SADs and recon must match the
+        single-device kernel everywhere, including blocks whose winning
+        candidate lives in a neighbour's halo."""
+        bs, r, qp = 8, 3, 5
+        W, H = 352, 288
+        base = ygen.textured_frame(W, H, seed=17)
+        ref = np.stack([base])
+        curr = np.stack([np.roll(base, (3, -2), (0, 1))])
+
+        mesh = make_mesh(8, data=2, space=4)
+        step = sharded_pframe_step(mesh, bs, r, qp, h_total=H, frac=frac)
+        recon, qdct, mvs, sads, fbits = jax.block_until_ready(
+            step(jnp.asarray(np.concatenate([curr, curr])),
+                 jnp.asarray(np.concatenate([ref, ref])))
+        )
+
+        irefs = jnp.asarray(np.stack([build_pre_interpolated_buffer(ref[0])]))
+        mv1, sad1, _ = full_search(
+            jnp.asarray(curr[0]), jnp.asarray(ref[0][None]), irefs, bs, r, frac
+        )
+        assert np.array_equal(np.asarray(mvs)[0], np.asarray(mv1)[..., :2])
+        assert np.array_equal(np.asarray(sads)[0], np.asarray(sad1))
+        # some winners must actually cross band boundaries for this to test
+        # the halo path
+        band_rows = H // 4 // bs
+        mv_np = np.asarray(mvs)[0]
+        edge_rows = [band_rows - 1, band_rows, 2 * band_rows - 1, 2 * band_rows]
+        assert (np.abs(mv_np[edge_rows, :, 1]) >= 1).any(), "no cross-band motion"
+
+    def test_halo_preconditions_raise(self):
+        mesh = make_mesh(8, data=1, space=8)
+        with pytest.raises(ValueError, match="search_range"):
+            sharded_pframe_step(mesh, 8, 9, 4, h_total=64)  # band height 8 < r 9
+        with pytest.raises(ValueError, match="split evenly"):
+            sharded_pframe_step(mesh, 8, 2, 4, h_total=68)
+        with pytest.raises(ValueError, match="block multiple"):
+            sharded_pframe_step(mesh, 8, 2, 4, h_total=72)  # bands of 9 rows
+
     def test_bits_psum_consistent(self):
         bs, r, qp = 8, 2, 4
         W, H = 64, 64
