@@ -59,6 +59,29 @@ logger = get_logger()
 INTER, INTRA = 0, 1
 PIPELINE_DEPTH = int(os.environ.get("BVC_PIPELINE_DEPTH", "8"))
 
+# BVC_PROFILE=1: accumulate a host-side stage breakdown (dispatch / fetch /
+# finalize / write) into STAGE_TIMER and log it at the end of every encode —
+# the measurement behind PROFILE.md §1 (utils/profiling.Timer).
+_PROFILE = os.environ.get("BVC_PROFILE", "0") != "0"
+if _PROFILE:
+    from ..utils.profiling import Timer
+
+    STAGE_TIMER = Timer()
+else:
+    STAGE_TIMER = None
+
+
+class _NullCtx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def _stage(name):
+    return STAGE_TIMER(name) if STAGE_TIMER is not None else _NullCtx()
+
 
 class _Pending:
     """One dispatched frame awaiting finalization."""
@@ -383,8 +406,7 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
             return f
 
         if ec.nRefFrames == 1 or ec.RCflag <= 1:
-            if (getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag <= 1
-                    and ec.nRefFrames == 1):
+            if getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag <= 1:
                 # multi-chip: GOP batches sharded over the mesh's data axis
                 _run_gop_sharded(params, ec, f_in, tbl, write_out)
             else:
@@ -621,16 +643,26 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         per_frame_dt = dispatch_dt / max(len(indices), 1)
         nonlocal last_recon
         if compact:
-            pending_fin.append((fetch_compact(indices, currs, kind, dev),
-                                per_frame_dt))
+            with _stage("fetch (device_get)"):
+                futs = fetch_compact(indices, currs, kind, dev)
+            pending_fin.append((futs, per_frame_dt))
             return
         futures = []
         if kind == "two_pass":
-            # smalls lead with the final mode (0=P, 1=I); repack per mode
+            # one bundled buffer per chunk (bitcast-concat of the full
+            # planes, two_pass.py) -> split into per-frame views here
             nb = nb_pad  # smalls are laid out over PADDED block counts
-            recons, arts, qdcts, smalls = jax.device_get(dev[:4])
-            for k in range(recons.shape[0]):
-                sm = smalls[k]
+            hw = ph * pw
+            sm_len = 1 + 5 * nb + 2 * (ph // bs)
+            with _stage("fetch (device_get)"):
+                bundle = jax.device_get(dev[4])  # [K, NB] uint8
+            recons = []
+            for k in range(bundle.shape[0]):
+                buf = bundle[k]
+                recon = buf[:hw].reshape(ph, pw)
+                art = buf[hw : 2 * hw].reshape(ph, pw)
+                qdct = buf[2 * hw : 4 * hw].view(np.int16).reshape(ph, pw)
+                sm = buf[4 * hw :].view(np.int32)
                 mode = int(sm[0])
                 tail = sm[1 + 5 * nb :]
                 if mode == INTRA:
@@ -640,7 +672,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 prev = last_recon if k == 0 else recons[k - 1]
                 futures.append(fin_pool.submit(
                     _finalize_arrays, indices[k], mode, currs[k],
-                    recons[k], arts[k], qdcts[k], per, ec, prev))
+                    recon, art, qdct, per, ec, prev))
+                recons.append(recon)
             last_recon = recons[-1].copy()  # don't pin the chunk stack
             pending_fin.append((futures, per_frame_dt))
             return
@@ -681,7 +714,10 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     def write_chunk():
         futures, per_frame_dt = pending_fin.popleft()
         for fut in futures:
-            write_out(fut.result(), per_frame_dt)
+            with _stage("finalize wait (entropy pool)"):
+                f = fut.result()
+            with _stage("write artifacts"):
+                write_out(f, per_frame_dt)
 
     truncated_tail = 0
     try:
@@ -720,7 +756,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     first_is_intra, exact=exact, compact=compact,
                 )
                 kind = "two_pass"
-                leaves = (dev[4],) if compact else dev
+                leaves = (dev[4],)  # compact pack or full-plane bundle
             elif intra_only:
                 # every frame clears the references: fully parallel vmap chunk
                 dev = encode_chunk_intra_only(
@@ -757,6 +793,9 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             indices = list(range(n_read + 1, n_read + n_frames + 1))  # 1-based
             pending_dev.append((indices, frames_np, kind, dev,
                                 time.time() - t_disp))
+            if STAGE_TIMER is not None:
+                STAGE_TIMER.totals["dispatch (pad+h2d+enqueue)"] += time.time() - t_disp
+                STAGE_TIMER.counts["dispatch (pad+h2d+enqueue)"] += n_frames
             n_read += n_frames
             if truncated_tail:
                 break
@@ -774,6 +813,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             )
     finally:
         fin_pool.shutdown(wait=True)
+        if STAGE_TIMER is not None:
+            logger.info("stage breakdown (BVC_PROFILE):\n" + STAGE_TIMER.report())
 
 
 def _run_gop_sharded(params, ec, f_in, tbl, write_out):
@@ -820,7 +861,8 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
     nbr = ph // bs
     row_qps = jnp.full(nbr, ec.quantization_factor, jnp.int32)
     batch_fn = gop_batch_fn(mesh, intra_only, bs, max(ec.search_range, 0),
-                            rc1, ec.fastME, frac, exact, compact, int8q)
+                            rc1, ec.fastME, frac, exact, compact, int8q,
+                            n_ref=ec.nRefFrames)
 
     fin_pool = ThreadPoolExecutor(max_workers=4)
     pending: deque = deque()  # (n_real_per_gop, frames, base_index, dev, dt)
@@ -841,9 +883,11 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
         futures = []
         idx = base_index
         if compact:
-            packed = jax.device_get(dev[4] if not intra_only else dev[4])
+            multiref = ec.nRefFrames > 1
+            packed = jax.device_get(dev[4])
             for g, n in enumerate(n_real):
                 prev = None
+                hist: deque = deque(maxlen=ec.nRefFrames)  # per-GOP (starts intra)
                 for k in range(n):
                     f = layout.split(packed[g, k])
                     qd, ad = planes_of(dev, g, k)
@@ -853,8 +897,9 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
                               else None)
                     futures.append(fin_pool.submit(
                         _finalize_compact, idx, gop_frames[g][k], f, ec,
-                        prev, q_full, a_full))
+                        list(hist) if multiref else prev, q_full, a_full))
                     prev = f["recon"]
+                    hist.append(prev)
                     idx += 1
         elif intra_only:
             recons, arts, qdcts, smalls = jax.device_get(dev[:4])
@@ -869,17 +914,20 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
             recon_i, art_i, qdct_i, smalls_i = intra_out
             recons, arts, qdcts, smalls = p_out
             for g, n in enumerate(n_real):
+                hist: deque = deque(maxlen=ec.nRefFrames)  # per-GOP history
                 for k in range(n):
                     if k == 0:
                         futures.append(fin_pool.submit(
                             _finalize_arrays, idx, INTRA, gop_frames[g][0],
                             recon_i[g], art_i[g], qdct_i[g], smalls_i[g], ec))
+                        hist.append(recon_i[g])
                     else:
-                        prev = recon_i[g] if k == 1 else recons[g, k - 2]
+                        # res_wo_mc subtracts the OLDEST reference
                         futures.append(fin_pool.submit(
                             _finalize_arrays, idx, INTER, gop_frames[g][k],
                             recons[g, k - 1], arts[g, k - 1], qdcts[g, k - 1],
-                            smalls[g, k - 1], ec, prev))
+                            smalls[g, k - 1], ec, hist[0]))
+                        hist.append(recons[g, k - 1])
                     idx += 1
         for fut in futures:
             write_out(fut.result(), per_frame_dt)

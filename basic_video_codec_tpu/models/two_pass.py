@@ -251,4 +251,14 @@ def encode_chunk_two_pass(
         recons, arts, qdcts, smalls_all, preds = out
         packed = jax.vmap(pack_frame)(recons, arts, qdcts, smalls_all, preds)
         out = (recons, arts, qdcts, smalls_all, packed)
+    else:
+        # bundle the FULL planes into one buffer per chunk anyway: pure
+        # bitcast+concat (no scatter compaction — that costs ~16 ms/frame of
+        # device time here, PROFILE.md §4), so a chunk is one transfer
+        # instead of four and per-transfer tunnel latency amortizes
+        recons, arts, qdcts, smalls_all = out
+        packed = jax.vmap(
+            lambda r, a, q, sm: P.concat_bytes(r, a, q, sm)
+        )(recons, arts, qdcts, smalls_all)
+        out = out + (packed,)
     return out, ref_out, hp_out, avg_out

@@ -25,7 +25,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.chunk import encode_chunk, encode_chunk_intra_only
+from ..models.chunk import (
+    encode_chunk,
+    encode_chunk_intra_only,
+    encode_chunk_multiref,
+)
 
 
 from functools import lru_cache
@@ -33,7 +37,8 @@ from functools import lru_cache
 
 @lru_cache(maxsize=None)
 def gop_batch_fn(mesh, intra_only: bool, bs: int, search_range: int, rc1: bool,
-                 fast: bool, frac: bool, exact: bool, compact: bool, int8q: bool):
+                 fast: bool, frac: bool, exact: bool, compact: bool, int8q: bool,
+                 n_ref: int = 1):
     """Build the sharded GOP-batch program: ONE GOP per device via
     ``shard_map``, each shard running the *identical* serial chunk program.
 
@@ -54,6 +59,20 @@ def gop_batch_fn(mesh, intra_only: bool, bs: int, search_range: int, rc1: bool,
                 local, row_qps, budget0, tbl_qps, tbl_bits, initial_qp,
                 bs, rc1, exact=exact, compact=compact, int8q=int8q,
             )
+        elif n_ref > 1:
+            # GOPs start intra, so each shard's rolling stack initializes
+            # from scratch — no cross-shard reference state
+            out = encode_chunk_multiref(
+                local, jnp.zeros((n_ref, h, w), jnp.uint8),
+                jnp.zeros((n_ref, 2 * h, 2 * w), jnp.uint8), jnp.int32(0),
+                row_qps, budget0, tbl_qps, tbl_bits, initial_qp,
+                bs, search_range, rc1, fast, frac, True,
+                exact=exact, compact=compact, int8q=int8q,
+            )
+            # drop the stack/validity carries; normalize to encode_chunk's
+            # (intra_out, p_out, ref, hp[, packed]) shape for the fetcher
+            out = ((out[0], out[1], out[2], out[3], out[5]) if compact
+                   else out[:4])
         else:
             out = encode_chunk(
                 local, jnp.zeros((h, w), jnp.uint8),

@@ -113,7 +113,8 @@ class TestShardedEncodeVideo:
         dict(RCflag=1, targetBR=480_000),            # RC1
         dict(fastME=True, fracMeEnabled=True),       # feature combo
         dict(I_Period=1),                            # all-intra GOPs
-    ], ids=["fixed_qp", "rc1", "fastme_frac", "intra_only"])
+        dict(nRefFrames=3, exact_transform=True),    # rolling-stack GOPs
+    ], ids=["fixed_qp", "rc1", "fastme_frac", "intra_only", "nref3"])
     def test_byte_identical_to_serial(self, tmp_path, cfg):
         import filecmp
 
