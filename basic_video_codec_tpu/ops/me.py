@@ -74,10 +74,11 @@ def full_search(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.ndarray,
     Returns ``(mvs int32 [nbr, nbc, 3] as (mv_x, mv_y, ref),
     sad int32 [nbr, nbc], pred int32 [nbr, nbc, bs, bs])``.
 
-    Two scans over the candidate set: one scores (packed-key argmin implements
-    the reference tie-break), one re-materializes each candidate's aligned
-    frame and select-accumulates the winners' pixels — TPU-friendly whole-
-    frame selects instead of a 4-D gather.
+    ONE scan over the candidate set: each step scores the candidate for
+    every block (the packed-key running strict-minimum implements the
+    reference's first-minimum tie-break exactly) and select-accumulates its
+    pixels into the winners' prediction plane — TPU-friendly whole-frame
+    selects instead of a 4-D gather, with no per-candidate key buffer.
     """
     sr = search_range * 2 if frac else search_range
     assert sr <= 127, "search range too large for the (SAD, L1) packed key"
@@ -105,7 +106,8 @@ def full_search(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.ndarray,
         lim_w, lim_h, bspan = w, h, bs
         ox, oy = bx, by
 
-    def score(carry, cand):
+    def score(state, cand):
+        best_key, best_sad, best_cand, pred = state
         k, dy, dx = cand[0], cand[1], cand[2]
         aligned = aligned_frame(cand)
         sad = _block_sums(jnp.abs(curr_i - aligned), bs)  # [nbr, nbc]
@@ -119,28 +121,26 @@ def full_search(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.ndarray,
             valid = valid & (k < n_valid)  # unpopulated rolling-stack slot
         l1 = jnp.abs(dx) + jnp.abs(dy)
         key = jnp.where(valid, sad * 256 + l1, INVALID_KEY)
-        return carry, (key, sad)
-
-    _, (keys, sads) = jax.lax.scan(score, None, cands)  # [n_cand, nbr, nbc]
-    best = jnp.argmin(keys, axis=0)  # first minimal index == reference tie-break
-    best_cand = cands[best]  # [nbr, nbc, 3] (ref, dy, dx)
-    best_sad = jnp.take_along_axis(sads, best[None], axis=0)[0]
-    mvs = jnp.stack([best_cand[..., 2], best_cand[..., 1], best_cand[..., 0]], axis=-1)
-
-    # second pass: pred[y, x] = aligned_{best[block(y,x)]}[y, x]
-    def pick(state, ci):
-        pred, idx = state
-        cand = cands[ci]
-        aligned = aligned_frame(cand)
-        mask_px = (
-            jnp.broadcast_to((best == ci)[:, None, :, None], (nbr, bs, nbc, bs))
+        take = key < best_key  # strict <: the FIRST minimum wins
+        take_px = (
+            jnp.broadcast_to(take[:, None, :, None], (nbr, bs, nbc, bs))
             .reshape(h, w)
         )
-        return (jnp.where(mask_px, aligned, pred), idx), None
+        return (
+            jnp.where(take, key, best_key),
+            jnp.where(take, sad, best_sad),
+            jnp.where(take[..., None], cand[None, None], best_cand),
+            jnp.where(take_px, aligned, pred),
+        ), None
 
-    (pred_frame, _), _ = jax.lax.scan(
-        pick, (jnp.zeros((h, w), jnp.int32), 0), jnp.arange(cands.shape[0])
+    init = (
+        jnp.full((nbr, nbc), INVALID_KEY, jnp.int32),
+        jnp.zeros((nbr, nbc), jnp.int32),
+        jnp.zeros((nbr, nbc, 3), jnp.int32),
+        jnp.zeros((h, w), jnp.int32),
     )
+    (_, best_sad, best_cand, pred_frame), _ = jax.lax.scan(score, init, cands)
+    mvs = jnp.stack([best_cand[..., 2], best_cand[..., 1], best_cand[..., 0]], axis=-1)
     preds = pred_frame.reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3)
     return mvs, best_sad, preds
 
