@@ -1,0 +1,84 @@
+"""Randomized cross-backend conformance sweep.
+
+Draws seeded random configurations over the full feature space (block size,
+search range, I_Period, QP, nRefFrames, fastME, fracME, RC mode, resolution
+incl. non-block-multiples, parallel GOP sharding) and asserts that the TPU
+pipeline's bitstream and artifact tree are byte-identical to the golden
+oracle under ``exact_transform`` (which pins the one permitted float
+divergence), plus the decode==recon invariant.  A fixed seed keeps the sweep
+deterministic; ``BVC_PROPERTY_CASES`` scales it up for soak runs.
+"""
+
+import filecmp
+import os
+
+import numpy as np
+import pytest
+
+from basic_video_codec_tpu.config import EncoderConfig, InputParameters
+from basic_video_codec_tpu.golden.decoder import decode_video as golden_decode
+from basic_video_codec_tpu.golden.encoder import encode_video as golden_encode
+from basic_video_codec_tpu.io.fileio import FileIOHelper
+from basic_video_codec_tpu.models.pipeline import decode_video as tpu_decode
+from basic_video_codec_tpu.models.pipeline import encode_video as tpu_encode
+from basic_video_codec_tpu.tools import ygen
+
+N_CASES = int(os.environ.get("BVC_PROPERTY_CASES", "8"))
+
+RC_TABLE = {
+    qp: {"I": v, "P": max(v * 3 // 4, 40), "C": v * 7 // 8}
+    for qp, v in [(1, 5200), (2, 3900), (3, 2800), (4, 1900), (5, 1250),
+                  (6, 800), (7, 500), (8, 320), (9, 210), (10, 160)]
+}
+
+
+def _draw(rng):
+    bs = int(rng.choice([4, 8, 16]))
+    w = int(rng.choice([48, 64, 100, 176]))
+    h = int(rng.choice([32, 48, 60, 144]))
+    rc = int(rng.choice([0, 0, 1, 2, 3]))
+    cfg = dict(
+        block_size=bs,
+        search_range=int(rng.integers(1, 4)),
+        I_Period=int(rng.choice([1, 2, 3, 5])),
+        quantization_factor=int(rng.integers(0, 7)),
+        nRefFrames=int(rng.choice([1, 1, 2, 4])),
+        fastME=bool(rng.random() < 0.4),
+        fracMeEnabled=bool(rng.random() < 0.4),
+        RCflag=rc,
+        targetBR=int(rng.choice([240_000, 480_000])) if rc else 0,
+        resolution=(w, h),
+        exact_transform=True,
+    )
+    n = int(rng.integers(3, 8))
+    return cfg, w, h, n
+
+
+@pytest.mark.parametrize("case", range(N_CASES))
+def test_random_config_byte_parity(tmp_path, case):
+    rng = np.random.default_rng(6000 + case)
+    cfg, w, h, n = _draw(rng)
+    y = ygen.moving_sequence(w, h, n, seed=int(rng.integers(0, 1 << 30)))
+    ios = {}
+    for sub, enc, dec in (("g", golden_encode, golden_decode),
+                          ("t", tpu_encode, tpu_decode)):
+        d = tmp_path / sub
+        d.mkdir()
+        ygen.write_y_file(str(d / "t.y"), y)
+        ec = EncoderConfig(**cfg)
+        if cfg["RCflag"]:
+            ec.rc_lookup_table = {k: dict(v) for k, v in RC_TABLE.items()}
+        p = InputParameters(str(d / "t.y"), w, h, ec, frames_to_process=n)
+        enc(p, results_csv_path=None)
+        dec(p)
+        ios[sub] = FileIOHelper(p, create_dirs=False)
+    label = {k: v for k, v in cfg.items() if v}
+    for get in ("get_encoded_file_name", "get_mc_reconstructed_file_name",
+                "get_mc_decoded_file_name", "get_quant_dct_coff_fh_file_name",
+                "get_residual_w_mc_file_name", "get_residual_wo_mc_file_name",
+                "get_mv_file_name"):
+        assert filecmp.cmp(getattr(ios["g"], get)(), getattr(ios["t"], get)(),
+                           shallow=False), (get, label)
+    rt = np.fromfile(ios["t"].get_mc_reconstructed_file_name(), np.uint8)
+    dt = np.fromfile(ios["t"].get_mc_decoded_file_name(), np.uint8)
+    assert np.array_equal(rt, dt), label
