@@ -1026,7 +1026,9 @@ def _parse_dct(data, ec, params):
     nbc = pw // bs
     nbr = ph // bs
     scans = decode_dct_scans(data, nbr * nbc, bs * bs, EOB_MARKER)
-    out = np.zeros((nbr * nbc, bs * bs), dtype=np.int32)
+    # int16 halves the host->device upload; any quantized coefficient fits
+    # (|q| <= 255 * bs <= 4080, ops/pack.py range analysis)
+    out = np.zeros((nbr * nbc, bs * bs), dtype=np.int16)
     out[:, zigzag_indices(bs)] = scans  # flat[zz[k]] = scan[k]
     return (
         out.reshape(nbr, nbc, bs, bs).swapaxes(1, 2).reshape(nbr * bs, nbc * bs)
