@@ -69,9 +69,10 @@ class EncoderConfig:
         self.strict_reference_crashes = strict_reference_crashes
         # > 1: encode this many GOPs concurrently, sharded over the device
         # mesh's data axis (parallel/gop.py).  Output artifacts are
-        # byte-identical to a serial run.  Requires nRefFrames == 1 and
-        # RCflag <= 1 (RC 2/3 carry the previous frame's average QP across
-        # GOP boundaries, a serial dependence).
+        # byte-identical to a serial run.  Requires RCflag <= 1 (RC 2/3
+        # carry the previous frame's average QP across GOP boundaries, a
+        # serial dependence); all other features, including nRefFrames > 1,
+        # are supported.  Ignored (with a warning) when ineligible.
         self.parallel_gops = parallel_gops
         self.validate()
 

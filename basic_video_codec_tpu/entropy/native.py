@@ -1,4 +1,4 @@
-"""ctypes bindings for the native entropy codec (native/entropy.cc).
+"""ctypes bindings for the native entropy codec (basic_video_codec_tpu/native/entropy.cc).
 
 Loads ``libbvc_entropy.so``, building it with g++ on first use if needed
 (no external packaging).  All entry points have pure-NumPy fallbacks — the
@@ -17,8 +17,8 @@ from ..utils.logger import get_logger
 
 logger = get_logger()
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native")
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "libbvc_entropy.so")
 
 _lib = None

@@ -8,6 +8,7 @@ reference's.
 """
 
 import csv
+import math
 import os
 import time
 from collections import deque
@@ -35,16 +36,27 @@ def _load_rc_table(ec):
     encoder.py:39-42); we tolerate missing tables when RC is off, and keep a
     caller-supplied table (calibration for resolutions without shipped CSVs,
     e.g. from rc.lookup.generate_rc_lookup)."""
-    if ec.rc_lookup_table is not None:
-        return
-    try:
-        ec.rc_lookup_table = get_combined_lookup_table(
-            rc_lookup_file_path(ec, "I"), rc_lookup_file_path(ec, "P")
-        )
-    except FileNotFoundError:
-        if ec.RCflag or getattr(ec, "strict_reference_crashes", False):
-            raise
-        ec.rc_lookup_table = None
+    if ec.rc_lookup_table is None:
+        try:
+            ec.rc_lookup_table = get_combined_lookup_table(
+                rc_lookup_file_path(ec, "I"), rc_lookup_file_path(ec, "P")
+            )
+        except FileNotFoundError:
+            if ec.RCflag or getattr(ec, "strict_reference_crashes", False):
+                raise
+            ec.rc_lookup_table = None
+    if ec.RCflag and ec.rc_lookup_table:
+        # RC may pick any table QP (RateControl.py:34-43), so every entry
+        # must be a representable quantization level for this block size —
+        # the same bound EncoderConfig.validate enforces on the config QP.
+        # The shipped calibration tables satisfy this by construction;
+        # reject custom ones that do not, loudly, on every backend.
+        max_qp = int(math.log2(ec.block_size)) + 7
+        bad = [q for q in ec.rc_lookup_table if q > max_qp]
+        if bad:
+            raise ValueError(
+                f"RC lookup table contains QP(s) {bad} beyond the valid "
+                f"range (<= {max_qp}) for block_size {ec.block_size}")
 
 
 def _first_pass_frame(frame_index, padded, refs, irefs, params, prev_frame):

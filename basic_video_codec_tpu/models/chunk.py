@@ -32,21 +32,49 @@ def _pack_qdct_stack(qdcts, bs, vdtype):
     return jax.vmap(lambda q: P.pack_qdct(q, bs, zz, cap, vdtype))(qdcts)
 
 
-def _pack_art_stack(arts, recons, prevs, prev_hps, smalls, bs, frac):
-    """vmap pack_art over stacked P-frames; predictions are regathered from
-    each frame's previous reconstruction + MVs (single-reference path)."""
-    k, h, w = arts.shape
+def _pack_chunk_rows(intra_parts, p_parts, ref_stacks, hp_stacks, bs, frac,
+                     int8q, h, w):
+    """Shared compact-transfer epilogue: ONE packed uint8 row per frame in
+    ops/pack.py FrameLayout order.  ``intra_parts`` is the chunk head's
+    (recon, qdct, smalls) or None; ``p_parts`` the stacked P-frame
+    (recons, arts, qdcts, smalls); ``ref_stacks``/``hp_stacks`` hold each
+    P-frame's OWN reference stack [K, R, H, W] (R == 1 on the single-ref
+    path) so predictions can be regathered for the res-plane correction
+    codes."""
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
+    vdtype = jnp.int8 if int8q else jnp.int16
+    layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True)
     cap = P.esc_cap(h, w)
-    mvs = smalls[:, : 3 * nb].reshape(k, nbr, nbc, 3)
+    rows = []
+    if intra_parts is not None:
+        recon_i, qdct_i, smalls_i = intra_parts
+        zz = jnp.asarray(zigzag_indices(bs))
+        qv_i, ql_i, qt_i = P.pack_qdct(qdct_i, bs, zz, P.qdct_caps(nb), vdtype)
+        meta_i, mv_z, modes_i = _meta_i(smalls_i, nb, nbr)
+        rows.append(P.pack_row(
+            recon_i, meta_i, mv_z, modes_i, qv_i, ql_i, qt_i,
+            jnp.zeros(h * w // 4, jnp.uint8), jnp.zeros(layout.cape, jnp.uint8),
+            jnp.int32(0))[None])
+    recons, arts, qdcts, smalls = p_parts
+    if recons.shape[0] > 0:
+        qv, ql, qt = _pack_qdct_stack(qdcts, bs, vdtype)
+        mvs = smalls[:, : 3 * nb].reshape(-1, nbr, nbc, 3)
 
-    def one(art, recon, prev, prev_hp, mv):
-        pred = gather_pred_blocks(prev[None], prev_hp[None], mv, bs, frac)
-        pred = pred.transpose(0, 2, 1, 3).reshape(h, w).astype(jnp.int32)
-        return P.pack_art(art, recon, pred, cap)
+        def pack_one(art, recon, refstack, hpstack, mv):
+            pred = gather_pred_blocks(refstack, hpstack, mv, bs, frac)
+            pred = pred.transpose(0, 2, 1, 3).reshape(h, w).astype(jnp.int32)
+            return P.pack_art(art, recon, pred, cap)
 
-    return jax.vmap(one)(arts, recons, prevs, prev_hps, mvs)
+        ac, ae, an = jax.vmap(pack_one)(arts, recons, ref_stacks, hp_stacks, mvs)
+
+        def row(r, sm, v, l, t, c, e, n):
+            meta, mv, modes = _meta_p(sm, nb, nbr)
+            return P.pack_row(r, meta, mv, modes, v, l, t, c, e, n)
+
+        rows.append(jax.vmap(row)(recons, smalls, qv, ql, qt, ac, ae, an))
+    return (jnp.concatenate(rows) if rows
+            else jnp.zeros((0, layout.total), jnp.uint8))
 
 
 def _meta_p(smalls, nb, nbr):
@@ -194,42 +222,17 @@ def encode_chunk(
     if not compact:
         return intra_out, p_out, ref_out, hp_out
 
-    nbr, nbc = h // bs, w // bs
-    nb = nbr * nbc
-    vdtype = jnp.int8 if int8q else jnp.int16
-    layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True)
-    rows = []
-    if intra_out is not None:
-        zz = jnp.asarray(zigzag_indices(bs))
-        qv_i, ql_i, qt_i = P.pack_qdct(qdct_i, bs, zz, P.qdct_caps(nb), vdtype)
-        meta_i, mv_z, modes_i = _meta_i(smalls_i, nb, nbr)
-        rows.append(P.pack_row(
-            recon_i, meta_i, mv_z, modes_i, qv_i, ql_i, qt_i,
-            jnp.zeros(h * w // 4, jnp.uint8), jnp.zeros(layout.cape, jnp.uint8),
-            jnp.int32(0))[None])
-    recons, arts, qdcts, smalls = p_out[:4]
-    k = recons.shape[0]
-    if k > 0:
-        prev0 = carry[0][None]  # intra recon or incoming reference
-        prevs = jnp.concatenate([prev0, recons[:-1]])
-        if emit_hp:
-            prev_hps = jnp.concatenate([carry[1][None], p_out[4][:-1]])
-        else:
-            prev_hps = jnp.zeros((k, 2 * h, 2 * w), jnp.uint8)
-        qv, ql, qt = _pack_qdct_stack(qdcts, bs, vdtype)
-        ac, ae, an = _pack_art_stack(arts, recons, prevs, prev_hps,
-                                     smalls, bs, frac)
-
-        def row(r, sm, v, l, t, c, e, n):
-            meta, mv, modes = _meta_p(sm, nb, nbr)
-            return P.pack_row(r, meta, mv, modes, v, l, t, c, e, n)
-
-        rows.append(jax.vmap(row)(recons, smalls, qv, ql, qt, ac, ae, an))
-    packed = (jnp.concatenate(rows) if rows
-              else jnp.zeros((0, layout.total), jnp.uint8))
-    p_out = p_out[:4]
-    return intra_out[:4] if intra_out is not None else None, \
-        p_out, ref_out, hp_out, packed
+    k = p_out[0].shape[0]
+    prev0 = carry[0][None]  # intra recon or incoming reference
+    prevs = jnp.concatenate([prev0, p_out[0][:-1]])[:, None]  # [K, 1, H, W]
+    if emit_hp:
+        prev_hps = jnp.concatenate([carry[1][None], p_out[4][:-1]])[:, None]
+    else:
+        prev_hps = jnp.zeros((k, 1, 2 * h, 2 * w), jnp.uint8)
+    packed = _pack_chunk_rows(
+        (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
+        p_out[:4], prevs, prev_hps, bs, frac, int8q, h, w)
+    return intra_out, p_out[:4], ref_out, hp_out, packed
 
 
 def _push_ref(refs, hps, n_valid, recon, hp, frac):
@@ -335,39 +338,9 @@ def encode_chunk_multiref(
     if not compact:
         return intra_out, p_out, refs_out, hps_out, nv_out
 
-    vdtype = jnp.int8 if int8q else jnp.int16
-    layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True)
-    rows = []
-    if intra_out is not None:
-        zz = jnp.asarray(zigzag_indices(bs))
-        qv_i, ql_i, qt_i = P.pack_qdct(qdct_i, bs, zz, P.qdct_caps(nb), vdtype)
-        meta_i, mv_z, modes_i = _meta_i(smalls_i, nb, nbr)
-        rows.append(P.pack_row(
-            recon_i, meta_i, mv_z, modes_i, qv_i, ql_i, qt_i,
-            jnp.zeros(h * w // 4, jnp.uint8), jnp.zeros(layout.cape, jnp.uint8),
-            jnp.int32(0))[None])
-    recons, arts, qdcts, smalls = p_out[:4]
-    if recons.shape[0] > 0:
-        ref_stacks, hp_stacks = p_out[4], p_out[5]
-        qv, ql, qt = _pack_qdct_stack(qdcts, bs, vdtype)
-        cap = P.esc_cap(h, w)
-        mvs_all = smalls[:, : 3 * nb].reshape(-1, nbr, nbc, 3)
-
-        def pack_one(art, recon, refstack, hpstack, mv):
-            pred = gather_pred_blocks(refstack, hpstack, mv, bs, frac)
-            pred = pred.transpose(0, 2, 1, 3).reshape(h, w).astype(jnp.int32)
-            return P.pack_art(art, recon, pred, cap)
-
-        ac, ae, an = jax.vmap(pack_one)(arts, recons, ref_stacks, hp_stacks,
-                                        mvs_all)
-
-        def row(r, sm, v, l, t, c, e, n):
-            meta, mv, modes = _meta_p(sm, nb, nbr)
-            return P.pack_row(r, meta, mv, modes, v, l, t, c, e, n)
-
-        rows.append(jax.vmap(row)(recons, smalls, qv, ql, qt, ac, ae, an))
-    packed = (jnp.concatenate(rows) if rows
-              else jnp.zeros((0, layout.total), jnp.uint8))
+    packed = _pack_chunk_rows(
+        (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
+        p_out[:4], p_out[4], p_out[5], bs, frac, int8q, h, w)
     return intra_out, p_out[:4], refs_out, hps_out, nv_out, packed
 
 

@@ -71,16 +71,10 @@ else:
     STAGE_TIMER = None
 
 
-class _NullCtx:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *a):
-        return False
-
-
 def _stage(name):
-    return STAGE_TIMER(name) if STAGE_TIMER is not None else _NullCtx()
+    import contextlib
+
+    return STAGE_TIMER(name) if STAGE_TIMER is not None else contextlib.nullcontext()
 
 
 class _Pending:
@@ -280,6 +274,24 @@ def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec,
                             prev_recon=prev_recon, want_psnr=want_psnr)
 
 
+_HP_CACHE: dict = {}  # id(recon) -> (recon, halfpel): reconstructions sit in
+# the host reference mirror for up to nRefFrames frames, so their (2H x 2W)
+# interpolations are reused across finalizes instead of recomputed per frame
+
+
+def _host_halfpel(recon):
+    from ..golden.interp import build_pre_interpolated_buffer
+
+    hit = _HP_CACHE.get(id(recon))
+    if hit is not None and hit[0] is recon:
+        return hit[1]
+    hp = build_pre_interpolated_buffer(recon)
+    if len(_HP_CACHE) > 16:
+        _HP_CACHE.clear()
+    _HP_CACHE[id(recon)] = (recon, hp)
+    return hp
+
+
 def _finalize_compact(index, curr, f, ec, prev, q_full=None,
                       a_full=None) -> _Finalized:
     """Rebuild the qdct / res_w_mc planes from one packed-frame field dict
@@ -288,7 +300,6 @@ def _finalize_compact(index, curr, f, ec, prev, q_full=None,
     as a list, oldest first (nRefFrames > 1).  ``q_full`` / ``a_full`` carry
     full planes for the rare per-frame overflow fallback (fetched by the
     dispatch thread)."""
-    from ..golden.interp import build_pre_interpolated_buffer
     from ..ops import pack as PK
 
     bs = ec.block_size
@@ -321,7 +332,7 @@ def _finalize_compact(index, curr, f, ec, prev, q_full=None,
             hps = None
             if ec.fracMeEnabled:
                 planes = refs if refs.ndim == 3 else refs[None]
-                hps = np.stack([build_pre_interpolated_buffer(r) for r in planes])
+                hps = np.stack([_host_halfpel(r) for r in planes])
             pred = PK.host_pred_inter(refs, aux, bs, ec.fracMeEnabled, hps)
             art = PK.unpack_art(f["ac"], f["ae"], recon, pred)
     return _finalize_fields(index, mode, curr, recon, art, qdct, aux,
@@ -406,6 +417,10 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
             return f
 
         if ec.nRefFrames == 1 or ec.RCflag <= 1:
+            if getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag > 1:
+                logger.warning(
+                    "parallel_gops ignored: RC 2/3 carries the previous "
+                    "frame's average QP across GOP boundaries (serial)")
             if getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag <= 1:
                 # multi-chip: GOP batches sharded over the mesh's data axis
                 _run_gop_sharded(params, ec, f_in, tbl, write_out)
@@ -573,8 +588,11 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
 
     # The fused two-pass path keeps full-plane transfers: its scatter
     # compaction costs ~16 ms/frame of device time on this backend
-    # (PROFILE.md §4), more than the bytes it saves at block 16.
-    compact = os.environ.get("BVC_COMPACT", "1") != "0" and not two_pass
+    # (PROFILE.md §4), more than the bytes it saves at block 16.  The
+    # compact metric sums are device int32, so frames whose worst-case SAD
+    # total could overflow (> ~8 MP) use full planes too.
+    compact = (os.environ.get("BVC_COMPACT", "1") != "0" and not two_pass
+               and params.height * params.width * 255 < 2 ** 31)
     int8q = PK.qdct_int8_safe(ec)
     pw, ph = padded_dims(params.width, params.height, bs)
     nb_pad = (ph // bs) * (pw // bs)
@@ -583,7 +601,6 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
 
     vbytes = 1 if int8q else 2
     layouts = {
-        "two_pass": PK.FrameLayout(ph, pw, bs, 2, True, True),
         "intra_all": PK.FrameLayout(ph, pw, bs, vbytes, False, False),
         "intra_led": PK.FrameLayout(ph, pw, bs, vbytes, True, True),
         "p_only": PK.FrameLayout(ph, pw, bs, vbytes, True, True),
@@ -611,7 +628,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         nonlocal last_recon
         futures = []
         lay = layouts[kind]
-        if kind == "two_pass" or kind == "intra_all":
+        if kind == "intra_all":
             packed, d_arts, d_qdcts, pos = jax.device_get(dev[4]), dev[1], dev[2], 0
             intra_head = None
         else:
@@ -653,7 +670,6 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             # planes, two_pass.py) -> split into per-frame views here
             nb = nb_pad  # smalls are laid out over PADDED block counts
             hw = ph * pw
-            sm_len = 1 + 5 * nb + 2 * (ph // bs)
             with _stage("fetch (device_get)"):
                 bundle = jax.device_get(dev[4])  # [K, NB] uint8
             recons = []
@@ -753,10 +769,10 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     jnp.asarray(frames_np), ref, hp, prev_avg, budget0,
                     tbl[0], tbl[1], exp_p_frame, initial_qp,
                     bs, max(ec.search_range, 0), ec.fastME, frac,
-                    first_is_intra, exact=exact, compact=compact,
+                    first_is_intra, exact=exact,
                 )
                 kind = "two_pass"
-                leaves = (dev[4],)  # compact pack or full-plane bundle
+                leaves = (dev[4],)  # the full-plane bundle
             elif intra_only:
                 # every frame clears the references: fully parallel vmap chunk
                 dev = encode_chunk_intra_only(
@@ -846,7 +862,8 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
     initial_qp = jnp.int32(ec.quantization_factor)
     frac = ec.fracMeEnabled
     exact = getattr(ec, "exact_transform", False)
-    compact = os.environ.get("BVC_COMPACT", "1") != "0"
+    compact = (os.environ.get("BVC_COMPACT", "1") != "0"
+               and params.height * params.width * 255 < 2 ** 31)
     int8q = PK.qdct_int8_safe(ec)
     pw, ph = padded_dims(params.width, params.height, bs)
     nb_pad = (ph // bs) * (pw // bs)

@@ -61,7 +61,7 @@ def _row_qps_proportional(row_bits_1, budget_frame, tbl_qps, tbl_bits):
 
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "fast", "frac",
-                                   "first_is_intra", "exact", "compact"))
+                                   "first_is_intra", "exact"))
 def encode_chunk_two_pass(
     frames: jnp.ndarray,       # uint8 [K, H, W]
     ref0: jnp.ndarray,         # uint8 [H, W]
@@ -78,44 +78,23 @@ def encode_chunk_two_pass(
     frac: bool,
     first_is_intra: bool,
     exact: bool = False,
-    compact: bool = False,
 ):
     """Returns ``(out, ref_out, hp_out, prev_avg_out)`` with
     ``out = (recons [K,H,W] u8, arts [K,H,W] u8, qdcts [K,H,W] i16,
     smalls [K, 1+5nb+2nbr] i32)``; smalls lead with the frame's final mode
     (0=P, 1=I), then mvs/sads/comps (P) or modes/maes/pad (I), row_qps,
-    row_bits.  With ``compact``, appends ``packed`` — one uint8 buffer
-    [K, NB] per chunk holding every per-frame field the host needs
-    (ops/pack.py FrameLayout; art correction is coded against the P
-    prediction — the host ignores it for frames whose final mode is I and
-    re-derives their res plane instead)."""
+    row_bits.  A fifth element ``packed`` bundles the full planes of the
+    whole chunk into ONE uint8 buffer (bitcast+concat, no compaction): one
+    device->host transfer per chunk instead of four, amortizing tunnel
+    latency.  Scatter-based compaction (ops/pack.py) is deliberately NOT
+    used here — it costs ~16 ms/frame of device time on this backend
+    (PROFILE.md §4), more than the bytes it saves at block 16."""
     k, h, w = frames.shape
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     qmats = jnp.asarray(T.quant_matrices(bs))
     zz = jnp.asarray(zigzag_indices(bs))
     zeros_tbl = jnp.zeros_like(tbl_qps), jnp.zeros_like(tbl_bits)
-    qcap = P.qdct_caps(nb)
-    ecap = P.esc_cap(h, w)
-    layout = P.FrameLayout(h, w, bs, 2, True, True)
-
-    def pack_frame(recon, art, qdct, smalls, pred_plane):
-        """One frame's transfer row (ops/pack.py FrameLayout).  The final
-        mode is dynamic here, so both the MV and intra-modes fields are
-        emitted (the unused one is the other payload's bytes; the host reads
-        only the field matching meta[0])."""
-        qv, ql, qt = P.pack_qdct(qdct, bs, zz, qcap, jnp.int16)
-        ac, ae, an = P.pack_art(art, recon, pred_plane, ecap)
-        mode = smalls[0]
-        mv = smalls[1 : 1 + 3 * nb].astype(jnp.int16)
-        modes = smalls[1 : 1 + nb].astype(jnp.uint8)
-        metric = jnp.where(mode == 1, smalls[1 + nb : 1 + 2 * nb].sum(),
-                           smalls[1 + 3 * nb : 1 + 4 * nb].sum())
-        comp = jnp.where(mode == 1, jnp.int32(2 * nb),
-                         smalls[1 + 4 * nb : 1 + 5 * nb].sum())
-        meta = jnp.concatenate([
-            jnp.stack([mode, metric, comp]), smalls[1 + 5 * nb :]])
-        return P.pack_row(recon, meta, mv, modes, qv, ql, qt, ac, ae, an)
 
     def intra_pass(curr, row_qps):
         """Full intra encode at given per-row QPs; smalls in unified layout."""
@@ -191,12 +170,11 @@ def encode_chunk_two_pass(
             hp2 = build_half_pel(recon)
         else:
             hp2 = hp
-        pred_plane = preds.transpose(0, 2, 1, 3).reshape(h, w)
-        return (recon, hp2, art, qdct, smalls), scene, rb1, pred_plane
+        return (recon, hp2, art, qdct, smalls), scene, rb1
 
     def step(carry, curr):
         ref, hp, prev_avg = carry
-        (p_recon, p_hp, p_art, p_qdct, p_smalls), scene, rb1, pred_plane = p_two_pass(
+        (p_recon, p_hp, p_art, p_qdct, p_smalls), scene, rb1 = p_two_pass(
             curr, ref, hp, prev_avg)
 
         def as_intra(_):
@@ -211,13 +189,7 @@ def encode_chunk_two_pass(
 
         recon, hp2, art, qdct, smalls = jax.lax.cond(scene, as_intra, as_p, None)
         new_avg = _avg_qp(smalls[1 + 5 * nb : 1 + 5 * nb + nbr], nbr)
-        outs = (recon, art, qdct, smalls)
-        if compact:
-            # packing happens AFTER the scan, batched over the chunk —
-            # scatter-compaction inside the serial frame chain costs ~ms per
-            # frame on this backend (PROFILE.md §4)
-            outs = outs + (pred_plane,)
-        return (recon, hp2, new_avg), outs
+        return (recon, hp2, new_avg), (recon, art, qdct, smalls)
 
     if first_is_intra:
         recon_i, hp_i, art_i, qdct_i, smalls_i, _ = intra_two_pass(frames[0], prev_avg_qp0)
@@ -225,9 +197,6 @@ def encode_chunk_two_pass(
         carry = (recon_i, hp_i if frac else hp0, avg_i)
         p_frames = frames[1:]
         head = (recon_i[None], art_i[None], qdct_i[None], smalls_i[None])
-        if compact:
-            # I-frame art is host-derived; its prediction slot is zeros
-            head = head + (jnp.zeros((1, h, w), jnp.int32),)
     else:
         carry = (ref0, hp0, prev_avg_qp0)
         p_frames = frames
@@ -240,25 +209,15 @@ def encode_chunk_two_pass(
         tail = (jnp.zeros((0, h, w), jnp.uint8), jnp.zeros((0, h, w), jnp.uint8),
                 jnp.zeros((0, h, w), jnp.int16),
                 jnp.zeros((0, 1 + 5 * nb + 2 * nbr), jnp.int32))
-        if compact:
-            tail = tail + (jnp.zeros((0, h, w), jnp.int32),)
 
     if head is not None:
         out = tuple(jnp.concatenate([hd, tl]) for hd, tl in zip(head, tail))
     else:
         out = tail
-    if compact:
-        recons, arts, qdcts, smalls_all, preds = out
-        packed = jax.vmap(pack_frame)(recons, arts, qdcts, smalls_all, preds)
-        out = (recons, arts, qdcts, smalls_all, packed)
-    else:
-        # bundle the FULL planes into one buffer per chunk anyway: pure
-        # bitcast+concat (no scatter compaction — that costs ~16 ms/frame of
-        # device time here, PROFILE.md §4), so a chunk is one transfer
-        # instead of four and per-transfer tunnel latency amortizes
-        recons, arts, qdcts, smalls_all = out
-        packed = jax.vmap(
-            lambda r, a, q, sm: P.concat_bytes(r, a, q, sm)
-        )(recons, arts, qdcts, smalls_all)
-        out = out + (packed,)
-    return out, ref_out, hp_out, avg_out
+    # bundle the FULL planes into one buffer per chunk: pure bitcast+concat,
+    # so a chunk is one transfer instead of four
+    recons, arts, qdcts, smalls_all = out
+    packed = jax.vmap(
+        lambda r, a, q, sm: P.concat_bytes(r, a, q, sm)
+    )(recons, arts, qdcts, smalls_all)
+    return out + (packed,), ref_out, hp_out, avg_out

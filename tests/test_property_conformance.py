@@ -28,8 +28,18 @@ N_CASES = int(os.environ.get("BVC_PROPERTY_CASES", "8"))
 RC_TABLE = {
     qp: {"I": v, "P": max(v * 3 // 4, 40), "C": v * 7 // 8}
     for qp, v in [(1, 5200), (2, 3900), (3, 2800), (4, 1900), (5, 1250),
-                  (6, 800), (7, 500), (8, 320), (9, 210), (10, 160)]
+                  (6, 800), (7, 500), (8, 320), (9, 210), (10, 160), (11, 140)]
 }
+
+
+def _table_for(bs):
+    """Calibration capped at the block size's max representable QP — like
+    the shipped tables, whose entry counts track log2(bs)+7 per block size
+    (see rc/lookup.py); encode refuses tables that exceed the bound."""
+    import math
+
+    max_qp = int(math.log2(bs)) + 7
+    return {q: dict(v) for q, v in RC_TABLE.items() if q <= max_qp}
 
 
 def _draw(rng):
@@ -54,6 +64,22 @@ def _draw(rng):
     return cfg, w, h, n
 
 
+def test_table_qp_beyond_block_range_rejected(tmp_path):
+    """An RC table holding QPs beyond log2(bs)+7 is refused loudly on every
+    backend: the reference's own tables respect the bound by construction,
+    and the device quantization-matrix stack cannot represent such levels
+    (it would silently clamp)."""
+    y = ygen.moving_sequence(48, 32, 2, seed=1)
+    ygen.write_y_file(str(tmp_path / "t.y"), y)
+    ec = EncoderConfig(4, 1, 2, 3, RCflag=1, targetBR=100_000, resolution=(48, 32))
+    ec.rc_lookup_table = {k: dict(v) for k, v in RC_TABLE.items()}  # up to QP 11
+    p = InputParameters(str(tmp_path / "t.y"), 48, 32, ec, frames_to_process=2)
+    with pytest.raises(ValueError, match="beyond the valid"):
+        tpu_encode(p, results_csv_path=None)
+    with pytest.raises(ValueError, match="beyond the valid"):
+        golden_encode(p, results_csv_path=None)
+
+
 @pytest.mark.parametrize("case", range(N_CASES))
 def test_random_config_byte_parity(tmp_path, case):
     rng = np.random.default_rng(6000 + case)
@@ -67,7 +93,7 @@ def test_random_config_byte_parity(tmp_path, case):
         ygen.write_y_file(str(d / "t.y"), y)
         ec = EncoderConfig(**cfg)
         if cfg["RCflag"]:
-            ec.rc_lookup_table = {k: dict(v) for k, v in RC_TABLE.items()}
+            ec.rc_lookup_table = _table_for(cfg["block_size"])
         p = InputParameters(str(d / "t.y"), w, h, ec, frames_to_process=n)
         enc(p, results_csv_path=None)
         dec(p)
