@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from ..entropy.zigzag import zigzag_indices
 from ..ops import pack as P
 from ..ops.intra import intra_decode_frame, intra_encode_frame
-from ..ops.me import gather_pred_blocks
 from .pframe import pframe_decode, pframe_encode
 
 
@@ -32,15 +31,14 @@ def _pack_qdct_stack(qdcts, bs, vdtype):
     return jax.vmap(lambda q: P.pack_qdct(q, bs, zz, cap, vdtype))(qdcts)
 
 
-def _pack_chunk_rows(intra_parts, p_parts, ref_stacks, hp_stacks, bs, frac,
-                     int8q, h, w):
+def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w):
     """Shared compact-transfer epilogue: ONE packed uint8 row per frame in
     ops/pack.py FrameLayout order.  ``intra_parts`` is the chunk head's
     (recon, qdct, smalls) or None; ``p_parts`` the stacked P-frame
-    (recons, arts, qdcts, smalls); ``ref_stacks``/``hp_stacks`` hold each
-    P-frame's OWN reference stack [K, R, H, W] (R == 1 on the single-ref
-    path) so predictions can be regathered for the res-plane correction
-    codes."""
+    (recons, arts, qdcts, smalls); ``preds`` each P-frame's MC prediction
+    plane [K, H, W] u8, emitted by the scan step (pframe_encode emit_pred) —
+    regathering it here from stacked half-pel buffers faults the TPU
+    backend when the program also contains the fastME while_loop."""
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     vdtype = jnp.int8 if int8q else jnp.int16
@@ -52,29 +50,44 @@ def _pack_chunk_rows(intra_parts, p_parts, ref_stacks, hp_stacks, bs, frac,
         zz = jnp.asarray(zigzag_indices(bs))
         qv_i, ql_i, qt_i = P.pack_qdct(qdct_i, bs, zz, P.qdct_caps(nb), vdtype)
         meta_i, mv_z, modes_i = _meta_i(smalls_i, nb, nbr)
+        rc_i, re_i, rn_i = _pack_intra_recon(recon_i, qdct_i, smalls_i,
+                                             bs, nb, nbr, nbc, cap)
         rows.append(P.pack_row(
-            recon_i, meta_i, mv_z, modes_i, qv_i, ql_i, qt_i,
+            rc_i, re_i, rn_i, meta_i, mv_z, modes_i, qv_i, ql_i, qt_i,
             jnp.zeros(h * w // 4, jnp.uint8), jnp.zeros(layout.cape, jnp.uint8),
             jnp.int32(0))[None])
     recons, arts, qdcts, smalls = p_parts
     if recons.shape[0] > 0:
         qv, ql, qt = _pack_qdct_stack(qdcts, bs, vdtype)
-        mvs = smalls[:, : 3 * nb].reshape(-1, nbr, nbc, 3)
 
-        def pack_one(art, recon, refstack, hpstack, mv):
-            pred = gather_pred_blocks(refstack, hpstack, mv, bs, frac)
-            pred = pred.transpose(0, 2, 1, 3).reshape(h, w).astype(jnp.int32)
-            return P.pack_art(art, recon, pred, cap)
+        def pack_one(art, recon, pred_u8, qdct, sm):
+            pred = pred_u8.astype(jnp.int32)
+            row_qps = sm[5 * nb : 5 * nb + nbr]
+            guess = P.recon_guess_plane(qdct, row_qps, pred, bs)
+            return (P.pack_vs_base(recon, guess, cap)
+                    + P.pack_art(art, recon, pred, cap))
 
-        ac, ae, an = jax.vmap(pack_one)(arts, recons, ref_stacks, hp_stacks, mvs)
+        rc, re, rn, ac, ae, an = jax.vmap(pack_one)(
+            arts, recons, preds, qdcts, smalls)
 
-        def row(r, sm, v, l, t, c, e, n):
+        def row(r1, r2, r3, sm, v, l, t, c, e, n):
             meta, mv, modes = _meta_p(sm, nb, nbr)
-            return P.pack_row(r, meta, mv, modes, v, l, t, c, e, n)
+            return P.pack_row(r1, r2, r3, meta, mv, modes, v, l, t, c, e, n)
 
-        rows.append(jax.vmap(row)(recons, smalls, qv, ql, qt, ac, ae, an))
+        rows.append(jax.vmap(row)(rc, re, rn, smalls, qv, ql, qt, ac, ae, an))
     return (jnp.concatenate(rows) if rows
             else jnp.zeros((0, layout.total), jnp.uint8))
+
+
+def _pack_intra_recon(recon, qdct, smalls, bs, nb, nbr, nbc, cap):
+    """Correction codes for an I-frame's reconstruction: the prediction
+    plane comes from the FINAL recon + modes (each block's predictor pixels
+    are final by scan order), the guess from the shared integer IDCT."""
+    modes = smalls[:nb].reshape(nbr, nbc)
+    row_qps = smalls[2 * nb : 2 * nb + nbr]
+    pred = P.intra_pred_plane(recon, modes, bs)
+    guess = P.recon_guess_plane(qdct, row_qps, pred, bs)
+    return P.pack_vs_base(recon, guess, cap)
 
 
 def _meta_p(smalls, nb, nbr):
@@ -131,15 +144,17 @@ def encode_chunk_intra_only(
     if not compact:
         return recons, arts, qdcts, smalls
     h, w = frames.shape[1:]
-    nbr = h // bs
-    nb = nbr * (w // bs)
+    nbr, nbc = h // bs, w // bs
+    nb = nbr * nbc
+    cap = P.esc_cap(h, w)
     qv, ql, qt = _pack_qdct_stack(qdcts, bs, jnp.int8 if int8q else jnp.int16)
 
-    def row(r, sm, v, l, t):
+    def row(r, q, sm, v, l, t):
         meta, _, modes = _meta_i(sm, nb, nbr)
-        return P.pack_row(r, meta, None, modes, v, l, t)
+        rc, re, rn = _pack_intra_recon(r, q, sm, bs, nb, nbr, nbc, cap)
+        return P.pack_row(rc, re, rn, meta, None, modes, v, l, t)
 
-    packed = jax.vmap(row)(recons, smalls, qv, ql, qt)
+    packed = jax.vmap(row)(recons, qdcts, smalls, qv, ql, qt)
     return recons, arts, qdcts, smalls, packed
 
 
@@ -192,18 +207,17 @@ def encode_chunk(
         carry = (ref0, hp0 if frac else zeros_hp)
         p_frames = frames
 
-    emit_hp = compact and frac  # packers regather predictions per frame
-
     def step(carry, curr):
         ref, hp = carry
-        recon, hp2, art, qdct, smalls = pframe_encode(
+        out = pframe_encode(
             curr, (ref,), (hp,) if frac else (), row_qps, budget0,
             tbl_qps, tbl_bits, initial_qp, bs, search_range, rc1, fast, frac,
-            False, emit_halfpel=frac, exact=exact,
+            False, emit_halfpel=frac, exact=exact, emit_pred=compact,
         )
+        recon, hp2, art, qdct, smalls = out[:5]
         if not frac:
             hp2 = hp
-        outs = (recon, art, qdct, smalls) + ((hp2,) if emit_hp else ())
+        outs = (recon, art, qdct, smalls) + ((out[5],) if compact else ())
         return (recon, hp2), outs
 
     if p_frames.shape[0] > 0:
@@ -217,21 +231,14 @@ def encode_chunk(
             jnp.zeros((0, h, w), jnp.uint8),
             jnp.zeros((0, h, w), jnp.int16),
             jnp.zeros((0, 5 * nb + 2 * nbr), jnp.int32),
-        ) + ((jnp.zeros((0, 2 * h, 2 * w), jnp.uint8),) if emit_hp else ())
+        ) + ((jnp.zeros((0, h, w), jnp.uint8),) if compact else ())
 
     if not compact:
         return intra_out, p_out, ref_out, hp_out
 
-    k = p_out[0].shape[0]
-    prev0 = carry[0][None]  # intra recon or incoming reference
-    prevs = jnp.concatenate([prev0, p_out[0][:-1]])[:, None]  # [K, 1, H, W]
-    if emit_hp:
-        prev_hps = jnp.concatenate([carry[1][None], p_out[4][:-1]])[:, None]
-    else:
-        prev_hps = jnp.zeros((k, 1, 2 * h, 2 * w), jnp.uint8)
     packed = _pack_chunk_rows(
         (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
-        p_out[:4], prevs, prev_hps, bs, frac, int8q, h, w)
+        p_out[:4], p_out[4], bs, int8q, h, w)
     return intra_out, p_out[:4], ref_out, hp_out, packed
 
 
@@ -309,14 +316,13 @@ def encode_chunk_multiref(
 
     def step(carry, curr):
         refs, hps, nv = carry
-        recon, hp2, art, qdct, smalls = pframe_encode(
+        out = pframe_encode(
             curr, refs, hps if frac else (), row_qps, budget0,
             tbl_qps, tbl_bits, initial_qp, bs, search_range, rc1, fast, frac,
-            True, emit_halfpel=frac, exact=exact, n_valid=nv,
+            True, emit_halfpel=frac, exact=exact, n_valid=nv, emit_pred=compact,
         )
-        outs = (recon, art, qdct, smalls)
-        if compact:
-            outs = outs + (refs, hps, nv)  # the stack this frame predicted from
+        recon, hp2, art, qdct, smalls = out[:5]
+        outs = (recon, art, qdct, smalls) + ((out[5],) if compact else ())
         refs, hps, nv = _push_ref(
             refs, hps, nv, recon,
             hp2 if frac else jnp.zeros((2 * h, 2 * w), jnp.uint8), frac)
@@ -331,16 +337,14 @@ def encode_chunk_multiref(
             jnp.zeros((0, h, w), jnp.uint8),
             jnp.zeros((0, h, w), jnp.int16),
             jnp.zeros((0, 5 * nb + 2 * nbr), jnp.int32),
-        ) + ((jnp.zeros((0, R, h, w), jnp.uint8),
-              jnp.zeros((0, R, 2 * h, 2 * w), jnp.uint8),
-              jnp.zeros((0,), jnp.int32)) if compact else ())
+        ) + ((jnp.zeros((0, h, w), jnp.uint8),) if compact else ())
 
     if not compact:
         return intra_out, p_out, refs_out, hps_out, nv_out
 
     packed = _pack_chunk_rows(
         (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
-        p_out[:4], p_out[4], p_out[5], bs, frac, int8q, h, w)
+        p_out[:4], p_out[4], bs, int8q, h, w)
     return intra_out, p_out[:4], refs_out, hps_out, nv_out, packed
 
 

@@ -41,7 +41,8 @@ def _wrap_int8_bits(x: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
-                                   "multi_ref", "emit_halfpel", "exact"))
+                                   "multi_ref", "emit_halfpel", "exact",
+                                   "emit_pred"))
 def pframe_encode(
     curr: jnp.ndarray,          # uint8 [H, W]
     refs_in,                    # tuple of uint8 [H, W] (deque order, 0 = oldest)
@@ -61,10 +62,16 @@ def pframe_encode(
     emit_halfpel: bool = False,
     exact: bool = False,        # integer-exact transform (cross-backend bit-exact)
     n_valid: jnp.ndarray | None = None,  # populated slots of a rolling stack
+    emit_pred: bool = False,    # append the MC prediction plane (uint8 [H, W])
 ):
     """Returns ``(recon_u8 [H, W], halfpel_u8 [2H, 2W] | None,
     art_u8 [H, W] (res_w_mc bit plane), qdct_i16 [H, W],
-    smalls_i32 [...])`` — smalls pack (mvs, sads, comps, row_qps, row_bits).
+    smalls_i32 [...][, pred_u8 [H, W] when emit_pred])`` — smalls pack
+    (mvs, sads, comps, row_qps, row_bits).  ``emit_pred`` feeds the compact
+    transfer packers (ops/pack.py), which need the prediction plane for the
+    res/recon correction codes: re-gathering it post-hoc from stacked
+    half-pel buffers trips a TPU backend fault when combined with the fastME
+    while_loop in one program, so it travels out of the step instead.
     The res_wo_mc artifact plane is integer math over host-resident data
     (curr minus the oldest reference) and is recomputed by the host writer
     instead of being transferred.
@@ -166,8 +173,13 @@ def pframe_encode(
     if emit_halfpel:
         from ..ops.interp import build_half_pel
 
-        return recon_u8, build_half_pel(recon_u8), art, qdct, smalls
-    return recon_u8, None, art, qdct, smalls
+        out = (recon_u8, build_half_pel(recon_u8), art, qdct, smalls)
+    else:
+        out = (recon_u8, None, art, qdct, smalls)
+    if emit_pred:
+        pred_plane = preds.transpose(0, 2, 1, 3).reshape(h, w).astype(jnp.uint8)
+        out = out + (pred_plane,)
+    return out
 
 
 @partial(jax.jit, static_argnames=("bs", "frac", "emit_halfpel", "exact"))

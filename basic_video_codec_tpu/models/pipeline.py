@@ -292,35 +292,90 @@ def _host_halfpel(recon):
     return hp
 
 
-def _finalize_compact(index, curr, f, ec, prev, q_full=None,
-                      a_full=None) -> _Finalized:
-    """Rebuild the qdct / res_w_mc planes from one packed-frame field dict
-    (ops/pack.py FrameLayout.split) and finalize.  ``prev`` is the previous
-    reconstruction (single reference) or the host-mirrored reference deque
-    as a list, oldest first (nRefFrames > 1).  ``q_full`` / ``a_full`` carry
-    full planes for the rare per-frame overflow fallback (fetched by the
-    dispatch thread)."""
+def _rebuild_frame(f, ec, hist, q_full=None, r_full=None):
+    """Sequential stage of the compact-path host rebuild: reconstruct one
+    frame's recon plane from its correction codes (ops/pack.py) and update
+    the host reference history.  Runs strictly in frame order — frame k's
+    reconstruction predicts frame k+1 — on the rebuild chain worker (or the
+    fetch loop for the sharded path).  Returns the host-resident fields the
+    (parallel) finalize step needs: (mode, recon, qdct, pred, oldest)."""
     from ..ops import pack as PK
 
     bs = ec.block_size
-    recon = f["recon"]
-    h, w = recon.shape
+    h, w = f["h"], f["w"]
     nbr, nbc = h // bs, w // bs
-    nb = nbr * nbc
     meta = f["meta"]
     mode = int(meta[0])
-    metric_sum, comparisons = int(meta[1]), int(meta[2])
-    row_qps, row_bits = meta[3 : 3 + nbr], meta[3 + nbr :]
-    if isinstance(prev, list):
-        refs = np.stack(prev) if prev else None
-        oldest = prev[0] if prev else None
-    else:
-        refs = prev
-        oldest = prev
+    row_qps = np.asarray(meta[3 : 3 + nbr], np.int32)
     if q_full is not None:
         qdct = np.asarray(q_full, dtype=np.int16)
     else:
         qdct = PK.unpack_qdct(f["qv"], f["ql"], h, w, bs, zigzag_indices(bs))
+    if mode == INTRA:
+        hist.clear()
+        pred = oldest = None
+        if r_full is not None:
+            recon = np.asarray(r_full)
+        else:
+            modes = f["modes"][: nbr * nbc].reshape(nbr, nbc).astype(np.int32)
+            recon = PK.host_rebuild_intra_recon(qdct, modes, row_qps,
+                                                f["rc"], f["re"], bs)
+    else:
+        refs = np.stack(hist)  # oldest first (reference deque semantics)
+        mvs = f["mv"].astype(np.int32).reshape(nbr, nbc, 3)
+        hps = (np.stack([_host_halfpel(r) for r in hist])
+               if ec.fracMeEnabled else None)
+        pred = PK.host_pred_inter(refs, mvs, bs, ec.fracMeEnabled, hps)
+        oldest = hist[0]
+        if r_full is not None:
+            recon = np.asarray(r_full)
+        else:
+            guess = PK.host_recon_guess(qdct, row_qps, pred, bs)
+            recon = PK.unpack_vs_base(f["rc"], f["re"], guess)
+    hist.append(recon)
+    return mode, recon, qdct, pred, oldest
+
+
+class _ReconRebuilder:
+    """One-worker executor running :func:`_rebuild_frame` in frame order.
+
+    The rebuild is the only serial host stage (reference chain); everything
+    downstream (entropy packing, artifact derivation) fans out on the
+    finalize pool, keyed off the returned futures."""
+
+    def __init__(self, ec, h, w):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.ec = ec
+        self.pool = ThreadPoolExecutor(max_workers=1)
+        self.hist: deque = deque([np.full((h, w), 128, np.uint8)],
+                                 maxlen=ec.nRefFrames)
+
+    def submit(self, f, q_full=None, r_full=None):
+        return self.pool.submit(_rebuild_frame, f, self.ec, self.hist,
+                                q_full, r_full)
+
+    def shutdown(self):
+        self.pool.shutdown(wait=True)
+
+
+def _finalize_compact(index, curr, f, ec, rebuilt, a_full=None) -> _Finalized:
+    """Finalize one frame from its packed-transfer fields plus the rebuild
+    stage's output (``rebuilt`` is a Future from :class:`_ReconRebuilder`
+    or an already-resolved tuple).  ``a_full`` carries the full res plane
+    for the rare escape-overflow fallback."""
+    from ..ops import pack as PK
+
+    if hasattr(rebuilt, "result"):
+        rebuilt = rebuilt.result()
+    mode, recon, qdct, pred, oldest = rebuilt
+    bs = ec.block_size
+    h, w = recon.shape
+    nbr, nbc = h // bs, w // bs
+    nb = nbr * nbc
+    meta = f["meta"]
+    metric_sum, comparisons = int(meta[1]), int(meta[2])
+    row_qps, row_bits = meta[3 : 3 + nbr], meta[3 + nbr :]
     if mode == INTRA:
         aux = f["modes"][:nb].reshape(nbr, nbc).astype(np.int32)
         art = PK.host_intra_art(curr, recon, aux, bs)
@@ -329,11 +384,6 @@ def _finalize_compact(index, curr, f, ec, prev, q_full=None,
         if a_full is not None:
             art = np.asarray(a_full)
         else:
-            hps = None
-            if ec.fracMeEnabled:
-                planes = refs if refs.ndim == 3 else refs[None]
-                hps = np.stack([_host_halfpel(r) for r in planes])
-            pred = PK.host_pred_inter(refs, aux, bs, ec.fracMeEnabled, hps)
             art = PK.unpack_art(f["ac"], f["ae"], recon, pred)
     return _finalize_fields(index, mode, curr, recon, art, qdct, aux,
                             metric_sum, comparisons, row_qps, row_bits, ec,
@@ -606,6 +656,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         "p_only": PK.FrameLayout(ph, pw, bs, vbytes, True, True),
     }
 
+    rebuilder = _ReconRebuilder(ec, ph, pw) if compact else None
+
     # NOTE: device_get stays on the dispatch thread — concurrent transfers
     # from a second thread contend with dispatch inside the device client
     # and halve throughput (measured).  Each chunk is fetched as ONE packed
@@ -613,46 +665,40 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     # otherwise dominate now that the payload is small.  Overflow-fallback
     # full planes are fetched here too, for the same reason (rare by
     # construction).
-    def submit_compact(futures, idx, curr, f, prev, d_qdcts, d_arts, k=None):
+    def submit_compact(futures, idx, curr, f, d_qdcts, d_arts, d_recons, k=None):
         # index the device stacks lazily — slicing dispatches a device
         # program, so it must only happen on the (rare) overflow path
-        q_full = (jax.device_get(d_qdcts[k] if k is not None else d_qdcts)
-                  if f["qt"] > qcap else None)
-        a_full = (jax.device_get(d_arts[k] if k is not None else d_arts)
+        sel = (lambda a: a[k]) if k is not None else (lambda a: a)
+        q_full = jax.device_get(sel(d_qdcts)) if f["qt"] > qcap else None
+        a_full = (jax.device_get(sel(d_arts))
                   if int(f["meta"][0]) == INTER and f["an"] > ecap else None)
+        r_full = jax.device_get(sel(d_recons)) if f["rn"] > ecap else None
+        reb = rebuilder.submit(f, q_full, r_full)
         futures.append(fin_pool.submit(
-            _finalize_compact, idx, curr, f, ec, prev, q_full, a_full))
+            _finalize_compact, idx, curr, f, ec, reb, a_full))
 
     def fetch_compact(indices, currs, kind, dev):
-        """Fetch one packed buffer; submit per-frame finalize jobs."""
-        nonlocal last_recon
+        """Fetch one packed buffer; chain per-frame rebuilds (serial worker)
+        and submit per-frame finalize jobs (parallel pool)."""
         futures = []
         lay = layouts[kind]
         if kind == "intra_all":
-            packed, d_arts, d_qdcts, pos = jax.device_get(dev[4]), dev[1], dev[2], 0
+            packed = jax.device_get(dev[4])
+            d_recons, d_arts, d_qdcts, pos = dev[0], dev[1], dev[2], 0
             intra_head = None
         else:
             packed = jax.device_get(dev[4])
-            d_arts, d_qdcts = dev[1][1], dev[1][2]
+            d_recons, d_arts, d_qdcts = dev[1][0], dev[1][1], dev[1][2]
             intra_head = dev[0] if kind == "intra_led" else None
             pos = 1 if kind == "intra_led" else 0
-        prev = last_recon
         for k in range(packed.shape[0]):
             f = lay.split(packed[k])
-            is_intra_row = intra_head is not None and k == 0
-            if multiref and is_intra_row:
-                recon_hist.clear()
-            prev_arg = list(recon_hist) if multiref else prev
-            if is_intra_row:
-                submit_compact(futures, indices[0], currs[0], f, prev_arg,
-                               intra_head[2], intra_head[1])
+            if intra_head is not None and k == 0:
+                submit_compact(futures, indices[0], currs[0], f,
+                               intra_head[2], intra_head[1], intra_head[0])
             else:
-                submit_compact(futures, indices[k], currs[k], f, prev_arg,
-                               d_qdcts, d_arts, k - pos)
-            prev = f["recon"]
-            if multiref:
-                recon_hist.append(prev)
-        last_recon = prev.copy()
+                submit_compact(futures, indices[k], currs[k], f,
+                               d_qdcts, d_arts, d_recons, k - pos)
         return futures
 
     def fetch_chunk():
@@ -828,6 +874,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 f"truncated frame: read {truncated_tail} of {y_size} bytes"
             )
     finally:
+        if rebuilder is not None:
+            rebuilder.shutdown()
         fin_pool.shutdown(wait=True)
         if STAGE_TIMER is not None:
             logger.info("stage breakdown (BVC_PROFILE):\n" + STAGE_TIMER.report())
@@ -887,12 +935,12 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
     truncated_tail = 0
 
     def planes_of(dev, g, k):
-        """(qdct, art) device planes of frame k in shard g (fallback)."""
+        """(qdct, art, recon) device planes of frame k in shard g (fallback)."""
         if intra_only:
-            return dev[2][g, k], dev[1][g, k]
+            return dev[2][g, k], dev[1][g, k], dev[0][g, k]
         if k == 0:
-            return dev[0][2][g], dev[0][1][g]
-        return dev[1][2][g, k - 1], dev[1][1][g, k - 1]
+            return dev[0][2][g], dev[0][1][g], dev[0][0][g]
+        return dev[1][2][g, k - 1], dev[1][1][g, k - 1], dev[1][0][g, k - 1]
 
     def fetch_batch():
         n_real, gop_frames, base_index, dev, dispatch_dt = pending.popleft()
@@ -900,23 +948,24 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
         futures = []
         idx = base_index
         if compact:
-            multiref = ec.nRefFrames > 1
             packed = jax.device_get(dev[4])
             for g, n in enumerate(n_real):
-                prev = None
-                hist: deque = deque(maxlen=ec.nRefFrames)  # per-GOP (starts intra)
+                # per-GOP reference history (every GOP starts intra, which
+                # clears it; the gray seed only keeps the stack non-empty)
+                hist: deque = deque(
+                    [np.full((ph, pw), 128, np.uint8)], maxlen=ec.nRefFrames)
                 for k in range(n):
                     f = layout.split(packed[g, k])
-                    qd, ad = planes_of(dev, g, k)
+                    qd, ad, rd = planes_of(dev, g, k)
                     q_full = jax.device_get(qd) if f["qt"] > qcap else None
                     a_full = (jax.device_get(ad)
                               if int(f["meta"][0]) == INTER and f["an"] > ecap
                               else None)
+                    r_full = jax.device_get(rd) if f["rn"] > ecap else None
+                    rebuilt = _rebuild_frame(f, ec, hist, q_full, r_full)
                     futures.append(fin_pool.submit(
                         _finalize_compact, idx, gop_frames[g][k], f, ec,
-                        list(hist) if multiref else prev, q_full, a_full))
-                    prev = f["recon"]
-                    hist.append(prev)
+                        rebuilt, a_full))
                     idx += 1
         elif intra_only:
             recons, arts, qdcts, smalls = jax.device_get(dev[:4])

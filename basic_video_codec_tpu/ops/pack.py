@@ -18,6 +18,14 @@ cheaply re-expand:
   escape list of raw bytes: 101 KB -> ~31 KB.
 * **res_w_mc** (I-frames): pure integer function of (curr, recon, modes) —
   all host-resident — so nothing is transferred at all.
+* **recon**: the same correction-code trick, against a *guess* both sides
+  compute bit-identically: ``guess = clip(rshift_round(idct_exact_core(q*Q)
+  + (pred << SHIFT)))`` using the integer-exact IDCT (ops/transform.py).
+  The float-DCT reconstruction differs from the integer guess by {0, +-1}
+  almost everywhere, so the 101 KB CIF plane travels as a 25 KB 2-bit code
+  plane plus a sparse escape list.  Inter frames rebuild vectorized; intra
+  frames rebuild block-by-block in scan order (the prediction chain), with
+  the IDCT still batched.
 
 Every scheme has a per-frame overflow flag; the full planes remain device
 outputs and are fetched only for flagged frames (never on typical content —
@@ -86,14 +94,14 @@ def pack_qdct(qdct: jnp.ndarray, bs: int, zz: jnp.ndarray, cap: int, vdtype):
     return vals[:cap], lens.astype(jnp.int32), total.astype(jnp.int32)
 
 
-def pack_art(art: jnp.ndarray, recon: jnp.ndarray, pred: jnp.ndarray, cap: int):
-    """res_w_mc u8 [H, W] -> (codes2 [H*W/4] u8, esc [cap] u8, n_esc int32).
+def pack_vs_base(plane: jnp.ndarray, base: jnp.ndarray, cap: int):
+    """u8 plane [H, W] vs an int base plane the host can recompute ->
+    (codes2 [H*W/4] u8, esc [cap] u8, n_esc int32).
 
-    ``pred`` is the motion-compensated prediction plane (int).  Codes per
-    pixel: 0 -> art == base, 1 -> base+1, 2 -> base-1, 3 -> escape (raw byte
-    in ``esc``, raster order).  n_esc > cap means overflow."""
-    base = (recon.astype(jnp.int32) - pred.astype(jnp.int32)) & 255
-    c = ((art.astype(jnp.int32) - base) & 255).reshape(-1)
+    Codes per pixel: 0 -> plane == base (mod 256), 1 -> base+1, 2 -> base-1,
+    3 -> escape (raw byte in ``esc``, raster order).  n_esc > cap means
+    overflow (fetch the full plane)."""
+    c = ((plane.astype(jnp.int32) - base.astype(jnp.int32)) & 255).reshape(-1)
     code = jnp.where(c == 0, 0, jnp.where(c == 1, 1, jnp.where(c == 255, 2, 3)))
     cf = code.reshape(-1, 4)
     codes2 = (cf[:, 0] | (cf[:, 1] << 2) | (cf[:, 2] << 4) | (cf[:, 3] << 6)
@@ -101,19 +109,77 @@ def pack_art(art: jnp.ndarray, recon: jnp.ndarray, pred: jnp.ndarray, cap: int):
     esc_mask = code == 3
     eoff = jnp.cumsum(esc_mask) - esc_mask
     idx = jnp.where(esc_mask & (eoff < cap), eoff, cap)
-    esc = jnp.zeros(cap + 1, jnp.uint8).at[idx].set(art.reshape(-1))
+    esc = jnp.zeros(cap + 1, jnp.uint8).at[idx].set(plane.reshape(-1))
     return codes2, esc[:cap], esc_mask.sum().astype(jnp.int32)
 
 
-def pack_row(recon, meta, mv, modes, qv, ql, qt, ac=None, ae=None, an=None):
+def pack_art(art: jnp.ndarray, recon: jnp.ndarray, pred: jnp.ndarray, cap: int):
+    """res_w_mc u8 [H, W] -> correction codes vs ``(recon - pred) mod 256``
+    (both exact integers on device and host)."""
+    base = (recon.astype(jnp.int32) - pred.astype(jnp.int32)) & 255
+    return pack_vs_base(art, base, cap)
+
+
+def _blockify(plane, bs):
+    h, w = plane.shape
+    return plane.reshape(h // bs, bs, w // bs, bs).swapaxes(1, 2)
+
+
+def _unblockify(blocks):
+    nbr, nbc, bs, _ = blocks.shape
+    return blocks.swapaxes(1, 2).reshape(nbr * bs, nbc * bs)
+
+
+def recon_guess_plane(qdct: jnp.ndarray, row_qps: jnp.ndarray,
+                      pred: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """Integer-exact reconstruction guess, uint8 [H, W] (device side).
+
+    ``guess = clip(rshift_round(idct_exact_core(qdct * Q) + (pred << S)))``
+    — every step is deterministic int32 arithmetic, so
+    :func:`host_recon_guess` reproduces it bit-for-bit.  The product
+    reconstruction ``clip(round(idct_float + pred))`` differs from it by
+    {0, +-1} except at rare float-vs-fixed-point disagreements (escapes)."""
+    from . import transform as T
+
+    q = _blockify(qdct.astype(jnp.int32), bs)
+    Qi = jnp.asarray(T.quant_matrices(bs)).astype(jnp.int32)[row_qps]
+    x = T.idct2_exact_core(q * Qi[:, None], jnp.asarray(T.dct_matrix_int(bs)))
+    s = T.EXACT_SHIFT
+    p = _blockify(pred.astype(jnp.int32), bs)
+    g = (x + (p << s) + (1 << (s - 1))) >> s
+    return _unblockify(jnp.clip(g, 0, 255).astype(jnp.uint8))
+
+
+def intra_pred_plane(recon: jnp.ndarray, modes: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """Intra prediction plane from the FINAL reconstruction + mode grid
+    (device twin of the pred step in :func:`host_intra_art`): valid because
+    each block's predictor reads only already-final neighbor pixels.
+    Preserves the transposed-predictor quirk (ops/intra.py)."""
+    h, w = recon.shape
+    ys, xs = jnp.arange(h), jnp.arange(w)
+    y0, x0 = (ys // bs) * bs, (xs // bs) * bs
+    ri = recon.astype(jnp.int32)
+    ry = y0[:, None] + (xs % bs)[None, :]
+    pred_h = jnp.where((x0 - 1)[None, :] >= 0,
+                       ri[ry, jnp.maximum(x0 - 1, 0)[None, :]], 128)
+    cx = x0[None, :] + (ys % bs)[:, None]
+    pred_v = jnp.where((y0 - 1)[:, None] >= 0,
+                       ri[jnp.maximum(y0 - 1, 0)[:, None], cx], 128)
+    mode_px = jnp.repeat(jnp.repeat(modes.astype(jnp.int32), bs, axis=0), bs, axis=1)
+    return jnp.where(mode_px == 0, pred_h, pred_v)
+
+
+def pack_row(rc, re, rn, meta, mv, modes, qv, ql, qt, ac=None, ae=None, an=None):
     """One frame's transfer row in :class:`FrameLayout` field order (device).
 
+    ``rc``/``re``/``rn`` are the reconstruction correction codes / escapes /
+    escape count (:func:`pack_vs_base` vs :func:`recon_guess_plane`);
     ``mv`` int16 [3*nb] or None (layout without MVs); ``modes`` uint8 [nb]
     (padded to even length here); ``ql`` is narrowed to int16."""
     nb = ql.shape[0]
     if nb & 1:
         modes = jnp.concatenate([modes, jnp.zeros(1, jnp.uint8)])
-    parts = [recon, meta]
+    parts = [rc, re, rn, meta]
     if mv is not None:
         parts.append(mv)
     parts += [modes, qv, ql.astype(jnp.int16), qt]
@@ -142,7 +208,9 @@ class FrameLayout:
     Field order matches :func:`concat_bytes` callers in models/chunk.py and
     models/two_pass.py:
 
-    * ``recon``  u8  [H*W]
+    * ``rc`` u8 [H*W/4], ``re`` u8 [cape], ``rn`` i32 — reconstruction
+      correction codes vs :func:`recon_guess_plane` (the full plane never
+      travels except on escape-count overflow)
     * ``meta``   i32 [3 + 2*nbr] — (mode, metric_sum, comparison_sum,
       row_qps, row_bits); MV/comparison vectors travel reduced, not raw
     * ``mv``     i16 [3*nb]  (``with_mv`` layouts; zeros on intra rows)
@@ -161,7 +229,8 @@ class FrameLayout:
         self.capq = qdct_caps(nb)
         self.cape = esc_cap(h, w)
         nb2 = nb + (nb & 1)  # keep following i16 fields 2-byte aligned
-        sizes = [("recon", h * w), ("meta", (3 + 2 * nbr) * 4)]
+        sizes = [("rc", h * w // 4), ("re", self.cape), ("rn", 4),
+                 ("meta", (3 + 2 * nbr) * 4)]
         if with_mv:
             sizes.append(("mv", 3 * nb * 2))
         sizes += [("modes", nb2), ("qv", self.capq * vbytes),
@@ -182,7 +251,10 @@ class FrameLayout:
     def split(self, buf: np.ndarray) -> dict:
         """uint8 [total] -> field views (zero-copy)."""
         out = {
-            "recon": self._f(buf, "recon", np.uint8).reshape(self.h, self.w),
+            "h": self.h, "w": self.w,
+            "rc": self._f(buf, "rc", np.uint8),
+            "re": self._f(buf, "re", np.uint8),
+            "rn": int(self._f(buf, "rn", np.int32)[0]),
             "meta": self._f(buf, "meta", np.int32),
             "mv": self._f(buf, "mv", np.int16) if self.with_mv else None,
             "modes": self._f(buf, "modes", np.uint8),
@@ -223,18 +295,101 @@ def unpack_qdct(vals: np.ndarray, lens: np.ndarray, h: int, w: int, bs: int,
     )
 
 
+def _unpack_codes(codes2: np.ndarray) -> np.ndarray:
+    """2-bit code plane -> flat int array of {0, 1, 2, 3}."""
+    return ((codes2[:, None] >> np.array([0, 2, 4, 6], np.uint8)) & 3).reshape(-1)
+
+
+def unpack_vs_base(codes2: np.ndarray, esc: np.ndarray,
+                   base: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`pack_vs_base` -> u8 [H, W] given the recomputed
+    base plane (int, compared mod 256)."""
+    h, w = base.shape
+    code = _unpack_codes(codes2)
+    delta = np.choose(code, [0, 1, -1, 0])
+    out = ((base.reshape(-1).astype(np.int32) + delta) & 255).astype(np.uint8)
+    pos = np.flatnonzero(code == 3)
+    out[pos] = esc[: pos.size]
+    return out.reshape(h, w)
+
+
 def unpack_art(codes2: np.ndarray, esc: np.ndarray, recon: np.ndarray,
                pred: np.ndarray) -> np.ndarray:
     """Inverse of :func:`pack_art` -> res_w_mc u8 [H, W]."""
-    h, w = recon.shape
-    code = (codes2[:, None] >> np.array([0, 2, 4, 6], np.uint8)) & 3
-    code = code.reshape(-1)
     base = (recon.astype(np.int32) - pred.astype(np.int32)) & 255
-    delta = np.choose(code, [0, 1, -1, 0])
-    art = ((base.reshape(-1) + delta) & 255).astype(np.uint8)
-    pos = np.flatnonzero(code == 3)
-    art[pos] = esc[: pos.size]
-    return art.reshape(h, w)
+    return unpack_vs_base(codes2, esc, base)
+
+
+def _x_int_blocks_np(qdct: np.ndarray, row_qps: np.ndarray, bs: int) -> np.ndarray:
+    """Host twin of the rescale+integer-IDCT step of
+    :func:`recon_guess_plane`: int32 [nbr, nbc, bs, bs], bit-identical to
+    the device computation."""
+    from . import transform as T
+
+    h, w = qdct.shape
+    nbr, nbc = h // bs, w // bs
+    q = qdct.reshape(nbr, bs, nbc, bs).swapaxes(1, 2).astype(np.int32)
+    Qi = T.quant_matrices(bs).astype(np.int32)[np.asarray(row_qps, np.int32)]
+    return T.idct2_exact_core_np(q * Qi[:, None], T.dct_matrix_int(bs))
+
+
+def host_recon_guess(qdct: np.ndarray, row_qps: np.ndarray,
+                     pred: np.ndarray, bs: int) -> np.ndarray:
+    """Host twin of :func:`recon_guess_plane` (inter frames: the whole
+    prediction plane is known up front, so this is fully vectorized)."""
+    from . import transform as T
+
+    h, w = qdct.shape
+    nbr, nbc = h // bs, w // bs
+    x = _x_int_blocks_np(qdct, row_qps, bs)
+    s = T.EXACT_SHIFT
+    p = pred.reshape(nbr, bs, nbc, bs).swapaxes(1, 2).astype(np.int32)
+    g = (x + (p << s) + (1 << (s - 1))) >> s
+    return np.clip(g, 0, 255).astype(np.uint8).swapaxes(1, 2).reshape(h, w)
+
+
+def host_rebuild_intra_recon(qdct: np.ndarray, modes: np.ndarray,
+                             row_qps: np.ndarray, codes2: np.ndarray,
+                             esc: np.ndarray, bs: int) -> np.ndarray:
+    """Rebuild an I-frame's reconstruction from its correction codes.
+
+    Intra prediction reads *reconstructed* neighbors (reference
+    IFrame.py:198-213), so blocks are corrected in scan order — each block's
+    codes make it exact before the next block predicts from it.  The
+    integer IDCT is batched up front; the loop applies prediction + codes
+    per block (~microseconds each)."""
+    from . import transform as T
+
+    h, w = qdct.shape
+    nbr, nbc = h // bs, w // bs
+    code = np.choose(_unpack_codes(codes2), [0, 1, -1, 3]).reshape(h, w)
+    is_esc = code == 3
+    esc_plane = np.zeros(h * w, np.uint8)
+    pos = np.flatnonzero(is_esc.reshape(-1))
+    esc_plane[pos] = esc[: pos.size]
+    esc_plane = esc_plane.reshape(h, w)
+    x = _x_int_blocks_np(qdct, row_qps, bs)
+    s = T.EXACT_SHIFT
+    half = 1 << (s - 1)
+    border = np.full((bs, bs), 128, np.int32)
+    recon = np.zeros((h, w), np.int32)
+    for r in range(nbr):
+        y0 = r * bs
+        for c in range(nbc):
+            x0 = c * bs
+            if modes[r, c] == 0:  # H: pixel (a, b) reads recon[y0+b, x0-1]
+                pred = (np.broadcast_to(recon[y0 : y0 + bs, x0 - 1][None, :],
+                                        (bs, bs)) if c > 0 else border)
+            else:                 # V: pixel (a, b) reads recon[y0-1, x0+a]
+                pred = (np.broadcast_to(recon[y0 - 1, x0 : x0 + bs][:, None],
+                                        (bs, bs)) if r > 0 else border)
+            g = np.clip((x[r, c] + (pred << s) + half) >> s, 0, 255)
+            cb = code[y0 : y0 + bs, x0 : x0 + bs]
+            blk = np.where(is_esc[y0 : y0 + bs, x0 : x0 + bs],
+                           esc_plane[y0 : y0 + bs, x0 : x0 + bs],
+                           (g + cb) & 255)
+            recon[y0 : y0 + bs, x0 : x0 + bs] = blk
+    return recon.astype(np.uint8)
 
 
 def host_pred_inter(refs: np.ndarray, mvs: np.ndarray, bs: int,

@@ -88,14 +88,33 @@ def dct2_exact(blocks_i32: jnp.ndarray, d_int: jnp.ndarray) -> jnp.ndarray:
     return y.astype(jnp.float32) / jnp.float32(1 << (EXACT_SHIFT + 2))
 
 
+def idct2_exact_core(rescaled_i32: jnp.ndarray, d_int: jnp.ndarray) -> jnp.ndarray:
+    """Integer core of :func:`idct2_exact`: returns the residual scaled by
+    ``2^EXACT_SHIFT`` as int32, before the float conversion.  Every operation
+    is deterministic integer arithmetic, so :func:`idct2_exact_core_np` below
+    reproduces it bit-for-bit on the host — the foundation of the compact
+    transfer's reconstruction correction codes (ops/pack.py)."""
+    y = rescaled_i32.astype(jnp.int32)
+    t1 = jnp.einsum("km,...kl->...ml", d_int, y)          # D_i^T @ Y
+    t1 = _rshift_round(t1, EXACT_SHIFT)                   # ~t1_true, <= 2^15
+    return jnp.einsum("...ml,ln->...mn", t1, d_int)       # true <= 2^28
+
+
+def idct2_exact_core_np(rescaled_i32: np.ndarray, d_int: np.ndarray) -> np.ndarray:
+    """Bit-identical NumPy twin of :func:`idct2_exact_core` (int32 einsums
+    wrap two's-complement and ``>>`` is arithmetic in both backends —
+    verified in tests/test_pack.py)."""
+    y = rescaled_i32.astype(np.int32)
+    t1 = np.einsum("km,...kl->...ml", d_int, y)
+    t1 = (t1 + (1 << (EXACT_SHIFT - 1))) >> EXACT_SHIFT
+    return np.einsum("...ml,ln->...mn", t1, d_int)
+
+
 def idct2_exact(rescaled_i32: jnp.ndarray, d_int: jnp.ndarray) -> jnp.ndarray:
     """Integer-exact inverse: ``D^T Y D`` with the same fixed-point scheme.
     Input is the rescaled (q * Q) integer coefficients (|Y| <= ~2^13).
     Same exactness argument: products <= 2^28, true results <= 2^28."""
-    y = rescaled_i32.astype(jnp.int32)
-    t1 = jnp.einsum("km,...kl->...ml", d_int, y)          # D_i^T @ Y
-    t1 = _rshift_round(t1, EXACT_SHIFT)                   # ~t1_true, <= 2^15
-    x = jnp.einsum("...ml,ln->...mn", t1, d_int)          # true <= 2^28
+    x = idct2_exact_core(rescaled_i32, d_int)
     return x.astype(jnp.float32) / jnp.float32(1 << EXACT_SHIFT)
 
 

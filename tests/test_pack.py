@@ -139,7 +139,9 @@ def test_frame_bytes_roundtrip(odd_nb):
     nbr = h // bs
     nb = nbr * (w // bs)
     lay = PK.FrameLayout(h, w, bs, 2, True, True)
-    recon = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    rc = rng.integers(0, 256, h * w // 4).astype(np.uint8)
+    re = rng.integers(0, 256, lay.cape).astype(np.uint8)
+    rn = np.int32(42)
     meta = rng.integers(-2 ** 30, 2 ** 30, 3 + 2 * nbr).astype(np.int32)
     mv = rng.integers(-3000, 3000, 3 * nb).astype(np.int16)
     modes = rng.integers(0, 2, nb).astype(np.uint8)
@@ -150,12 +152,14 @@ def test_frame_bytes_roundtrip(odd_nb):
     ae = rng.integers(0, 256, lay.cape).astype(np.uint8)
     an = np.int32(-7)
     buf = np.asarray(PK.pack_row(
-        jnp.asarray(recon), jnp.asarray(meta), jnp.asarray(mv),
+        jnp.asarray(rc), jnp.asarray(re), jnp.asarray(rn),
+        jnp.asarray(meta), jnp.asarray(mv),
         jnp.asarray(modes), jnp.asarray(qv), jnp.asarray(ql), jnp.asarray(qt),
         jnp.asarray(ac), jnp.asarray(ae), jnp.asarray(an)))
     assert buf.shape == (lay.total,)
     f = lay.split(buf)
-    assert np.array_equal(f["recon"], recon)
+    assert np.array_equal(f["rc"], rc) and np.array_equal(f["re"], re)
+    assert f["rn"] == 42
     assert np.array_equal(f["meta"], meta)
     assert np.array_equal(f["mv"], mv)
     assert np.array_equal(f["modes"][:nb], modes)
@@ -163,6 +167,85 @@ def test_frame_bytes_roundtrip(odd_nb):
     assert np.array_equal(f["ql"], ql.astype(np.int16))
     assert f["qt"] == 12345 and f["an"] == -7
     assert np.array_equal(f["ac"], ac) and np.array_equal(f["ae"], ae)
+
+
+@pytest.mark.parametrize("bs", [4, 8, 16])
+def test_recon_guess_device_host_identity(bs):
+    """The integer-exact reconstruction guess must be BIT-identical between
+    the device kernel and the NumPy twin — the compact transfer's recon
+    correction codes depend on it."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    h, w = 4 * bs, 6 * bs
+    nbr = h // bs
+    max_q = 255 * bs  # worst-case quantized coefficient magnitude
+    qdct = rng.integers(-max_q, max_q + 1, (h, w)).astype(np.int16)
+    row_qps = rng.integers(0, int(np.log2(bs)) + 8, nbr).astype(np.int32)
+    pred = rng.integers(0, 256, (h, w)).astype(np.int32)
+    dev = PK.recon_guess_plane(jnp.asarray(qdct), jnp.asarray(row_qps),
+                               jnp.asarray(pred), bs)
+    host = PK.host_recon_guess(qdct, row_qps, pred, bs)
+    assert np.array_equal(np.asarray(dev), host)
+
+
+def test_recon_codes_roundtrip_inter():
+    """Full-search P-frame: device recon codes + host guess reproduce the
+    device reconstruction byte-for-byte."""
+    import jax.numpy as jnp
+
+    from basic_video_codec_tpu.models.pframe import pframe_encode
+
+    rng = np.random.default_rng(12)
+    bs, h, w = 8, 48, 64
+    nbr, nbc = h // bs, w // bs
+    nb = nbr * nbc
+    prev = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    curr = np.roll(prev, (1, -2), axis=(0, 1)).astype(np.uint8)
+    curr[10:20, 30:40] = rng.integers(0, 256, (10, 10))
+    row_qps = np.full(nbr, 3, np.int32)
+    recon, _, art, qdct, smalls = pframe_encode(
+        jnp.asarray(curr), (jnp.asarray(prev),), (), jnp.asarray(row_qps),
+        jnp.float32(0), jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.float32),
+        jnp.int32(3), bs, 2, False, False, False, False,
+    )
+    mvs = np.asarray(smalls)[: 3 * nb].reshape(nbr, nbc, 3)
+    pred = PK.host_pred_inter(prev, mvs.astype(np.int32), bs, False)
+    guess = PK.host_recon_guess(np.asarray(qdct), row_qps, pred, bs)
+    cap = PK.esc_cap(h, w)
+    rc, re, rn = PK.pack_vs_base(recon, jnp.asarray(guess.astype(np.int32)), cap)
+    assert int(rn) <= cap
+    out = PK.unpack_vs_base(np.asarray(rc), np.asarray(re), guess)
+    assert np.array_equal(out, np.asarray(recon))
+
+
+def test_intra_recon_rebuild_matches_device():
+    """I-frame: the sequential host rebuild (prediction chain + codes) must
+    reproduce the device reconstruction byte-for-byte."""
+    import jax.numpy as jnp
+
+    from basic_video_codec_tpu.ops.intra import intra_encode_frame
+
+    rng = np.random.default_rng(13)
+    bs, h, w = 8, 48, 64
+    nbr, nbc = h // bs, w // bs
+    nb = nbr * nbc
+    curr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    row_qps = rng.integers(1, 5, nbr).astype(np.int32)
+    recon, _, _, qdct, smalls = intra_encode_frame(
+        jnp.asarray(curr), jnp.asarray(row_qps), jnp.float32(0),
+        jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.float32), jnp.int32(4),
+        bs, False,
+    )
+    modes = np.asarray(smalls)[:nb].reshape(nbr, nbc)
+    pred = PK.intra_pred_plane(recon, jnp.asarray(modes), bs)
+    guess = PK.recon_guess_plane(qdct, jnp.asarray(row_qps), pred, bs)
+    cap = PK.esc_cap(h, w)
+    rc, re, rn = PK.pack_vs_base(recon, guess, cap)
+    assert int(rn) <= cap
+    out = PK.host_rebuild_intra_recon(
+        np.asarray(qdct), modes, row_qps, np.asarray(rc), np.asarray(re), bs)
+    assert np.array_equal(out, np.asarray(recon))
 
 
 def test_pipeline_overflow_fallback(tmp_path, monkeypatch):
