@@ -17,7 +17,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..entropy.zigzag import zigzag_indices
 from ..ops import pack as P
 from ..ops.intra import intra_decode_frame, intra_encode_frame
 from .pframe import pframe_decode, pframe_encode
@@ -26,9 +25,8 @@ from .pframe import pframe_decode, pframe_encode
 def _pack_qdct_stack(qdcts, bs, vdtype):
     """vmap pack_qdct over stacked frames [K, H, W]."""
     h, w = qdcts.shape[1:]
-    zz = jnp.asarray(zigzag_indices(bs))
-    cap = P.qdct_caps((h // bs) * (w // bs))
-    return jax.vmap(lambda q: P.pack_qdct(q, bs, zz, cap, vdtype))(qdcts)
+    cap = P.qdct_caps((h // bs) * (w // bs), bs)
+    return jax.vmap(lambda q: P.pack_qdct(q, bs, cap, vdtype))(qdcts)
 
 
 def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w):
@@ -47,8 +45,7 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w):
     rows = []
     if intra_parts is not None:
         recon_i, qdct_i, smalls_i = intra_parts
-        zz = jnp.asarray(zigzag_indices(bs))
-        qv_i, ql_i, qt_i = P.pack_qdct(qdct_i, bs, zz, P.qdct_caps(nb), vdtype)
+        qv_i, ql_i, qt_i = P.pack_qdct(qdct_i, bs, P.qdct_caps(nb, bs), vdtype)
         meta_i, mv_z, modes_i = _meta_i(smalls_i, nb, nbr)
         rc_i, re_i, rn_i = _pack_intra_recon(recon_i, qdct_i, smalls_i,
                                              bs, nb, nbr, nbc, cap)

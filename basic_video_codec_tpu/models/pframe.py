@@ -25,7 +25,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..entropy.zigzag import zigzag_indices
 from ..ops import bitlen
 from ..ops import transform as T
 from ..ops.fastme import fast_search_frame
@@ -84,7 +83,6 @@ def pframe_encode(
     nbr, nbc = h // bs, w // bs
     d = jnp.asarray(T.dct_matrix(bs))
     qmats = jnp.asarray(T.quant_matrices(bs))
-    zz = jnp.asarray(zigzag_indices(bs))
     refs = refs_in if isinstance(refs_in, jnp.ndarray) else jnp.stack(refs_in)
     if frac:
         interp_refs = (interps_in if isinstance(interps_in, jnp.ndarray)
@@ -139,7 +137,7 @@ def pframe_encode(
         def row_step(budget, i):
             qp = _select_qp_rc1(budget, nbr - i, tbl_qps, tbl_bits)
             q = T.quantize(coeffs[i], qmats[qp])
-            zz_rows = q.astype(jnp.int32).reshape(nbc, bs * bs)[:, zz]
+            zz_rows = bitlen.zigzag_rows(q.reshape(nbc, bs * bs), bs)
             dct_bits = bitlen.rle_block_bits(zz_rows).sum()
             row_bits = dct_bits + bitlen.golomb_len(qp - initial_qp) + mv_row_bits[i]
             return budget - row_bits.astype(jnp.float32), (q.astype(jnp.int16), qp, row_bits)
@@ -153,7 +151,7 @@ def pframe_encode(
         Qr = qmats[row_qps][:, None]  # [nbr, 1, bs, bs]
         q = T.quantize(coeffs, Qr)
         qrows = q.astype(jnp.int16)
-        zz_rows = q.astype(jnp.int32).reshape(nbr, nbc, bs * bs)[..., zz]
+        zz_rows = bitlen.zigzag_rows(q.reshape(nbr, nbc, bs * bs), bs)
         dct_bits = bitlen.rle_block_bits(zz_rows).sum(axis=1)
         row_bits = dct_bits + bitlen.golomb_len(row_qps - initial_qp) + mv_row_bits
 

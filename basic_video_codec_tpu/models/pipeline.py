@@ -636,17 +636,21 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     # bottleneck, not compute.  BVC_COMPACT=0 restores full-plane fetches.
     from ..ops import pack as PK
 
-    # The fused two-pass path keeps full-plane transfers: its scatter
-    # compaction costs ~16 ms/frame of device time on this backend
-    # (PROFILE.md §4), more than the bytes it saves at block 16.  The
-    # compact metric sums are device int32, so frames whose worst-case SAD
-    # total could overflow (> ~8 MP) use full planes too.
-    compact = (os.environ.get("BVC_COMPACT", "1") != "0" and not two_pass
+    # The compact metric sums are device int32, so frames whose worst-case
+    # SAD total could overflow (> ~8 MP) use full planes instead.  fastME
+    # chunks are DEVICE-compute-bound (the serial refinement walk,
+    # PROFILE.md section 2): the full-plane bytes hide under compute, so
+    # packing would only add the host rebuild chain to the critical path
+    # (measured: 26 vs 30 fps on the deliverable config).  BVC_COMPACT=2
+    # forces packing on for such configs (test coverage).
+    compact_env = os.environ.get("BVC_COMPACT", "1")
+    compact = (compact_env != "0"
+               and (not ec.fastME or compact_env == "2")
                and params.height * params.width * 255 < 2 ** 31)
     int8q = PK.qdct_int8_safe(ec)
     pw, ph = padded_dims(params.width, params.height, bs)
     nb_pad = (ph // bs) * (pw // bs)
-    qcap = PK.qdct_caps(nb_pad)
+    qcap = PK.qdct_caps(nb_pad, bs)
     ecap = PK.esc_cap(ph, pw)
 
     vbytes = 1 if int8q else 2
@@ -654,6 +658,9 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         "intra_all": PK.FrameLayout(ph, pw, bs, vbytes, False, False),
         "intra_led": PK.FrameLayout(ph, pw, bs, vbytes, True, True),
         "p_only": PK.FrameLayout(ph, pw, bs, vbytes, True, True),
+        # mode is a runtime value per frame (scene changes), so every row
+        # carries both mv and art fields; intra rows zero the unused ones
+        "two_pass": PK.FrameLayout(ph, pw, bs, vbytes, True, True),
     }
 
     rebuilder = _ReconRebuilder(ec, ph, pw) if compact else None
@@ -669,10 +676,11 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         # index the device stacks lazily — slicing dispatches a device
         # program, so it must only happen on the (rare) overflow path
         sel = (lambda a: a[k]) if k is not None else (lambda a: a)
-        q_full = jax.device_get(sel(d_qdcts)) if f["qt"] > qcap else None
-        a_full = (jax.device_get(sel(d_arts))
-                  if int(f["meta"][0]) == INTER and f["an"] > ecap else None)
-        r_full = jax.device_get(sel(d_recons)) if f["rn"] > ecap else None
+        with _stage("overflow fallback fetch"):
+            q_full = jax.device_get(sel(d_qdcts)) if f["qt"] > qcap else None
+            a_full = (jax.device_get(sel(d_arts))
+                      if int(f["meta"][0]) == INTER and f["an"] > ecap else None)
+            r_full = jax.device_get(sel(d_recons)) if f["rn"] > ecap else None
         reb = rebuilder.submit(f, q_full, r_full)
         futures.append(fin_pool.submit(
             _finalize_compact, idx, curr, f, ec, reb, a_full))
@@ -682,7 +690,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         and submit per-frame finalize jobs (parallel pool)."""
         futures = []
         lay = layouts[kind]
-        if kind == "intra_all":
+        if kind in ("intra_all", "two_pass"):
             packed = jax.device_get(dev[4])
             d_recons, d_arts, d_qdcts, pos = dev[0], dev[1], dev[2], 0
             intra_head = None
@@ -815,10 +823,10 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     jnp.asarray(frames_np), ref, hp, prev_avg, budget0,
                     tbl[0], tbl[1], exp_p_frame, initial_qp,
                     bs, max(ec.search_range, 0), ec.fastME, frac,
-                    first_is_intra, exact=exact,
+                    first_is_intra, exact=exact, compact=compact, int8q=int8q,
                 )
                 kind = "two_pass"
-                leaves = (dev[4],)  # the full-plane bundle
+                leaves = (dev[4],)  # one bundled buffer per chunk
             elif intra_only:
                 # every frame clears the references: fully parallel vmap chunk
                 dev = encode_chunk_intra_only(
@@ -915,7 +923,7 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
     int8q = PK.qdct_int8_safe(ec)
     pw, ph = padded_dims(params.width, params.height, bs)
     nb_pad = (ph // bs) * (pw // bs)
-    qcap = PK.qdct_caps(nb_pad)
+    qcap = PK.qdct_caps(nb_pad, bs)
     ecap = PK.esc_cap(ph, pw)
     vbytes = 1 if int8q else 2
     layout = (PK.FrameLayout(ph, pw, bs, vbytes, False, False) if intra_only

@@ -30,7 +30,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..entropy.zigzag import zigzag_indices
 from ..ops import bitlen
 from ..ops import pack as P
 from ..ops import transform as T
@@ -61,7 +60,8 @@ def _row_qps_proportional(row_bits_1, budget_frame, tbl_qps, tbl_bits):
 
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "fast", "frac",
-                                   "first_is_intra", "exact"))
+                                   "first_is_intra", "exact", "compact",
+                                   "int8q"))
 def encode_chunk_two_pass(
     frames: jnp.ndarray,       # uint8 [K, H, W]
     ref0: jnp.ndarray,         # uint8 [H, W]
@@ -78,22 +78,26 @@ def encode_chunk_two_pass(
     frac: bool,
     first_is_intra: bool,
     exact: bool = False,
+    compact: bool = False,
+    int8q: bool = False,
 ):
     """Returns ``(out, ref_out, hp_out, prev_avg_out)`` with
     ``out = (recons [K,H,W] u8, arts [K,H,W] u8, qdcts [K,H,W] i16,
     smalls [K, 1+5nb+2nbr] i32)``; smalls lead with the frame's final mode
     (0=P, 1=I), then mvs/sads/comps (P) or modes/maes/pad (I), row_qps,
-    row_bits.  A fifth element ``packed`` bundles the full planes of the
-    whole chunk into ONE uint8 buffer (bitcast+concat, no compaction): one
-    device->host transfer per chunk instead of four, amortizing tunnel
-    latency.  Scatter-based compaction (ops/pack.py) is deliberately NOT
-    used here — it costs ~16 ms/frame of device time on this backend
-    (PROFILE.md §4), more than the bytes it saves at block 16."""
+    row_bits.  A fifth element ``packed`` holds one uint8 buffer per chunk:
+    with ``compact``, per-frame rows in the SAME ops/pack.py FrameLayout as
+    models/chunk.py (recon/res correction codes + zigzag-prefix qdct —
+    ~156 KB instead of ~413 KB per CIF block-16 frame), so the host pipeline
+    reuses its compact fetch path; otherwise the full planes bitcast+concat
+    (one transfer per chunk either way, amortizing tunnel latency).  The
+    pipeline only requests ``compact`` here for non-fastME configs — fastME
+    chunks are device-compute-bound, so the bytes hide under compute and
+    packing would put the host rebuild chain on the critical path."""
     k, h, w = frames.shape
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     qmats = jnp.asarray(T.quant_matrices(bs))
-    zz = jnp.asarray(zigzag_indices(bs))
     zeros_tbl = jnp.zeros_like(tbl_qps), jnp.zeros_like(tbl_bits)
 
     def intra_pass(curr, row_qps):
@@ -140,7 +144,7 @@ def encode_chunk_two_pass(
         def price(row_qps):
             Qr = qmats[row_qps][:, None]
             q = T.quantize(coeffs, Qr)
-            zz_rows = q.astype(jnp.int32).reshape(nbr, nbc, bs * bs)[..., zz]
+            zz_rows = bitlen.zigzag_rows(q.reshape(nbr, nbc, bs * bs), bs)
             dct_bits = bitlen.rle_block_bits(zz_rows).sum(axis=1)
             rb = dct_bits + bitlen.golomb_len(row_qps - initial_qp) + mv_row_bits
             return q, rb
@@ -170,11 +174,11 @@ def encode_chunk_two_pass(
             hp2 = build_half_pel(recon)
         else:
             hp2 = hp
-        return (recon, hp2, art, qdct, smalls), scene, rb1
+        return (recon, hp2, art, qdct, smalls), scene, rb1, preds
 
     def step(carry, curr):
         ref, hp, prev_avg = carry
-        (p_recon, p_hp, p_art, p_qdct, p_smalls), scene, rb1 = p_two_pass(
+        (p_recon, p_hp, p_art, p_qdct, p_smalls), scene, rb1, p_pred = p_two_pass(
             curr, ref, hp, prev_avg)
 
         def as_intra(_):
@@ -182,14 +186,28 @@ def encode_chunk_two_pass(
             # to the P first pass's bit shares (encoder.py:97)
             qp2_rows = _row_qps_proportional(rb1, budget_frame, tbl_qps, tbl_bits)
             r, h2, a, qd, sm, _rb = intra_pass(curr, qp2_rows)
-            return r, h2 if frac else hp, a, qd, sm
+            out = (r, h2 if frac else hp, a, qd, sm)
+            if compact:
+                # prediction plane for the correction-code packers: the intra
+                # predictor derived from the final recon (only traced here, so
+                # P frames never pay for it)
+                pred = P.intra_pred_plane(r, sm[1 : 1 + nb].reshape(nbr, nbc), bs)
+                out = out + (pred.astype(jnp.uint8),)
+            return out
 
         def as_p(_):
-            return p_recon, p_hp, p_art, p_qdct, p_smalls
+            out = (p_recon, p_hp, p_art, p_qdct, p_smalls)
+            if compact:
+                # MC prediction, already computed by the search
+                out = out + (p_pred.transpose(0, 2, 1, 3).reshape(h, w)
+                             .astype(jnp.uint8),)
+            return out
 
-        recon, hp2, art, qdct, smalls = jax.lax.cond(scene, as_intra, as_p, None)
+        res = jax.lax.cond(scene, as_intra, as_p, None)
+        recon, hp2, art, qdct, smalls = res[:5]
         new_avg = _avg_qp(smalls[1 + 5 * nb : 1 + 5 * nb + nbr], nbr)
-        return (recon, hp2, new_avg), (recon, art, qdct, smalls)
+        outs = (recon, art, qdct, smalls) + res[5:]
+        return (recon, hp2, new_avg), outs
 
     if first_is_intra:
         recon_i, hp_i, art_i, qdct_i, smalls_i, _ = intra_two_pass(frames[0], prev_avg_qp0)
@@ -197,6 +215,11 @@ def encode_chunk_two_pass(
         carry = (recon_i, hp_i if frac else hp0, avg_i)
         p_frames = frames[1:]
         head = (recon_i[None], art_i[None], qdct_i[None], smalls_i[None])
+        if compact:
+            pred_head = P.intra_pred_plane(
+                recon_i, smalls_i[1 : 1 + nb].reshape(nbr, nbc), bs
+            ).astype(jnp.uint8)[None]
+            head = head + (pred_head,)
     else:
         carry = (ref0, hp0, prev_avg_qp0)
         p_frames = frames
@@ -208,16 +231,57 @@ def encode_chunk_two_pass(
         ref_out, hp_out, avg_out = carry
         tail = (jnp.zeros((0, h, w), jnp.uint8), jnp.zeros((0, h, w), jnp.uint8),
                 jnp.zeros((0, h, w), jnp.int16),
-                jnp.zeros((0, 1 + 5 * nb + 2 * nbr), jnp.int32))
+                jnp.zeros((0, 1 + 5 * nb + 2 * nbr), jnp.int32),
+                ) + ((jnp.zeros((0, h, w), jnp.uint8),) if compact else ())
 
     if head is not None:
         out = tuple(jnp.concatenate([hd, tl]) for hd, tl in zip(head, tail))
     else:
         out = tail
-    # bundle the FULL planes into one buffer per chunk: pure bitcast+concat,
-    # so a chunk is one transfer instead of four
-    recons, arts, qdcts, smalls_all = out
-    packed = jax.vmap(
-        lambda r, a, q, sm: P.concat_bytes(r, a, q, sm)
-    )(recons, arts, qdcts, smalls_all)
+    if compact:
+        recons, arts, qdcts, smalls_all, preds_all = out
+        packed = _pack_two_pass_rows(recons, arts, qdcts, smalls_all,
+                                     preds_all, bs, int8q, h, w)
+        out = out[:4]
+    else:
+        # bundle the FULL planes into one buffer per chunk: pure
+        # bitcast+concat, so a chunk is one transfer instead of four
+        recons, arts, qdcts, smalls_all = out
+        packed = jax.vmap(
+            lambda r, a, q, sm: P.concat_bytes(r, a, q, sm)
+        )(recons, arts, qdcts, smalls_all)
     return out + (packed,), ref_out, hp_out, avg_out
+
+
+def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, h, w):
+    """Compact-transfer rows for the fused two-pass chunk, in the same
+    ops/pack.py FrameLayout as models/chunk.py._pack_chunk_rows — the frame
+    mode (I on GOP starts and scene changes, else P) is a runtime value, so
+    the meta/mv/modes fields are selected per frame with ``where``."""
+    nbr, nbc = h // bs, w // bs
+    nb = nbr * nbc
+    vdtype = jnp.int8 if int8q else jnp.int16
+    capq = P.qdct_caps(nb, bs)
+    cap = P.esc_cap(h, w)
+
+    def row(recon, art, qdct, sm, pred_u8):
+        is_i = sm[0] == 1
+        payload = sm[1 : 1 + 5 * nb]
+        rq = sm[1 + 5 * nb : 1 + 5 * nb + nbr]
+        rb = sm[1 + 5 * nb + nbr :]
+        meta_i = jnp.stack([jnp.int32(1), payload[nb : 2 * nb].sum(),
+                            jnp.int32(2 * nb)])
+        meta_p = jnp.stack([jnp.int32(0), payload[3 * nb : 4 * nb].sum(),
+                            payload[4 * nb : 5 * nb].sum()])
+        meta = jnp.concatenate([jnp.where(is_i, meta_i, meta_p), rq, rb])
+        mv = jnp.where(is_i, 0, payload[: 3 * nb]).astype(jnp.int16)
+        modes = jnp.where(is_i, payload[:nb], 0).astype(jnp.uint8)
+        pred = pred_u8.astype(jnp.int32)
+        guess = P.recon_guess_plane(qdct, rq, pred, bs)
+        rc, re, rn = P.pack_vs_base(recon, guess, cap)
+        ac, ae, an = P.pack_art(art, recon, pred, cap)
+        an = jnp.where(is_i, 0, an)  # intra res planes are host-derived
+        qv, ql, qt = P.pack_qdct(qdct, bs, capq, vdtype)
+        return P.pack_row(rc, re, rn, meta, mv, modes, qv, ql, qt, ac, ae, an)
+
+    return jax.vmap(row)(recons, arts, qdcts, smalls, preds)

@@ -83,9 +83,34 @@ def rle_block_bits(zigzagged: jnp.ndarray) -> jnp.ndarray:
     return lit_bits.sum(axis=-1) + header_bits.sum(axis=-1) + EOB_LEN
 
 
-def zigzag_gather(blocks_flat: jnp.ndarray, zz_idx: np.ndarray) -> jnp.ndarray:
-    """``[..., bs*bs]`` flattened blocks -> zigzag scans via one gather."""
-    return blocks_flat[..., jnp.asarray(zz_idx)]
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _zigzag_perm_matrix(bs: int) -> np.ndarray:
+    """0/1 selector matrix M with ``(x @ M)[m] == x[zz[m]]`` (float32)."""
+    from ..entropy.zigzag import zigzag_indices
+
+    L = bs * bs
+    m = np.zeros((L, L), np.float32)
+    m[zigzag_indices(bs), np.arange(L)] = 1.0
+    return m
+
+
+def zigzag_rows(blocks_flat: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """``[..., bs*bs]`` flattened int blocks -> int32 zigzag scans.
+
+    Implemented as a float32 matmul with a 0/1 selector matrix instead of a
+    gather: the relay backend executes batched gathers at ~6 ms per frame-
+    sized index set, the MXU matmul at ~0.4 ms (PROFILE.md sections 4 and 5).
+    Exact because |quantized coefficients| <= 255*bs < 2^24."""
+    m = jnp.asarray(_zigzag_perm_matrix(bs))
+    y = jax.lax.dot_general(
+        blocks_flat.astype(jnp.float32), m,
+        (((blocks_flat.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return y.astype(jnp.int32)
 
 
 def intra_mode_bits(modes: jnp.ndarray) -> jnp.ndarray:

@@ -28,7 +28,6 @@ import numpy as np
 
 from . import bitlen
 from . import transform as T
-from ..entropy.zigzag import zigzag_indices
 
 
 def _select_qp_rc1(budget, rows_left, tbl_qps, tbl_bits):
@@ -64,7 +63,6 @@ def intra_encode_frame(
     nbr, nbc = h // bs, w // bs
     d = jnp.asarray(T.dct_matrix(bs))
     qmats = jnp.asarray(T.quant_matrices(bs))  # [nqp, bs, bs]
-    zz = jnp.asarray(zigzag_indices(bs))
     curr_i = curr.astype(jnp.int32)
 
     def block_step(carry, j):
@@ -114,7 +112,7 @@ def intra_encode_frame(
             block_step, (recon, y, qp), jnp.arange(nbc, dtype=jnp.int32)
         )
         # exact row cost: qp_diff + per-block modes + DCT coefficients
-        zz_rows = qrow.reshape(nbc, bs * bs)[:, zz]
+        zz_rows = bitlen.zigzag_rows(qrow.reshape(nbc, bs * bs), bs)
         dct_bits = bitlen.rle_block_bits(zz_rows).sum()
         pred_bits = bitlen.golomb_len(qp - initial_qp) + bitlen.intra_mode_bits(modes).sum()
         row_bits = dct_bits + pred_bits

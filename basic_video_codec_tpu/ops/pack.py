@@ -41,12 +41,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-PREFIX_CAP_PER_BLOCK = 24   # ~2x the measured mean zigzag prefix length
-ESC_DIVISOR = 16            # escape capacity = H*W/16 (~4x measured rate)
+PREFIX_CAP_FRACTION = 3, 8  # capacity = 3/8 of the plane's coefficients
+ESC_DIVISOR = 12            # escape capacity = H*W/12 (~2x measured worst)
 
 
-def qdct_caps(nb: int) -> int:
-    return max(nb * PREFIX_CAP_PER_BLOCK, 2048)
+def qdct_caps(nb: int, bs: int) -> int:
+    """Zigzag-prefix value capacity: a fixed fraction (3/8) of the plane's
+    coefficient count, independent of block size.  Sized from measured
+    prefix totals: the bs-16 low-QP deliverable config peaks at ~33% of the
+    plane; bs-8 bench configs at well under 10%.  An undersized cap is
+    worse than a generous one — every overflowing frame costs a ~40 ms
+    synchronous full-plane fallback fetch through the relay."""
+    num, den = PREFIX_CAP_FRACTION
+    return max(nb * bs * bs * num // den, 2048)
 
 
 def esc_cap(h: int, w: int) -> int:
@@ -67,18 +74,19 @@ def qdct_int8_safe(ec) -> bool:
 # Device side (traced; called inside the chunk jits, vmapped over frames)
 # ---------------------------------------------------------------------------
 
-def pack_qdct(qdct: jnp.ndarray, bs: int, zz: jnp.ndarray, cap: int, vdtype):
+def pack_qdct(qdct: jnp.ndarray, bs: int, cap: int, vdtype):
     """int16 plane [H, W] -> (vals [cap] vdtype, lens [nb] int32,
     total int32).  vals holds the concatenated zigzag nonzero prefixes of all
     blocks in raster order; total > cap means overflow (fetch the full plane).
     """
+    from . import bitlen
+
     h, w = qdct.shape
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     L = bs * bs
-    scans = (
-        qdct.reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3)
-        .reshape(nb, L).astype(jnp.int32)[:, zz]
+    scans = bitlen.zigzag_rows(
+        qdct.reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3).reshape(nb, L), bs
     )
     nz = scans != 0
     lens = jnp.where(nz.any(axis=1), L - jnp.argmax(nz[:, ::-1], axis=1), 0)
@@ -154,19 +162,22 @@ def intra_pred_plane(recon: jnp.ndarray, modes: jnp.ndarray, bs: int) -> jnp.nda
     """Intra prediction plane from the FINAL reconstruction + mode grid
     (device twin of the pred step in :func:`host_intra_art`): valid because
     each block's predictor reads only already-final neighbor pixels.
-    Preserves the transposed-predictor quirk (ops/intra.py)."""
-    h, w = recon.shape
-    ys, xs = jnp.arange(h), jnp.arange(w)
-    y0, x0 = (ys // bs) * bs, (xs // bs) * bs
-    ri = recon.astype(jnp.int32)
-    ry = y0[:, None] + (xs % bs)[None, :]
-    pred_h = jnp.where((x0 - 1)[None, :] >= 0,
-                       ri[ry, jnp.maximum(x0 - 1, 0)[None, :]], 128)
-    cx = x0[None, :] + (ys % bs)[:, None]
-    pred_v = jnp.where((y0 - 1)[:, None] >= 0,
-                       ri[jnp.maximum(y0 - 1, 0)[:, None], cx], 128)
-    mode_px = jnp.repeat(jnp.repeat(modes.astype(jnp.int32), bs, axis=0), bs, axis=1)
-    return jnp.where(mode_px == 0, pred_h, pred_v)
+    Preserves the transposed-predictor quirk (ops/intra.py): within a block,
+    H-mode pixel (a, b) reads the left neighbor column at row offset b and
+    V-mode pixel (a, b) reads the top neighbor row at column offset a.
+    Pure slice/broadcast (no gathers — batched gathers cost ~7 ms/pass on
+    the relay backend, PROFILE.md section 4)."""
+    blocks = _blockify(recon.astype(jnp.int32), bs)     # [nbr, nbc, bs, bs]
+    nbr, nbc = blocks.shape[:2]
+    border = jnp.full((1,), 128, jnp.int32)
+    left = jnp.concatenate(
+        [jnp.broadcast_to(border, (nbr, 1, bs)), blocks[:, :-1, :, -1]], axis=1)
+    top = jnp.concatenate(
+        [jnp.broadcast_to(border, (1, nbc, bs)), blocks[:-1, :, -1, :]], axis=0)
+    pred_h = jnp.broadcast_to(left[:, :, None, :], blocks.shape)   # f(b)
+    pred_v = jnp.broadcast_to(top[:, :, :, None], blocks.shape)    # f(a)
+    sel = (modes.astype(jnp.int32) == 0)[:, :, None, None]
+    return _unblockify(jnp.where(sel, pred_h, pred_v))
 
 
 def pack_row(rc, re, rn, meta, mv, modes, qv, ql, qt, ac=None, ae=None, an=None):
@@ -226,7 +237,7 @@ class FrameLayout:
         self.vbytes = vbytes
         self.with_mv = with_mv
         self.with_art = with_art
-        self.capq = qdct_caps(nb)
+        self.capq = qdct_caps(nb, bs)
         self.cape = esc_cap(h, w)
         nb2 = nb + (nb & 1)  # keep following i16 fields 2-byte aligned
         sizes = [("rc", h * w // 4), ("re", self.cape), ("rn", 4),

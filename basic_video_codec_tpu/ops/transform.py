@@ -101,13 +101,19 @@ def idct2_exact_core(rescaled_i32: jnp.ndarray, d_int: jnp.ndarray) -> jnp.ndarr
 
 
 def idct2_exact_core_np(rescaled_i32: np.ndarray, d_int: np.ndarray) -> np.ndarray:
-    """Bit-identical NumPy twin of :func:`idct2_exact_core` (int32 einsums
-    wrap two's-complement and ``>>`` is arithmetic in both backends —
-    verified in tests/test_pack.py)."""
-    y = rescaled_i32.astype(np.int32)
-    t1 = np.einsum("km,...kl->...ml", d_int, y)
-    t1 = (t1 + (1 << (EXACT_SHIFT - 1))) >> EXACT_SHIFT
-    return np.einsum("...ml,ln->...mn", t1, d_int)
+    """Bit-identical NumPy twin of :func:`idct2_exact_core` (verified in
+    tests/test_pack.py).  The matmuls run in float64 BLAS — NumPy integer
+    einsums fall back to slow C loops (~6 ms per CIF block-16 frame, the
+    whole host rebuild budget) while the products here stay < 2^32, exact in
+    float64.  The device's int32 wrap-on-overflow is reproduced by the
+    float64 -> int64 -> int32 cast chain (modulo 2^32)."""
+    d = d_int.astype(np.float64)
+    y = rescaled_i32.astype(np.float64)
+    t1f = np.matmul(d.T, y)                               # D_i^T @ Y
+    t1 = t1f.astype(np.int64).astype(np.int32)
+    t1 = (t1 + np.int32(1 << (EXACT_SHIFT - 1))) >> EXACT_SHIFT
+    t2f = np.matmul(t1.astype(np.float64), d)
+    return t2f.astype(np.int64).astype(np.int32)
 
 
 def idct2_exact(rescaled_i32: jnp.ndarray, d_int: jnp.ndarray) -> jnp.ndarray:

@@ -109,7 +109,7 @@ def _local_pframe(curr, ref_ext, band0, h_total, bs, r, qp, frac, d, Q, zz):
     residuals = (curr_blocks - preds).astype(jnp.float32)
     q = T.quantize(T.dct2(residuals, d), Q)
     qi = q.astype(jnp.int32)
-    bits = bitlen.rle_block_bits(qi.reshape(nbr * nbc, bs * bs)[:, zz]).sum()
+    bits = bitlen.rle_block_bits(bitlen.zigzag_rows(qi.reshape(nbr * nbc, bs * bs), bs)).sum()
     recon_blocks, _ = T.reconstruct(q, Q, preds, d)
     recon = recon_blocks.transpose(0, 2, 1, 3).reshape(hl, w)
     qdct = qi.astype(jnp.int16).transpose(0, 2, 1, 3).reshape(hl, w)

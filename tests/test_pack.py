@@ -25,7 +25,7 @@ def test_qdct_pack_roundtrip(bs):
     q = _random_qdct(rng, h, w, bs)
     zz = zigzag_indices(bs)
     cap = nb * bs * bs  # roomy: dense random content has near-full prefixes
-    vals, lens, total = PK.pack_qdct(jnp.asarray(q), bs, jnp.asarray(zz), cap, jnp.int16)
+    vals, lens, total = PK.pack_qdct(jnp.asarray(q), bs, cap, jnp.int16)
     assert int(total) <= cap
     out = PK.unpack_qdct(np.asarray(vals), np.asarray(lens), h, w, bs, zz)
     assert np.array_equal(out, q)
@@ -38,7 +38,7 @@ def test_qdct_pack_overflow_flagged():
     q = np.full((h, w), 7, np.int16)  # every block has a full prefix
     zz = zigzag_indices(bs)
     cap = 64  # far too small
-    vals, lens, total = PK.pack_qdct(jnp.asarray(q), bs, jnp.asarray(zz), cap, jnp.int16)
+    vals, lens, total = PK.pack_qdct(jnp.asarray(q), bs, cap, jnp.int16)
     assert int(total) == h * w > cap  # overflow is detectable
     assert np.asarray(vals).shape == (cap,)
 
@@ -276,7 +276,7 @@ def test_pipeline_overflow_fallback(tmp_path, monkeypatch):
     # so the new cap values are actually traced in
     chunk_mod.encode_chunk.clear_cache()
     chunk_mod.encode_chunk_intra_only.clear_cache()
-    monkeypatch.setattr(PK, "qdct_caps", lambda nb: 8)
+    monkeypatch.setattr(PK, "qdct_caps", lambda nb, bs: 8)
     monkeypatch.setattr(PK, "esc_cap", lambda h, w: 8)
     try:
         io_tiny = run("tiny")

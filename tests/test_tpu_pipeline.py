@@ -102,6 +102,32 @@ def test_rate_control_exact_vs_golden(tmp_path, rcflag):
                        iot.get_metrics_csv_file_name(), shallow=False) is not None
 
 
+@pytest.mark.parametrize("cfg", [
+    dict(fastME=True, quantization_factor=6),
+    dict(fastME=True, RCflag=3, targetBR=480_000),
+], ids=["rc0", "rc3"])
+def test_compact_forced_fastme(tmp_path, monkeypatch, cfg):
+    """BVC_COMPACT=2 forces packed transfers for device-bound fastME configs
+    (the pipeline default keeps those on full planes): the compact row
+    packers (models/chunk.py and two_pass.py) must reproduce the full-plane
+    run bit-for-bit — every artifact, not just the bitstream.  (Golden
+    parity is NOT asserted here: adding the packers to the jit changes XLA
+    fusion, which can flip a round-half float-DCT case — the documented
+    +-1 tolerance class, covered by test_self_consistency_and_parity.)"""
+    sz = dict(W=176, H=144, N=5, resolution=(176, 144)) if "RCflag" in cfg else {}
+    ios = {}
+    for env in ("2", "0"):
+        monkeypatch.setenv("BVC_COMPACT", env)
+        name = f"cf{env}_rc{cfg.get('RCflag', 0)}"
+        _, ios[env] = _run_both(tmp_path, name, **sz, **cfg)
+    for fn in ("get_encoded_file_name", "get_mc_reconstructed_file_name",
+               "get_quant_dct_coff_fh_file_name", "get_residual_w_mc_file_name",
+               "get_residual_wo_mc_file_name", "get_mv_file_name",
+               "get_mc_decoded_file_name"):
+        assert filecmp.cmp(getattr(ios["2"], fn)(), getattr(ios["0"], fn)(),
+                           shallow=False), fn
+
+
 def test_metrics_and_mv_artifacts(tmp_path):
     iog, iot = _run_both(tmp_path, "artifacts", quantization_factor=7)
     # at high QP everything matches bit for bit, including text artifacts
