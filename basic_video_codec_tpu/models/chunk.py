@@ -22,14 +22,14 @@ from ..ops.intra import intra_decode_frame, intra_encode_frame
 from .pframe import pframe_decode, pframe_encode
 
 
-def _pack_qdct_stack(qdcts, bs, vdtype):
+def _pack_qdct_stack(qdcts, bs, vdtype, q4):
     """vmap pack_qdct over stacked frames [K, H, W]."""
     h, w = qdcts.shape[1:]
     cap = P.qdct_caps((h // bs) * (w // bs), bs)
-    return jax.vmap(lambda q: P.pack_qdct(q, bs, cap, vdtype))(qdcts)
+    return jax.vmap(lambda q: P.pack_qdct(q, bs, cap, vdtype, q4))(qdcts)
 
 
-def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w):
+def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4):
     """Shared compact-transfer epilogue: ONE packed uint8 row per frame in
     ops/pack.py FrameLayout order.  ``intra_parts`` is the chunk head's
     (recon, qdct, smalls) or None; ``p_parts`` the stacked P-frame
@@ -40,38 +40,48 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w):
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     vdtype = jnp.int8 if int8q else jnp.int16
-    layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True)
+    layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4)
     cap = P.esc_cap(h, w)
     rows = []
     if intra_parts is not None:
         recon_i, qdct_i, smalls_i = intra_parts
-        qv_i, ql_i, qt_i = P.pack_qdct(qdct_i, bs, P.qdct_caps(nb, bs), vdtype)
+        qp_i = P.pack_qdct(qdct_i, bs, P.qdct_caps(nb, bs), vdtype, q4)
+        qv_i, ql_i, qt_i = qp_i[:3]
         meta_i, mv_z, modes_i = _meta_i(smalls_i, nb, nbr)
         rc_i, re_i, rn_i = _pack_intra_recon(recon_i, qdct_i, smalls_i,
                                              bs, nb, nbr, nbc, cap)
         rows.append(P.pack_row(
             rc_i, re_i, rn_i, meta_i, mv_z, modes_i, qv_i, ql_i, qt_i,
             jnp.zeros(h * w // 4, jnp.uint8), jnp.zeros(layout.cape, jnp.uint8),
-            jnp.int32(0))[None])
+            jnp.int32(0), bs=bs, mv8=mv8,
+            qe=qp_i[3] if q4 else None, qn=qp_i[4] if q4 else None)[None])
     recons, arts, qdcts, smalls = p_parts
     if recons.shape[0] > 0:
-        qv, ql, qt = _pack_qdct_stack(qdcts, bs, vdtype)
+        qp = _pack_qdct_stack(qdcts, bs, vdtype, q4)
+        qv, ql, qt = qp[:3]
 
         def pack_one(art, recon, pred_u8, qdct, sm):
             pred = pred_u8.astype(jnp.int32)
             row_qps = sm[5 * nb : 5 * nb + nbr]
-            guess = P.recon_guess_plane(qdct, row_qps, pred, bs)
+            x = P.exact_x_blocks(qdct, row_qps, bs)
+            guess = P.recon_guess_from_x(x, pred, bs)
             return (P.pack_vs_base(recon, guess, cap)
-                    + P.pack_art(art, recon, pred, cap))
+                    + P.pack_art(art, x, cap))
 
         rc, re, rn, ac, ae, an = jax.vmap(pack_one)(
             arts, recons, preds, qdcts, smalls)
 
-        def row(r1, r2, r3, sm, v, l, t, c, e, n):
+        def row(r1, r2, r3, sm, v, l, t, c, e, n, qen=None):
             meta, mv, modes = _meta_p(sm, nb, nbr)
-            return P.pack_row(r1, r2, r3, meta, mv, modes, v, l, t, c, e, n)
+            return P.pack_row(r1, r2, r3, meta, mv, modes, v, l, t, c, e, n,
+                              bs=bs, mv8=mv8,
+                              qe=qen[0] if qen else None,
+                              qn=qen[1] if qen else None)
 
-        rows.append(jax.vmap(row)(rc, re, rn, smalls, qv, ql, qt, ac, ae, an))
+        args = (rc, re, rn, smalls, qv, ql, qt, ac, ae, an)
+        if q4:
+            args = args + ((qp[3], qp[4]),)
+        rows.append(jax.vmap(row)(*args))
     return (jnp.concatenate(rows) if rows
             else jnp.zeros((0, layout.total), jnp.uint8))
 
@@ -90,7 +100,7 @@ def _pack_intra_recon(recon, qdct, smalls, bs, nb, nbr, nbc, cap):
 def _meta_p(smalls, nb, nbr):
     """P-frame smalls [5nb+2nbr] -> (meta i32 [3+2nbr], mv i16, modes u8).
     meta = (mode=0, sad_sum, comparison_sum, row_qps, row_bits)."""
-    mv = smalls[: 3 * nb].astype(jnp.int16)
+    mv = smalls[: 3 * nb]
     meta = jnp.concatenate([
         jnp.stack([jnp.int32(0), smalls[3 * nb : 4 * nb].sum(),
                    smalls[4 * nb : 5 * nb].sum()]),
@@ -108,10 +118,10 @@ def _meta_i(smalls, nb, nbr):
                    jnp.int32(2 * nb)]),
         smalls[2 * nb :],
     ])
-    return meta, jnp.zeros(3 * nb, jnp.int16), modes
+    return meta, jnp.zeros(3 * nb, jnp.int32), modes
 
 
-@partial(jax.jit, static_argnames=("bs", "rc1", "exact", "compact", "int8q"))
+@partial(jax.jit, static_argnames=("bs", "rc1", "exact", "compact", "int8q", "q4"))
 def encode_chunk_intra_only(
     frames: jnp.ndarray,        # uint8 [K, H, W]
     row_qps: jnp.ndarray,       # int32 [nbr]
@@ -124,6 +134,7 @@ def encode_chunk_intra_only(
     exact: bool = False,
     compact: bool = False,
     int8q: bool = False,
+    q4: bool = False,
 ):
     """All-intra chunk (I_Period == 1): every frame clears the reference
     deques, so frames are fully independent — one ``vmap`` instead of a scan.
@@ -144,19 +155,26 @@ def encode_chunk_intra_only(
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     cap = P.esc_cap(h, w)
-    qv, ql, qt = _pack_qdct_stack(qdcts, bs, jnp.int8 if int8q else jnp.int16)
+    qp = _pack_qdct_stack(qdcts, bs, jnp.int8 if int8q else jnp.int16, q4)
+    qv, ql, qt = qp[:3]
 
-    def row(r, q, sm, v, l, t):
+    def row(r, q, sm, v, l, t, qen=None):
         meta, _, modes = _meta_i(sm, nb, nbr)
         rc, re, rn = _pack_intra_recon(r, q, sm, bs, nb, nbr, nbc, cap)
-        return P.pack_row(rc, re, rn, meta, None, modes, v, l, t)
+        return P.pack_row(rc, re, rn, meta, None, modes, v, l, t, bs=bs,
+                          qe=qen[0] if qen else None,
+                          qn=qen[1] if qen else None)
 
-    packed = jax.vmap(row)(recons, qdcts, smalls, qv, ql, qt)
+    args = (recons, qdcts, smalls, qv, ql, qt)
+    if q4:
+        args = args + ((qp[3], qp[4]),)
+    packed = jax.vmap(row)(*args)
     return recons, arts, qdcts, smalls, packed
 
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
-                                   "first_is_intra", "exact", "compact", "int8q"))
+                                   "first_is_intra", "exact", "compact",
+                                   "int8q", "mv8", "q4"))
 def encode_chunk(
     frames: jnp.ndarray,        # uint8 [K, H, W]
     ref0: jnp.ndarray,          # uint8 [H, W] incoming reference (used iff not first_is_intra)
@@ -175,6 +193,8 @@ def encode_chunk(
     exact: bool = False,
     compact: bool = False,
     int8q: bool = False,
+    mv8: bool = False,
+    q4: bool = False,
 ):
     """Returns ``(intra_out | None, p_out, ref_out, hp_out)`` where
     ``intra_out = (recon, art, qdct, smalls)`` for frames[0] and
@@ -235,7 +255,7 @@ def encode_chunk(
 
     packed = _pack_chunk_rows(
         (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
-        p_out[:4], p_out[4], bs, int8q, h, w)
+        p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4)
     return intra_out, p_out[:4], ref_out, hp_out, packed
 
 
@@ -258,7 +278,8 @@ def _push_ref(refs, hps, n_valid, recon, hp, frac):
 
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
-                                   "first_is_intra", "exact", "compact", "int8q"))
+                                   "first_is_intra", "exact", "compact",
+                                   "int8q", "mv8", "q4"))
 def encode_chunk_multiref(
     frames: jnp.ndarray,        # uint8 [K, H, W]
     refs0: jnp.ndarray,         # uint8 [R, H, W] incoming rolling stack
@@ -278,6 +299,8 @@ def encode_chunk_multiref(
     exact: bool = False,
     compact: bool = False,
     int8q: bool = False,
+    mv8: bool = False,
+    q4: bool = False,
 ):
     """nRefFrames > 1 GOP chunk: :func:`encode_chunk` with the single
     reference replaced by a rolling stack carried through the scan.  The
@@ -341,7 +364,7 @@ def encode_chunk_multiref(
 
     packed = _pack_chunk_rows(
         (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
-        p_out[:4], p_out[4], bs, int8q, h, w)
+        p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4)
     return intra_out, p_out[:4], refs_out, hps_out, nv_out, packed
 
 

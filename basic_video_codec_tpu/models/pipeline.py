@@ -298,7 +298,9 @@ def _rebuild_frame(f, ec, hist, q_full=None, r_full=None):
     the host reference history.  Runs strictly in frame order — frame k's
     reconstruction predicts frame k+1 — on the rebuild chain worker (or the
     fetch loop for the sharded path).  Returns the host-resident fields the
-    (parallel) finalize step needs: (mode, recon, qdct, pred, oldest)."""
+    (parallel) finalize step needs: (mode, recon, qdct, pred, oldest,
+    art_guess) — art_guess is the integer-exact res_w_mc base (inter only;
+    the integer IDCT it needs is shared with the recon guess)."""
     from ..ops import pack as PK
 
     bs = ec.block_size
@@ -311,6 +313,7 @@ def _rebuild_frame(f, ec, hist, q_full=None, r_full=None):
         qdct = np.asarray(q_full, dtype=np.int16)
     else:
         qdct = PK.unpack_qdct(f["qv"], f["ql"], h, w, bs, zigzag_indices(bs))
+    art_guess = None
     if mode == INTRA:
         hist.clear()
         pred = oldest = None
@@ -327,13 +330,15 @@ def _rebuild_frame(f, ec, hist, q_full=None, r_full=None):
                if ec.fracMeEnabled else None)
         pred = PK.host_pred_inter(refs, mvs, bs, ec.fracMeEnabled, hps)
         oldest = hist[0]
+        x = PK._x_int_blocks_np(qdct, row_qps, bs)
+        art_guess = PK.host_art_guess_from_x(x)
         if r_full is not None:
             recon = np.asarray(r_full)
         else:
-            guess = PK.host_recon_guess(qdct, row_qps, pred, bs)
+            guess = PK.host_recon_guess_from_x(x, pred, bs)
             recon = PK.unpack_vs_base(f["rc"], f["re"], guess)
     hist.append(recon)
-    return mode, recon, qdct, pred, oldest
+    return mode, recon, qdct, pred, oldest, art_guess
 
 
 class _ReconRebuilder:
@@ -368,7 +373,7 @@ def _finalize_compact(index, curr, f, ec, rebuilt, a_full=None) -> _Finalized:
 
     if hasattr(rebuilt, "result"):
         rebuilt = rebuilt.result()
-    mode, recon, qdct, pred, oldest = rebuilt
+    mode, recon, qdct, pred, oldest, art_guess = rebuilt
     bs = ec.block_size
     h, w = recon.shape
     nbr, nbc = h // bs, w // bs
@@ -384,7 +389,7 @@ def _finalize_compact(index, curr, f, ec, rebuilt, a_full=None) -> _Finalized:
         if a_full is not None:
             art = np.asarray(a_full)
         else:
-            art = PK.unpack_art(f["ac"], f["ae"], recon, pred)
+            art = PK.unpack_art(f["ac"], f["ae"], art_guess)
     return _finalize_fields(index, mode, curr, recon, art, qdct, aux,
                             metric_sum, comparisons, row_qps, row_bits, ec,
                             prev_recon=oldest)
@@ -648,19 +653,24 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                and (not ec.fastME or compact_env == "2")
                and params.height * params.width * 255 < 2 ** 31)
     int8q = PK.qdct_int8_safe(ec)
+    mv8 = PK.mv_int8_safe(ec)
+    q4 = PK.qdct_nibble_safe(ec)
     pw, ph = padded_dims(params.width, params.height, bs)
     nb_pad = (ph // bs) * (pw // bs)
     qcap = PK.qdct_caps(nb_pad, bs)
     ecap = PK.esc_cap(ph, pw)
+    qecap = PK.qe_cap(qcap)
 
     vbytes = 1 if int8q else 2
     layouts = {
-        "intra_all": PK.FrameLayout(ph, pw, bs, vbytes, False, False),
-        "intra_led": PK.FrameLayout(ph, pw, bs, vbytes, True, True),
-        "p_only": PK.FrameLayout(ph, pw, bs, vbytes, True, True),
+        "intra_all": PK.FrameLayout(ph, pw, bs, vbytes, False, False,
+                                    q4=q4),
+        "intra_led": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4),
+        "p_only": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4),
         # mode is a runtime value per frame (scene changes), so every row
         # carries both mv and art fields; intra rows zero the unused ones
-        "two_pass": PK.FrameLayout(ph, pw, bs, vbytes, True, True),
+        # (q4 would be inert there anyway: RC >= 2 keeps whole-byte values)
+        "two_pass": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4),
     }
 
     rebuilder = _ReconRebuilder(ec, ph, pw) if compact else None
@@ -677,7 +687,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         # program, so it must only happen on the (rare) overflow path
         sel = (lambda a: a[k]) if k is not None else (lambda a: a)
         with _stage("overflow fallback fetch"):
-            q_full = jax.device_get(sel(d_qdcts)) if f["qt"] > qcap else None
+            q_full = (jax.device_get(sel(d_qdcts))
+                      if f["qt"] > qcap or f["qn"] > qecap else None)
             a_full = (jax.device_get(sel(d_arts))
                       if int(f["meta"][0]) == INTER and f["an"] > ecap else None)
             r_full = jax.device_get(sel(d_recons)) if f["rn"] > ecap else None
@@ -824,6 +835,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     tbl[0], tbl[1], exp_p_frame, initial_qp,
                     bs, max(ec.search_range, 0), ec.fastME, frac,
                     first_is_intra, exact=exact, compact=compact, int8q=int8q,
+                    mv8=mv8,
                 )
                 kind = "two_pass"
                 leaves = (dev[4],)  # one bundled buffer per chunk
@@ -832,7 +844,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 dev = encode_chunk_intra_only(
                     jnp.asarray(frames_np), row_qps, budget0, tbl[0], tbl[1],
                     initial_qp, bs, rc1, exact=exact, compact=compact,
-                    int8q=int8q,
+                    int8q=int8q, q4=q4,
                 )
                 kind = "intra_all"
                 leaves = (dev[4],) if compact else dev
@@ -841,7 +853,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     jnp.asarray(frames_np), ref, hp, nv, row_qps, budget0,
                     tbl[0], tbl[1], initial_qp, bs, max(ec.search_range, 0),
                     rc1, ec.fastME, frac, first_is_intra, exact=exact,
-                    compact=compact, int8q=int8q,
+                    compact=compact, int8q=int8q, mv8=mv8, q4=q4,
                 )
                 ref, hp, nv = out[2], out[3], out[4]
                 # normalize to the fetcher's (intra_out, p_out, _, _, packed)
@@ -854,6 +866,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     jnp.asarray(frames_np), ref, hp, row_qps, budget0, tbl[0], tbl[1],
                     initial_qp, bs, max(ec.search_range, 0), rc1, ec.fastME, frac,
                     first_is_intra, exact=exact, compact=compact, int8q=int8q,
+                    mv8=mv8, q4=q4,
                 )
                 ref, hp = dev[2], dev[3]
                 kind = "intra_led" if first_is_intra else "p_only"
@@ -921,13 +934,17 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
     compact = (os.environ.get("BVC_COMPACT", "1") != "0"
                and params.height * params.width * 255 < 2 ** 31)
     int8q = PK.qdct_int8_safe(ec)
+    mv8 = PK.mv_int8_safe(ec)
+    q4 = PK.qdct_nibble_safe(ec)
     pw, ph = padded_dims(params.width, params.height, bs)
     nb_pad = (ph // bs) * (pw // bs)
     qcap = PK.qdct_caps(nb_pad, bs)
     ecap = PK.esc_cap(ph, pw)
+    qecap = PK.qe_cap(qcap)
     vbytes = 1 if int8q else 2
-    layout = (PK.FrameLayout(ph, pw, bs, vbytes, False, False) if intra_only
-              else PK.FrameLayout(ph, pw, bs, vbytes, True, True))
+    layout = (PK.FrameLayout(ph, pw, bs, vbytes, False, False, q4=q4)
+              if intra_only
+              else PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4))
 
     data = max(1, min(len(jax.devices()), ec.parallel_gops))
     mesh = make_mesh(data, data=data, space=1)
@@ -935,7 +952,7 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
     row_qps = jnp.full(nbr, ec.quantization_factor, jnp.int32)
     batch_fn = gop_batch_fn(mesh, intra_only, bs, max(ec.search_range, 0),
                             rc1, ec.fastME, frac, exact, compact, int8q,
-                            n_ref=ec.nRefFrames)
+                            n_ref=ec.nRefFrames, mv8=mv8, q4=q4)
 
     fin_pool = ThreadPoolExecutor(max_workers=4)
     pending: deque = deque()  # (n_real_per_gop, frames, base_index, dev, dt)
@@ -965,7 +982,8 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
                 for k in range(n):
                     f = layout.split(packed[g, k])
                     qd, ad, rd = planes_of(dev, g, k)
-                    q_full = jax.device_get(qd) if f["qt"] > qcap else None
+                    q_full = (jax.device_get(qd)
+                              if f["qt"] > qcap or f["qn"] > qecap else None)
                     a_full = (jax.device_get(ad)
                               if int(f["meta"][0]) == INTER and f["an"] > ecap
                               else None)

@@ -61,7 +61,7 @@ def _row_qps_proportional(row_bits_1, budget_frame, tbl_qps, tbl_bits):
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "fast", "frac",
                                    "first_is_intra", "exact", "compact",
-                                   "int8q"))
+                                   "int8q", "mv8"))
 def encode_chunk_two_pass(
     frames: jnp.ndarray,       # uint8 [K, H, W]
     ref0: jnp.ndarray,         # uint8 [H, W]
@@ -80,6 +80,7 @@ def encode_chunk_two_pass(
     exact: bool = False,
     compact: bool = False,
     int8q: bool = False,
+    mv8: bool = False,
 ):
     """Returns ``(out, ref_out, hp_out, prev_avg_out)`` with
     ``out = (recons [K,H,W] u8, arts [K,H,W] u8, qdcts [K,H,W] i16,
@@ -241,7 +242,7 @@ def encode_chunk_two_pass(
     if compact:
         recons, arts, qdcts, smalls_all, preds_all = out
         packed = _pack_two_pass_rows(recons, arts, qdcts, smalls_all,
-                                     preds_all, bs, int8q, h, w)
+                                     preds_all, bs, int8q, mv8, h, w)
         out = out[:4]
     else:
         # bundle the FULL planes into one buffer per chunk: pure
@@ -253,7 +254,7 @@ def encode_chunk_two_pass(
     return out + (packed,), ref_out, hp_out, avg_out
 
 
-def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, h, w):
+def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, mv8, h, w):
     """Compact-transfer rows for the fused two-pass chunk, in the same
     ops/pack.py FrameLayout as models/chunk.py._pack_chunk_rows — the frame
     mode (I on GOP starts and scene changes, else P) is a runtime value, so
@@ -274,14 +275,16 @@ def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, h, w):
         meta_p = jnp.stack([jnp.int32(0), payload[3 * nb : 4 * nb].sum(),
                             payload[4 * nb : 5 * nb].sum()])
         meta = jnp.concatenate([jnp.where(is_i, meta_i, meta_p), rq, rb])
-        mv = jnp.where(is_i, 0, payload[: 3 * nb]).astype(jnp.int16)
+        mv = jnp.where(is_i, 0, payload[: 3 * nb])
         modes = jnp.where(is_i, payload[:nb], 0).astype(jnp.uint8)
         pred = pred_u8.astype(jnp.int32)
-        guess = P.recon_guess_plane(qdct, rq, pred, bs)
+        x = P.exact_x_blocks(qdct, rq, bs)
+        guess = P.recon_guess_from_x(x, pred, bs)
         rc, re, rn = P.pack_vs_base(recon, guess, cap)
-        ac, ae, an = P.pack_art(art, recon, pred, cap)
+        ac, ae, an = P.pack_art(art, x, cap)
         an = jnp.where(is_i, 0, an)  # intra res planes are host-derived
         qv, ql, qt = P.pack_qdct(qdct, bs, capq, vdtype)
-        return P.pack_row(rc, re, rn, meta, mv, modes, qv, ql, qt, ac, ae, an)
+        return P.pack_row(rc, re, rn, meta, mv, modes, qv, ql, qt, ac, ae,
+                          an, bs=bs, mv8=mv8)
 
     return jax.vmap(row)(recons, arts, qdcts, smalls, preds)

@@ -9,13 +9,15 @@ cheaply re-expand:
 
 * **qdct**: after zigzag, blocks end in long zero tails — transfer only each
   block's nonzero prefix (values + per-block lengths), scatter-compacted on
-  device into a fixed-size buffer.  Typical CIF P-frame: 203 KB -> ~40 KB.
+  device into a fixed-size buffer; at fixed QP >= 5 the values travel as
+  4-bit nibbles with an int16 escape list (~3% escape rate measured).
+  Typical CIF P-frame: 203 KB -> ~24 KB.
 * **res_w_mc** (P-frames): the plane is ``trunc(idct_residual) mod 256``,
-  and the host can compute ``base = (recon - pred) mod 256 = round(idct
-  residual) mod 256`` from data it already has (previous reconstruction +
-  motion vectors).  ``art - base`` is in {0, +1, -1} everywhere except
-  clipped pixels, so transfer a 2-bit correction plane plus a compacted
-  escape list of raw bytes: 101 KB -> ~31 KB.
+  and the host can compute the integer-exact truncated residual
+  (:func:`art_guess_from_x`) from the same integer IDCT it already runs for
+  the reconstruction guess.  ``art - guess`` is in {0, +1, -1} everywhere
+  except rare float-edge pixels, so transfer a 2-bit correction plane plus
+  a tiny escape list: 101 KB -> ~27 KB.
 * **res_w_mc** (I-frames): pure integer function of (curr, recon, modes) —
   all host-resident — so nothing is transferred at all.
 * **recon**: the same correction-code trick, against a *guess* both sides
@@ -42,7 +44,11 @@ import jax.numpy as jnp
 import numpy as np
 
 PREFIX_CAP_FRACTION = 3, 8  # capacity = 3/8 of the plane's coefficients
-ESC_DIVISOR = 12            # escape capacity = H*W/12 (~2x measured worst)
+# Escape lists hold only float-vs-fixed-point rounding disagreements (both
+# the recon codes and the art codes are based on integer-exact guesses), so
+# the capacity is a small fraction of the plane (measured: <= a handful of
+# escapes per CIF frame; the cap leaves ~500x headroom).
+ESC_DIVISOR = 64
 
 
 def qdct_caps(nb: int, bs: int) -> int:
@@ -57,7 +63,16 @@ def qdct_caps(nb: int, bs: int) -> int:
 
 
 def esc_cap(h: int, w: int) -> int:
-    return max(h * w // ESC_DIVISOR, 1024)
+    return max(h * w // ESC_DIVISOR, 256)
+
+
+def mv_int8_safe(ec) -> bool:
+    """True when every MV component fits int8: full search bounds |dx|, |dy|
+    by the (half-pel-doubled) search range and the reference index by
+    nRefFrames; fastME refinement walks are unbounded (frame-clamped), so
+    fastME always uses int16."""
+    r2 = max(ec.search_range, 0) * (2 if ec.fracMeEnabled else 1)
+    return not ec.fastME and r2 <= 127 and ec.nRefFrames <= 127
 
 
 def qdct_int8_safe(ec) -> bool:
@@ -74,11 +89,18 @@ def qdct_int8_safe(ec) -> bool:
 # Device side (traced; called inside the chunk jits, vmapped over frames)
 # ---------------------------------------------------------------------------
 
-def pack_qdct(qdct: jnp.ndarray, bs: int, cap: int, vdtype):
-    """int16 plane [H, W] -> (vals [cap] vdtype, lens [nb] int32,
-    total int32).  vals holds the concatenated zigzag nonzero prefixes of all
-    blocks in raster order; total > cap means overflow (fetch the full plane).
-    """
+def pack_qdct(qdct: jnp.ndarray, bs: int, cap: int, vdtype, q4: bool = False):
+    """int16 plane [H, W] -> (vals, lens [nb] int32, total int32[, qe, qn]).
+
+    vals holds the concatenated zigzag nonzero prefixes of all blocks in
+    raster order; total > cap means overflow (fetch the full plane).
+
+    With ``q4`` (high-QP fixed-QP configs, :func:`qdct_nibble_safe`) the
+    values travel as 4-bit nibbles (two per byte, vals u8 [cap/2]): |v| <= 7
+    inline, larger values replaced by the sentinel -8 with the true int16 in
+    ``qe`` in stream order (qn > its cap also means overflow).  Measured at
+    the bench config (QP 5): ~3.4% of prefix values escape, halving the
+    dominant transfer field."""
     from . import bitlen
 
     h, w = qdct.shape
@@ -96,10 +118,43 @@ def pack_qdct(qdct: jnp.ndarray, bs: int, cap: int, vdtype):
     idx = offs[:, None] + k[None, :]
     keep = (k[None, :] < lens[:, None]) & (idx < cap)
     idx = jnp.where(keep, idx, cap)  # cap = dump slot, sliced off below
-    vals = jnp.zeros(cap + 1, vdtype).at[idx.reshape(-1)].set(
-        scans.astype(vdtype).reshape(-1)
-    )
-    return vals[:cap], lens.astype(jnp.int32), total.astype(jnp.int32)
+    if not q4:
+        vals = jnp.zeros(cap + 1, vdtype).at[idx.reshape(-1)].set(
+            scans.astype(vdtype).reshape(-1)
+        )
+        return vals[:cap], lens.astype(jnp.int32), total.astype(jnp.int32)
+
+    esc = (scans > 7) | (scans < -7)
+    v4 = jnp.where(esc, -8, scans)
+    vals = jnp.zeros(cap + 1, jnp.int8).at[idx.reshape(-1)].set(
+        v4.astype(jnp.int8).reshape(-1)
+    )[:cap]
+    nib = vals.astype(jnp.int32) & 15
+    vals4 = (nib[0::2] | (nib[1::2] << 4)).astype(jnp.uint8)
+    # escape values in stream order: idx is monotonic over kept (block, k)
+    esc_kept = (esc & keep).reshape(-1)
+    eoff = jnp.cumsum(esc_kept) - esc_kept
+    qn = esc_kept.sum().astype(jnp.int32)
+    capqe = qe_cap(cap)
+    eidx = jnp.where(esc_kept & (eoff < capqe), eoff, capqe)
+    qe = jnp.zeros(capqe + 1, jnp.int16).at[eidx].set(
+        scans.astype(jnp.int16).reshape(-1)
+    )[:capqe]
+    return vals4, lens.astype(jnp.int32), total.astype(jnp.int32), qe, qn
+
+
+def qe_cap(capq: int) -> int:
+    """Nibble-escape value capacity: 1/16 of the prefix value slots (~4x the
+    measured escape rate at the eligible QPs)."""
+    return max(capq // 16, 256)
+
+
+def qdct_nibble_safe(ec) -> bool:
+    """Nibble-packed qdct values: fixed-QP configs at QP >= 5, where the
+    measured escape rate (|v| > 7) is a few percent.  Rate-controlled runs
+    can drop to QP 1-2 where most values would escape (overflow storms), so
+    they stay on whole-byte values."""
+    return ec.RCflag == 0 and ec.quantization_factor >= 5
 
 
 def pack_vs_base(plane: jnp.ndarray, base: jnp.ndarray, cap: int):
@@ -121,11 +176,14 @@ def pack_vs_base(plane: jnp.ndarray, base: jnp.ndarray, cap: int):
     return codes2, esc[:cap], esc_mask.sum().astype(jnp.int32)
 
 
-def pack_art(art: jnp.ndarray, recon: jnp.ndarray, pred: jnp.ndarray, cap: int):
-    """res_w_mc u8 [H, W] -> correction codes vs ``(recon - pred) mod 256``
-    (both exact integers on device and host)."""
-    base = (recon.astype(jnp.int32) - pred.astype(jnp.int32)) & 255
-    return pack_vs_base(art, base, cap)
+def pack_art(art: jnp.ndarray, x_blocks: jnp.ndarray, cap: int):
+    """res_w_mc u8 [H, W] -> correction codes vs the integer-exact art guess
+    (:func:`art_guess_from_x`).  The plane is ``trunc(idct_residual) mod
+    256``; basing the codes on the truncated integer IDCT (instead of the
+    earlier ``(recon - pred) mod 256`` round-based base) drops the escape
+    rate from clip-affected-pixel counts (~4k/frame) to float-edge counts
+    (~0-2/frame), letting the escape cap shrink ~5x."""
+    return pack_vs_base(art, art_guess_from_x(x_blocks).astype(jnp.int32), cap)
 
 
 def _blockify(plane, bs):
@@ -138,24 +196,48 @@ def _unblockify(blocks):
     return blocks.swapaxes(1, 2).reshape(nbr * bs, nbc * bs)
 
 
-def recon_guess_plane(qdct: jnp.ndarray, row_qps: jnp.ndarray,
-                      pred: jnp.ndarray, bs: int) -> jnp.ndarray:
-    """Integer-exact reconstruction guess, uint8 [H, W] (device side).
-
-    ``guess = clip(rshift_round(idct_exact_core(qdct * Q) + (pred << S)))``
-    — every step is deterministic int32 arithmetic, so
-    :func:`host_recon_guess` reproduces it bit-for-bit.  The product
-    reconstruction ``clip(round(idct_float + pred))`` differs from it by
-    {0, +-1} except at rare float-vs-fixed-point disagreements (escapes)."""
+def exact_x_blocks(qdct: jnp.ndarray, row_qps: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """Rescale + integer-exact IDCT: int32 [nbr, nbc, bs, bs], scaled by
+    ``2^EXACT_SHIFT`` — the shared input of both device-side guesses
+    (deterministic int32 arithmetic, bit-identical to the host twin
+    :func:`_x_int_blocks_np`)."""
     from . import transform as T
 
     q = _blockify(qdct.astype(jnp.int32), bs)
     Qi = jnp.asarray(T.quant_matrices(bs)).astype(jnp.int32)[row_qps]
-    x = T.idct2_exact_core(q * Qi[:, None], jnp.asarray(T.dct_matrix_int(bs)))
+    return T.idct2_exact_core(q * Qi[:, None], jnp.asarray(T.dct_matrix_int(bs)))
+
+
+def recon_guess_from_x(x: jnp.ndarray, pred: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """Integer-exact reconstruction guess, uint8 [H, W] (device side).
+
+    ``guess = clip(rshift_round(x + (pred << S)))`` — the product
+    reconstruction ``clip(round(idct_float + pred))`` differs from it by
+    {0, +-1} except at rare float-vs-fixed-point disagreements (escapes)."""
+    from . import transform as T
+
     s = T.EXACT_SHIFT
     p = _blockify(pred.astype(jnp.int32), bs)
     g = (x + (p << s) + (1 << (s - 1))) >> s
     return _unblockify(jnp.clip(g, 0, 255).astype(jnp.uint8))
+
+
+def art_guess_from_x(x: jnp.ndarray) -> jnp.ndarray:
+    """Integer-exact res_w_mc guess, uint8 [H, W]: ``trunc(x / 2^S) mod
+    256`` — the reference stores the residual as ``astype(int8)`` of the
+    float IDCT (truncation toward zero), which the truncated fixed-point
+    residual reproduces except at float-edge pixels."""
+    from . import transform as T
+
+    s = T.EXACT_SHIFT
+    t = jnp.where(x >= 0, x >> s, -((-x) >> s))
+    return _unblockify((t & 255).astype(jnp.uint8))
+
+
+def recon_guess_plane(qdct: jnp.ndarray, row_qps: jnp.ndarray,
+                      pred: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """:func:`recon_guess_from_x` of :func:`exact_x_blocks` (convenience)."""
+    return recon_guess_from_x(exact_x_blocks(qdct, row_qps, bs), pred, bs)
 
 
 def intra_pred_plane(recon: jnp.ndarray, modes: jnp.ndarray, bs: int) -> jnp.ndarray:
@@ -180,20 +262,32 @@ def intra_pred_plane(recon: jnp.ndarray, modes: jnp.ndarray, bs: int) -> jnp.nda
     return _unblockify(jnp.where(sel, pred_h, pred_v))
 
 
-def pack_row(rc, re, rn, meta, mv, modes, qv, ql, qt, ac=None, ae=None, an=None):
+def pack_row(rc, re, rn, meta, mv, modes, qv, ql, qt, ac=None, ae=None,
+             an=None, *, bs, mv8=False, qe=None, qn=None):
     """One frame's transfer row in :class:`FrameLayout` field order (device).
 
     ``rc``/``re``/``rn`` are the reconstruction correction codes / escapes /
-    escape count (:func:`pack_vs_base` vs :func:`recon_guess_plane`);
-    ``mv`` int16 [3*nb] or None (layout without MVs); ``modes`` uint8 [nb]
-    (padded to even length here); ``ql`` is narrowed to int16."""
+    escape count (:func:`pack_vs_base` vs :func:`recon_guess_from_x`);
+    ``mv`` int [3*nb] or None (layout without MVs), narrowed to int8 under
+    ``mv8``; ``modes`` uint8/int [nb] of {0, 1}, bit-packed here (little-
+    endian bit order, the host re-expands with ``np.unpackbits``); ``ql``
+    is narrowed to u8 when a block's scan fits one byte (bs*bs <= 255)."""
     nb = ql.shape[0]
-    if nb & 1:
-        modes = jnp.concatenate([modes, jnp.zeros(1, jnp.uint8)])
+    nbm = (nb + 7) // 8
+    m = modes.astype(jnp.uint8)
+    if nbm * 8 != nb:
+        m = jnp.concatenate([m, jnp.zeros(nbm * 8 - nb, jnp.uint8)])
+    weights = (1 << jnp.arange(8, dtype=jnp.uint8))[None, :]
+    mbits = (m.reshape(nbm, 8) * weights).sum(axis=1).astype(jnp.uint8)
+    if nbm & 1:
+        mbits = jnp.concatenate([mbits, jnp.zeros(1, jnp.uint8)])
     parts = [rc, re, rn, meta]
     if mv is not None:
-        parts.append(mv)
-    parts += [modes, qv, ql.astype(jnp.int16), qt]
+        parts.append(mv.astype(jnp.int8 if mv8 else jnp.int16))
+    parts += [mbits, qv,
+              ql.astype(jnp.uint8 if bs * bs <= 255 else jnp.int16), qt]
+    if qe is not None:
+        parts += [qe, qn]
     if ac is not None:
         parts += [ac, ae, an]
     return concat_bytes(*parts)
@@ -220,32 +314,47 @@ class FrameLayout:
     models/two_pass.py:
 
     * ``rc`` u8 [H*W/4], ``re`` u8 [cape], ``rn`` i32 — reconstruction
-      correction codes vs :func:`recon_guess_plane` (the full plane never
+      correction codes vs :func:`recon_guess_from_x` (the full plane never
       travels except on escape-count overflow)
     * ``meta``   i32 [3 + 2*nbr] — (mode, metric_sum, comparison_sum,
       row_qps, row_bits); MV/comparison vectors travel reduced, not raw
-    * ``mv``     i16 [3*nb]  (``with_mv`` layouts; zeros on intra rows)
-    * ``modes``  u8  [nb rounded up to even]  (zeros on inter rows)
-    * ``qv``     [capq] int8/int16, ``ql`` i16 [nb], ``qt`` i32
-    * ``ac`` u8 [H*W/4], ``ae`` u8 [cape], ``an`` i32  (``with_art`` layouts)
+    * ``mv``     i8 or i16 [3*nb] (``with_mv`` layouts; zeros on intra rows;
+      int8 when the search geometry bounds every component to +-127 —
+      ``mv8``)
+    * ``modes``  bit-packed [ceil(nb/8) rounded up to even]  (zeros on
+      inter rows; ``split`` returns them re-expanded to u8 [nb])
+    * ``qv``     [capq] int8/int16, ``ql`` u8 (bs*bs <= 255) or i16 [nb],
+      ``qt`` i32
+    * ``ac`` u8 [H*W/4], ``ae`` u8 [cape], ``an`` i32  (``with_art``
+      layouts) — codes vs :func:`art_guess_from_x`
     """
 
-    def __init__(self, h, w, bs, vbytes, with_mv, with_art):
+    def __init__(self, h, w, bs, vbytes, with_mv, with_art, mv8=False,
+                 q4=False):
         nbr = h // bs
         nb = nbr * (w // bs)
         self.h, self.w, self.nb, self.nbr = h, w, nb, nbr
         self.vbytes = vbytes
         self.with_mv = with_mv
         self.with_art = with_art
+        self.mv8 = mv8
+        self.q4 = q4
+        self.qlbytes = 1 if bs * bs <= 255 else 2
         self.capq = qdct_caps(nb, bs)
         self.cape = esc_cap(h, w)
-        nb2 = nb + (nb & 1)  # keep following i16 fields 2-byte aligned
+        self.capqe = qe_cap(self.capq)
+        nbm = (nb + 7) // 8
+        nbm2 = nbm + (nbm & 1)
+        self.nbm = nbm
         sizes = [("rc", h * w // 4), ("re", self.cape), ("rn", 4),
                  ("meta", (3 + 2 * nbr) * 4)]
         if with_mv:
-            sizes.append(("mv", 3 * nb * 2))
-        sizes += [("modes", nb2), ("qv", self.capq * vbytes),
-                  ("ql", nb * 2), ("qt", 4)]
+            sizes.append(("mv", 3 * nb * (1 if mv8 else 2)))
+        sizes += [("modes", nbm2),
+                  ("qv", self.capq // 2 if q4 else self.capq * vbytes),
+                  ("ql", nb * self.qlbytes), ("qt", 4)]
+        if q4:
+            sizes += [("qe", self.capqe * 2), ("qn", 4)]
         if with_art:
             sizes += [("ac", h * w // 4), ("ae", self.cape), ("an", 4)]
         self.offsets = {}
@@ -259,19 +368,39 @@ class FrameLayout:
         s, e = self.offsets[name]
         return buf[s:e].view(dtype)
 
+    def _qv(self, buf):
+        """qv field as int16 values (expands the ``q4`` nibble stream and
+        re-places its escape values; zero-copy view otherwise)."""
+        if not self.q4:
+            return self._f(buf, "qv", np.int8 if self.vbytes == 1 else np.int16)
+        packed = self._f(buf, "qv", np.uint8)
+        nib = np.empty(self.capq, np.int16)
+        nib[0::2] = packed & 15
+        nib[1::2] = packed >> 4
+        nib -= (nib >= 8) * 16  # sign-extend; sentinel -8 = escape
+        pos = np.flatnonzero(nib == -8)
+        qe = self._f(buf, "qe", np.int16)
+        nib[pos] = qe[: pos.size]
+        return nib
+
     def split(self, buf: np.ndarray) -> dict:
-        """uint8 [total] -> field views (zero-copy)."""
+        """uint8 [total] -> field views (zero-copy except modes)."""
         out = {
             "h": self.h, "w": self.w,
             "rc": self._f(buf, "rc", np.uint8),
             "re": self._f(buf, "re", np.uint8),
             "rn": int(self._f(buf, "rn", np.int32)[0]),
             "meta": self._f(buf, "meta", np.int32),
-            "mv": self._f(buf, "mv", np.int16) if self.with_mv else None,
-            "modes": self._f(buf, "modes", np.uint8),
-            "qv": self._f(buf, "qv", np.int8 if self.vbytes == 1 else np.int16),
-            "ql": self._f(buf, "ql", np.int16),
+            "mv": (self._f(buf, "mv", np.int8 if self.mv8 else np.int16)
+                   if self.with_mv else None),
+            "modes": np.unpackbits(
+                self._f(buf, "modes", np.uint8)[: self.nbm],
+                bitorder="little")[: self.nb],
+            "qv": self._qv(buf),
+            "ql": self._f(buf, "ql",
+                          np.uint8 if self.qlbytes == 1 else np.int16),
             "qt": int(self._f(buf, "qt", np.int32)[0]),
+            "qn": int(self._f(buf, "qn", np.int32)[0]) if self.q4 else 0,
         }
         if self.with_art:
             out["ac"] = self._f(buf, "ac", np.uint8)
@@ -324,11 +453,11 @@ def unpack_vs_base(codes2: np.ndarray, esc: np.ndarray,
     return out.reshape(h, w)
 
 
-def unpack_art(codes2: np.ndarray, esc: np.ndarray, recon: np.ndarray,
-               pred: np.ndarray) -> np.ndarray:
-    """Inverse of :func:`pack_art` -> res_w_mc u8 [H, W]."""
-    base = (recon.astype(np.int32) - pred.astype(np.int32)) & 255
-    return unpack_vs_base(codes2, esc, base)
+def unpack_art(codes2: np.ndarray, esc: np.ndarray,
+               art_guess: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`pack_art` -> res_w_mc u8 [H, W]; ``art_guess`` from
+    :func:`host_art_guess_from_x`."""
+    return unpack_vs_base(codes2, esc, art_guess.astype(np.int32))
 
 
 def _x_int_blocks_np(qdct: np.ndarray, row_qps: np.ndarray, bs: int) -> np.ndarray:
@@ -344,19 +473,33 @@ def _x_int_blocks_np(qdct: np.ndarray, row_qps: np.ndarray, bs: int) -> np.ndarr
     return T.idct2_exact_core_np(q * Qi[:, None], T.dct_matrix_int(bs))
 
 
-def host_recon_guess(qdct: np.ndarray, row_qps: np.ndarray,
-                     pred: np.ndarray, bs: int) -> np.ndarray:
-    """Host twin of :func:`recon_guess_plane` (inter frames: the whole
+def host_recon_guess_from_x(x: np.ndarray, pred: np.ndarray, bs: int) -> np.ndarray:
+    """Host twin of :func:`recon_guess_from_x` (inter frames: the whole
     prediction plane is known up front, so this is fully vectorized)."""
     from . import transform as T
 
-    h, w = qdct.shape
-    nbr, nbc = h // bs, w // bs
-    x = _x_int_blocks_np(qdct, row_qps, bs)
+    nbr, nbc = x.shape[:2]
+    h, w = nbr * bs, nbc * bs
     s = T.EXACT_SHIFT
     p = pred.reshape(nbr, bs, nbc, bs).swapaxes(1, 2).astype(np.int32)
     g = (x + (p << s) + (1 << (s - 1))) >> s
     return np.clip(g, 0, 255).astype(np.uint8).swapaxes(1, 2).reshape(h, w)
+
+
+def host_art_guess_from_x(x: np.ndarray) -> np.ndarray:
+    """Host twin of :func:`art_guess_from_x`: u8 [H, W]."""
+    from . import transform as T
+
+    nbr, nbc, bs = x.shape[:3]
+    s = T.EXACT_SHIFT
+    t = np.where(x >= 0, x >> s, -((-x) >> s))
+    return (t & 255).astype(np.uint8).swapaxes(1, 2).reshape(nbr * bs, nbc * bs)
+
+
+def host_recon_guess(qdct: np.ndarray, row_qps: np.ndarray,
+                     pred: np.ndarray, bs: int) -> np.ndarray:
+    """:func:`host_recon_guess_from_x` of :func:`_x_int_blocks_np`."""
+    return host_recon_guess_from_x(_x_int_blocks_np(qdct, row_qps, bs), pred, bs)
 
 
 def host_rebuild_intra_recon(qdct: np.ndarray, modes: np.ndarray,

@@ -38,7 +38,7 @@ from functools import lru_cache
 @lru_cache(maxsize=None)
 def gop_batch_fn(mesh, intra_only: bool, bs: int, search_range: int, rc1: bool,
                  fast: bool, frac: bool, exact: bool, compact: bool, int8q: bool,
-                 n_ref: int = 1):
+                 n_ref: int = 1, mv8: bool = False, q4: bool = False):
     """Build the sharded GOP-batch program: ONE GOP per device via
     ``shard_map``, each shard running the *identical* serial chunk program.
 
@@ -57,7 +57,7 @@ def gop_batch_fn(mesh, intra_only: bool, bs: int, search_range: int, rc1: bool,
         if intra_only:
             out = encode_chunk_intra_only(
                 local, row_qps, budget0, tbl_qps, tbl_bits, initial_qp,
-                bs, rc1, exact=exact, compact=compact, int8q=int8q,
+                bs, rc1, exact=exact, compact=compact, int8q=int8q, q4=q4,
             )
         elif n_ref > 1:
             # GOPs start intra, so each shard's rolling stack initializes
@@ -67,7 +67,7 @@ def gop_batch_fn(mesh, intra_only: bool, bs: int, search_range: int, rc1: bool,
                 jnp.zeros((n_ref, 2 * h, 2 * w), jnp.uint8), jnp.int32(0),
                 row_qps, budget0, tbl_qps, tbl_bits, initial_qp,
                 bs, search_range, rc1, fast, frac, True,
-                exact=exact, compact=compact, int8q=int8q,
+                exact=exact, compact=compact, int8q=int8q, mv8=mv8, q4=q4,
             )
             # drop the stack/validity carries; normalize to encode_chunk's
             # (intra_out, p_out, ref, hp[, packed]) shape for the fetcher
@@ -79,7 +79,7 @@ def gop_batch_fn(mesh, intra_only: bool, bs: int, search_range: int, rc1: bool,
                 jnp.zeros((2 * h, 2 * w), jnp.uint8),
                 row_qps, budget0, tbl_qps, tbl_bits, initial_qp,
                 bs, search_range, rc1, fast, frac, True,
-                exact=exact, compact=compact, int8q=int8q,
+                exact=exact, compact=compact, int8q=int8q, mv8=mv8, q4=q4,
             )
         return jax.tree_util.tree_map(lambda x: x[None], out)
 

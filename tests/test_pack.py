@@ -43,37 +43,54 @@ def test_qdct_pack_overflow_flagged():
     assert np.asarray(vals).shape == (cap,)
 
 
+def _random_x_blocks(rng, h, w, bs):
+    """Plausible integer-IDCT residual blocks (scaled by 2^EXACT_SHIFT)."""
+    from basic_video_codec_tpu.ops.transform import EXACT_SHIFT
+
+    x = rng.integers(-255, 256, (h // bs, w // bs, bs, bs)).astype(np.int64)
+    jitter = rng.integers(-(1 << 12), 1 << 12, x.shape)
+    return ((x << EXACT_SHIFT) + jitter).astype(np.int32)
+
+
 def test_art_pack_roundtrip_with_escapes():
     import jax.numpy as jnp
 
     rng = np.random.default_rng(1)
-    h, w = 48, 64
-    pred = rng.integers(0, 256, (h, w)).astype(np.int32)
-    recon = rng.integers(0, 256, (h, w)).astype(np.uint8)
-    # art mostly base +-1, with a sprinkle of arbitrary (clipped-pixel) bytes
-    base = (recon.astype(np.int32) - pred) % 256
+    h, w, bs = 48, 64, 8
+    x = _random_x_blocks(rng, h, w, bs)
+    base = PK.host_art_guess_from_x(x).astype(np.int32)
+    # art mostly base +-1, with a sprinkle of arbitrary (float-edge) bytes
     delta = rng.choice([0, 1, -1], (h, w), p=[0.8, 0.1, 0.1])
     art = ((base + delta) % 256).astype(np.uint8)
     esc_px = rng.random((h, w)) < 0.03
     art[esc_px] = rng.integers(0, 256, esc_px.sum())
     cap = PK.esc_cap(h, w)
-    codes, esc, n_esc = PK.pack_art(jnp.asarray(art), jnp.asarray(recon),
-                                    jnp.asarray(pred), cap)
+    codes, esc, n_esc = PK.pack_art(jnp.asarray(art), jnp.asarray(x), cap)
     assert int(n_esc) <= cap
-    out = PK.unpack_art(np.asarray(codes), np.asarray(esc), recon, pred)
+    out = PK.unpack_art(np.asarray(codes), np.asarray(esc),
+                        PK.host_art_guess_from_x(x))
     assert np.array_equal(out, art)
+
+
+def test_art_guess_device_host_identical():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    h, w, bs = 48, 64, 8
+    x = _random_x_blocks(rng, h, w, bs)
+    dev = np.asarray(PK.art_guess_from_x(jnp.asarray(x)))
+    host = PK.host_art_guess_from_x(x)
+    assert np.array_equal(dev, host)
 
 
 def test_art_pack_overflow_flagged():
     import jax.numpy as jnp
 
-    h, w = 32, 32
-    pred = np.zeros((h, w), np.int32)
-    recon = np.zeros((h, w), np.uint8)
+    h, w, bs = 32, 32, 8
+    x = np.zeros((h // bs, w // bs, bs, bs), np.int32)  # guess = all zeros
     art = np.full((h, w), 77, np.uint8)  # every pixel escapes
     cap = 16
-    codes, esc, n_esc = PK.pack_art(jnp.asarray(art), jnp.asarray(recon),
-                                    jnp.asarray(pred), cap)
+    codes, esc, n_esc = PK.pack_art(jnp.asarray(art), jnp.asarray(x), cap)
     assert int(n_esc) == h * w > cap
 
 
@@ -127,23 +144,67 @@ def test_host_intra_art_matches_device():
     assert np.array_equal(host, np.asarray(art))
 
 
+@pytest.mark.parametrize("esc_heavy", [False, True])
+def test_qdct_nibble_roundtrip(esc_heavy):
+    """q4 nibble packing (device) -> FrameLayout._qv expansion (host) must
+    reproduce the int16 value stream, including escape values in stream
+    order and the overflow count."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(12)
+    h, w, bs = 48, 64, 8
+    nb = (h // bs) * (w // bs)
+    cap = PK.qdct_caps(nb, bs)
+    # sparse plane with mixed magnitudes (some |v| > 7 -> escapes)
+    q = np.zeros((h, w), np.int16)
+    # nonzeros concentrated at block starts (zigzag-prefix-friendly, like
+    # real low-frequency-dominant coefficients) so qt stays under the cap
+    blocks = q.reshape(h // bs, bs, w // bs, bs).swapaxes(1, 2)
+    blocks[:, :, 0, : 3] = rng.integers(-200 if esc_heavy else -12,
+                                        201 if esc_heavy else 13,
+                                        (h // bs, w // bs, 3))
+    vals4, lens, total, qe, qn = PK.pack_qdct(jnp.asarray(q), bs, cap,
+                                              jnp.int16, q4=True)
+    ref_vals, ref_lens, ref_total = PK.pack_qdct(jnp.asarray(q), bs, cap,
+                                                 jnp.int16)
+    assert int(total) == int(ref_total) <= cap
+    assert int(qn) <= PK.qe_cap(cap)
+    lay = PK.FrameLayout(h, w, bs, 2, True, True, q4=True)
+    row = np.asarray(PK.pack_row(
+        jnp.zeros(h * w // 4, jnp.uint8), jnp.zeros(lay.cape, jnp.uint8),
+        jnp.int32(0), jnp.zeros(3 + 2 * lay.nbr, jnp.int32),
+        jnp.zeros(3 * nb, jnp.int32), jnp.zeros(nb, jnp.uint8),
+        vals4, lens, total,
+        jnp.zeros(h * w // 4, jnp.uint8), jnp.zeros(lay.cape, jnp.uint8),
+        jnp.int32(0), bs=bs, qe=qe, qn=qn))
+    f = lay.split(row)
+    assert f["qn"] == int(qn)
+    n = int(total)
+    assert np.array_equal(f["qv"][:n], np.asarray(ref_vals)[:n])
+    out = PK.unpack_qdct(f["qv"], f["ql"], h, w, bs,
+                         zigzag_indices(bs))
+    assert np.array_equal(out, q)
+
+
 @pytest.mark.parametrize("odd_nb", [False, True])
-def test_frame_bytes_roundtrip(odd_nb):
+@pytest.mark.parametrize("mv8", [False, True])
+def test_frame_bytes_roundtrip(odd_nb, mv8):
     """pack_row (device bitcast+concat) and FrameLayout.split (host views)
-    must invert each other, including byte order of i16/i32 fields and the
-    odd-block-count modes padding."""
+    must invert each other, including byte order of i16/i32 fields, the
+    bit-packed modes padding, and the int8-MV layout variant."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(4)
     h, w, bs = 32, (56 if odd_nb else 64), 8  # 7x4=28 blocks vs 8x4=32
     nbr = h // bs
     nb = nbr * (w // bs)
-    lay = PK.FrameLayout(h, w, bs, 2, True, True)
+    lay = PK.FrameLayout(h, w, bs, 2, True, True, mv8)
     rc = rng.integers(0, 256, h * w // 4).astype(np.uint8)
     re = rng.integers(0, 256, lay.cape).astype(np.uint8)
     rn = np.int32(42)
     meta = rng.integers(-2 ** 30, 2 ** 30, 3 + 2 * nbr).astype(np.int32)
-    mv = rng.integers(-3000, 3000, 3 * nb).astype(np.int16)
+    mv = rng.integers(-128 if mv8 else -3000, 128 if mv8 else 3000,
+                      3 * nb).astype(np.int32)
     modes = rng.integers(0, 2, nb).astype(np.uint8)
     qv = rng.integers(-3000, 3000, lay.capq).astype(np.int16)
     ql = rng.integers(0, 64, nb).astype(np.int32)
@@ -155,16 +216,17 @@ def test_frame_bytes_roundtrip(odd_nb):
         jnp.asarray(rc), jnp.asarray(re), jnp.asarray(rn),
         jnp.asarray(meta), jnp.asarray(mv),
         jnp.asarray(modes), jnp.asarray(qv), jnp.asarray(ql), jnp.asarray(qt),
-        jnp.asarray(ac), jnp.asarray(ae), jnp.asarray(an)))
+        jnp.asarray(ac), jnp.asarray(ae), jnp.asarray(an), bs=bs, mv8=mv8))
     assert buf.shape == (lay.total,)
     f = lay.split(buf)
     assert np.array_equal(f["rc"], rc) and np.array_equal(f["re"], re)
     assert f["rn"] == 42
     assert np.array_equal(f["meta"], meta)
     assert np.array_equal(f["mv"], mv)
-    assert np.array_equal(f["modes"][:nb], modes)
+    assert f["mv"].dtype == (np.int8 if mv8 else np.int16)
+    assert np.array_equal(f["modes"], modes)
     assert np.array_equal(f["qv"], qv)
-    assert np.array_equal(f["ql"], ql.astype(np.int16))
+    assert np.array_equal(f["ql"], ql)  # travels u8 at bs 8 (scan <= 64)
     assert f["qt"] == 12345 and f["an"] == -7
     assert np.array_equal(f["ac"], ac) and np.array_equal(f["ae"], ae)
 
