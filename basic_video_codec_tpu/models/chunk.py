@@ -48,12 +48,11 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4):
         qp_i = P.pack_qdct(qdct_i, bs, P.qdct_caps(nb, bs), vdtype, q4)
         qv_i, ql_i, qt_i = qp_i[:3]
         meta_i, mv_z, modes_i = _meta_i(smalls_i, nb, nbr)
-        rc_i, re_i, rn_i = _pack_intra_recon(recon_i, qdct_i, smalls_i,
-                                             bs, nb, nbr, nbc, cap)
+        jc_i, re_i, rn_i, ae_i, an_i = _pack_intra_recon(
+            recon_i, qdct_i, smalls_i, bs, nb, nbr, nbc, cap, joint=True)
         rows.append(P.pack_row(
-            rc_i, re_i, rn_i, meta_i, mv_z, modes_i, qv_i, ql_i, qt_i,
-            jnp.zeros(h * w // 4, jnp.uint8), jnp.zeros(layout.cape, jnp.uint8),
-            jnp.int32(0), bs=bs, mv8=mv8,
+            jc_i, re_i, rn_i, meta_i, mv_z, modes_i, qv_i, ql_i, qt_i,
+            ae_i, an_i, bs=bs, mv8=mv8,
             qe=qp_i[3] if q4 else None, qn=qp_i[4] if q4 else None)[None])
     recons, arts, qdcts, smalls = p_parts
     if recons.shape[0] > 0:
@@ -65,20 +64,19 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4):
             row_qps = sm[5 * nb : 5 * nb + nbr]
             x = P.exact_x_blocks(qdct, row_qps, bs)
             guess = P.recon_guess_from_x(x, pred, bs)
-            return (P.pack_vs_base(recon, guess, cap)
-                    + P.pack_art(art, x, cap))
+            return P.pack_joint(recon, guess, art, P.art_guess_from_x(x), cap)
 
-        rc, re, rn, ac, ae, an = jax.vmap(pack_one)(
+        jc, re, rn, ae, an = jax.vmap(pack_one)(
             arts, recons, preds, qdcts, smalls)
 
-        def row(r1, r2, r3, sm, v, l, t, c, e, n, qen=None):
+        def row(r1, r2, r3, sm, v, l, t, e, n, qen=None):
             meta, mv, modes = _meta_p(sm, nb, nbr)
-            return P.pack_row(r1, r2, r3, meta, mv, modes, v, l, t, c, e, n,
+            return P.pack_row(r1, r2, r3, meta, mv, modes, v, l, t, e, n,
                               bs=bs, mv8=mv8,
                               qe=qen[0] if qen else None,
                               qn=qen[1] if qen else None)
 
-        args = (rc, re, rn, smalls, qv, ql, qt, ac, ae, an)
+        args = (jc, re, rn, smalls, qv, ql, qt, ae, an)
         if q4:
             args = args + ((qp[3], qp[4]),)
         rows.append(jax.vmap(row)(*args))
@@ -86,14 +84,19 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4):
             else jnp.zeros((0, layout.total), jnp.uint8))
 
 
-def _pack_intra_recon(recon, qdct, smalls, bs, nb, nbr, nbc, cap):
+def _pack_intra_recon(recon, qdct, smalls, bs, nb, nbr, nbc, cap,
+                      joint=False):
     """Correction codes for an I-frame's reconstruction: the prediction
     plane comes from the FINAL recon + modes (each block's predictor pixels
-    are final by scan order), the guess from the shared integer IDCT."""
+    are final by scan order), the guess from the shared integer IDCT.
+    With ``joint`` (with_art layouts), the recon half of the 3-bit joint
+    stream with an empty art half (intra res planes are host-derived)."""
     modes = smalls[:nb].reshape(nbr, nbc)
     row_qps = smalls[2 * nb : 2 * nb + nbr]
     pred = P.intra_pred_plane(recon, modes, bs)
     guess = P.recon_guess_plane(qdct, row_qps, pred, bs)
+    if joint:
+        return P.pack_joint(recon, guess, guess, guess, cap)
     return P.pack_vs_base(recon, guess, cap)
 
 

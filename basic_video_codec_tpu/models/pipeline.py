@@ -322,7 +322,8 @@ def _rebuild_frame(f, ec, hist, q_full=None, r_full=None):
         else:
             modes = f["modes"][: nbr * nbc].reshape(nbr, nbc).astype(np.int32)
             recon = PK.host_rebuild_intra_recon(qdct, modes, row_qps,
-                                                f["rc"], f["re"], bs)
+                                                f["rc"], f["re"], bs,
+                                                jst=f.get("jst"))
     else:
         refs = np.stack(hist)  # oldest first (reference deque semantics)
         mvs = f["mv"].astype(np.int32).reshape(nbr, nbc, 3)
@@ -336,7 +337,11 @@ def _rebuild_frame(f, ec, hist, q_full=None, r_full=None):
             recon = np.asarray(r_full)
         else:
             guess = PK.host_recon_guess_from_x(x, pred, bs)
-            recon = PK.unpack_vs_base(f["rc"], f["re"], guess)
+            if f.get("jst") is not None:
+                recon = PK.joint_recon(f["jst"], f["re"],
+                                       guess.astype(np.int32))
+            else:
+                recon = PK.unpack_vs_base(f["rc"], f["re"], guess)
     hist.append(recon)
     return mode, recon, qdct, pred, oldest, art_guess
 
@@ -389,7 +394,8 @@ def _finalize_compact(index, curr, f, ec, rebuilt, a_full=None) -> _Finalized:
         if a_full is not None:
             art = np.asarray(a_full)
         else:
-            art = PK.unpack_art(f["ac"], f["ae"], art_guess)
+            art = PK.joint_art(f["jst"], f["ae"],
+                               art_guess.astype(np.int32))
     return _finalize_fields(index, mode, curr, recon, art, qdct, aux,
                             metric_sum, comparisons, row_qps, row_bits, ec,
                             prev_recon=oldest)

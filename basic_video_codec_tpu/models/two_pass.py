@@ -89,7 +89,7 @@ def encode_chunk_two_pass(
     row_bits.  A fifth element ``packed`` holds one uint8 buffer per chunk:
     with ``compact``, per-frame rows in the SAME ops/pack.py FrameLayout as
     models/chunk.py (recon/res correction codes + zigzag-prefix qdct —
-    ~156 KB instead of ~413 KB per CIF block-16 frame), so the host pipeline
+    ~119 KB instead of ~413 KB per CIF block-16 frame), so the host pipeline
     reuses its compact fetch path; otherwise the full planes bitcast+concat
     (one transfer per chunk either way, amortizing tunnel latency).  The
     pipeline only requests ``compact`` here for non-fastME configs — fastME
@@ -280,11 +280,11 @@ def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, mv8, h, w
         pred = pred_u8.astype(jnp.int32)
         x = P.exact_x_blocks(qdct, rq, bs)
         guess = P.recon_guess_from_x(x, pred, bs)
-        rc, re, rn = P.pack_vs_base(recon, guess, cap)
-        ac, ae, an = P.pack_art(art, x, cap)
-        an = jnp.where(is_i, 0, an)  # intra res planes are host-derived
+        # art half zeroed on intra rows (their res planes are host-derived)
+        jc, re, rn, ae, an = P.pack_joint(
+            recon, guess, art, P.art_guess_from_x(x), cap, art_valid=~is_i)
         qv, ql, qt = P.pack_qdct(qdct, bs, capq, vdtype)
-        return P.pack_row(rc, re, rn, meta, mv, modes, qv, ql, qt, ac, ae,
+        return P.pack_row(jc, re, rn, meta, mv, modes, qv, ql, qt, ae,
                           an, bs=bs, mv8=mv8)
 
     return jax.vmap(row)(recons, arts, qdcts, smalls, preds)

@@ -12,22 +12,20 @@ cheaply re-expand:
   device into a fixed-size buffer; at fixed QP >= 5 the values travel as
   4-bit nibbles with an int16 escape list (~3% escape rate measured).
   Typical CIF P-frame: 203 KB -> ~24 KB.
-* **res_w_mc** (P-frames): the plane is ``trunc(idct_residual) mod 256``,
-  and the host can compute the integer-exact truncated residual
-  (:func:`art_guess_from_x`) from the same integer IDCT it already runs for
-  the reconstruction guess.  ``art - guess`` is in {0, +1, -1} everywhere
-  except rare float-edge pixels, so transfer a 2-bit correction plane plus
-  a tiny escape list: 101 KB -> ~27 KB.
+* **recon + res_w_mc** (P-frames): both planes travel as correction codes
+  against integer-exact guesses the host recomputes bit-identically from
+  one shared integer IDCT (ops/transform.py idct2_exact_core):
+  ``recon_guess = clip(rshift_round(x + (pred << SHIFT)))`` and
+  ``art_guess = trunc(x >> SHIFT) mod 256``.  Each code is {match, +1, -1,
+  escape}, and because round(...) and trunc(...) flip at different
+  fractional boundaries the two planes' nonzero codes are nearly disjoint
+  (~0.1% overlap measured) — so ONE joint 3-bit state stream
+  (:func:`pack_joint`) encodes both: 2 x 101 KB -> 38 KB + tiny escape
+  lists.  Inter frames rebuild vectorized; intra frames rebuild
+  block-by-block in scan order (the prediction chain), with the IDCT still
+  batched.
 * **res_w_mc** (I-frames): pure integer function of (curr, recon, modes) —
   all host-resident — so nothing is transferred at all.
-* **recon**: the same correction-code trick, against a *guess* both sides
-  compute bit-identically: ``guess = clip(rshift_round(idct_exact_core(q*Q)
-  + (pred << SHIFT)))`` using the integer-exact IDCT (ops/transform.py).
-  The float-DCT reconstruction differs from the integer guess by {0, +-1}
-  almost everywhere, so the 101 KB CIF plane travels as a 25 KB 2-bit code
-  plane plus a sparse escape list.  Inter frames rebuild vectorized; intra
-  frames rebuild block-by-block in scan order (the prediction chain), with
-  the IDCT still batched.
 
 Every scheme has a per-frame overflow flag; the full planes remain device
 outputs and are fetched only for flagged frames (never on typical content —
@@ -176,14 +174,54 @@ def pack_vs_base(plane: jnp.ndarray, base: jnp.ndarray, cap: int):
     return codes2, esc[:cap], esc_mask.sum().astype(jnp.int32)
 
 
-def pack_art(art: jnp.ndarray, x_blocks: jnp.ndarray, cap: int):
-    """res_w_mc u8 [H, W] -> correction codes vs the integer-exact art guess
-    (:func:`art_guess_from_x`).  The plane is ``trunc(idct_residual) mod
-    256``; basing the codes on the truncated integer IDCT (instead of the
-    earlier ``(recon - pred) mod 256`` round-based base) drops the escape
-    rate from clip-affected-pixel counts (~4k/frame) to float-edge counts
-    (~0-2/frame), letting the escape cap shrink ~5x."""
-    return pack_vs_base(art, art_guess_from_x(x_blocks).astype(jnp.int32), cap)
+# Joint recon+art correction states, 3 bits/pixel.  round(...) and trunc(...)
+# flip at DIFFERENT fractional boundaries (0.5 vs 0.0), so the two planes'
+# nonzero codes are nearly disjoint (measured overlap ~0.1%) — one 3-bit
+# state stream beats two independent 2-bit streams by 1 bit/pixel with no
+# content-dependent failure mode (every (cr, ca) pair has a state).
+J_NONE, J_RP, J_RM, J_AP, J_AM, J_RESC, J_AESC, J_BESC = range(8)
+
+
+def _code_vs(plane, base):
+    d = ((plane.astype(jnp.int32) - base.astype(jnp.int32)) & 255).reshape(-1)
+    return jnp.where(d == 0, 0, jnp.where(d == 1, 1, jnp.where(d == 255, 2, 3)))
+
+
+def _compact_bytes(mask, plane_flat, cap):
+    off = jnp.cumsum(mask) - mask
+    idx = jnp.where(mask & (off < cap), off, cap)
+    out = jnp.zeros(cap + 1, jnp.uint8).at[idx].set(plane_flat)
+    return out[:cap], mask.sum().astype(jnp.int32)
+
+
+def pack_joint(recon, guess_r, art, guess_a, cap, art_valid=None):
+    """-> (jc u8 [3*H*W/8], re [cap], rn i32, ae [cap], an i32).
+
+    ``jc`` is the 3-bit joint state stream (8 pixels -> 3 bytes, little-
+    endian); escapes carry raw plane bytes in raster order.  ``art_valid``
+    (scalar bool, optional) zeroes the art half per frame — used for intra
+    rows of runtime-mode layouts, whose res plane is host-derived."""
+    cr = _code_vs(recon, guess_r)
+    ca = _code_vs(art, guess_a)
+    if art_valid is not None:
+        ca = jnp.where(art_valid, ca, 0)
+    state = jnp.where(
+        (cr == 0) & (ca == 0), J_NONE,
+        jnp.where(ca == 0, jnp.where(cr == 1, J_RP,
+                                     jnp.where(cr == 2, J_RM, J_RESC)),
+                  jnp.where(cr == 0, jnp.where(ca == 1, J_AP,
+                                               jnp.where(ca == 2, J_AM,
+                                                         J_AESC)),
+                            J_BESC)))
+    esc_r = (state == J_RESC) | (state == J_BESC)
+    esc_a = (state == J_AESC) | (state == J_BESC)
+    re, rn = _compact_bytes(esc_r, recon.reshape(-1), cap)
+    ae, an = _compact_bytes(esc_a, art.reshape(-1), cap)
+    s = state.reshape(-1, 8).astype(jnp.uint32)
+    w24 = (s << (3 * jnp.arange(8, dtype=jnp.uint32))[None, :]).sum(axis=1)
+    jc = jnp.stack([w24 & 255, (w24 >> 8) & 255, (w24 >> 16) & 255],
+                   axis=-1).astype(jnp.uint8).reshape(-1)
+    return jc, re, rn, ae, an
 
 
 def _blockify(plane, bs):
@@ -262,16 +300,18 @@ def intra_pred_plane(recon: jnp.ndarray, modes: jnp.ndarray, bs: int) -> jnp.nda
     return _unblockify(jnp.where(sel, pred_h, pred_v))
 
 
-def pack_row(rc, re, rn, meta, mv, modes, qv, ql, qt, ac=None, ae=None,
+def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
              an=None, *, bs, mv8=False, qe=None, qn=None):
     """One frame's transfer row in :class:`FrameLayout` field order (device).
 
-    ``rc``/``re``/``rn`` are the reconstruction correction codes / escapes /
-    escape count (:func:`pack_vs_base` vs :func:`recon_guess_from_x`);
-    ``mv`` int [3*nb] or None (layout without MVs), narrowed to int8 under
-    ``mv8``; ``modes`` uint8/int [nb] of {0, 1}, bit-packed here (little-
-    endian bit order, the host re-expands with ``np.unpackbits``); ``ql``
-    is narrowed to u8 when a block's scan fits one byte (bs*bs <= 255)."""
+    ``codes`` is the joint 3-bit state stream (:func:`pack_joint`,
+    ``with_art`` layouts, with ``ae``/``an``) or the 2-bit recon code plane
+    (:func:`pack_vs_base`, art-less layouts); ``re``/``rn`` its recon
+    escapes / count; ``mv`` int [3*nb] or None (layout without MVs),
+    narrowed to int8 under ``mv8``; ``modes`` uint8/int [nb] of {0, 1},
+    bit-packed here (little-endian bit order, the host re-expands with
+    ``np.unpackbits``); ``ql`` is narrowed to u8 when a block's scan fits
+    one byte (bs*bs <= 255)."""
     nb = ql.shape[0]
     nbm = (nb + 7) // 8
     m = modes.astype(jnp.uint8)
@@ -281,15 +321,15 @@ def pack_row(rc, re, rn, meta, mv, modes, qv, ql, qt, ac=None, ae=None,
     mbits = (m.reshape(nbm, 8) * weights).sum(axis=1).astype(jnp.uint8)
     if nbm & 1:
         mbits = jnp.concatenate([mbits, jnp.zeros(1, jnp.uint8)])
-    parts = [rc, re, rn, meta]
+    parts = [codes, re, rn, meta]
     if mv is not None:
         parts.append(mv.astype(jnp.int8 if mv8 else jnp.int16))
     parts += [mbits, qv,
               ql.astype(jnp.uint8 if bs * bs <= 255 else jnp.int16), qt]
     if qe is not None:
         parts += [qe, qn]
-    if ac is not None:
-        parts += [ac, ae, an]
+    if ae is not None:
+        parts += [ae, an]
     return concat_bytes(*parts)
 
 
@@ -346,7 +386,10 @@ class FrameLayout:
         nbm = (nb + 7) // 8
         nbm2 = nbm + (nbm & 1)
         self.nbm = nbm
-        sizes = [("rc", h * w // 4), ("re", self.cape), ("rn", 4),
+        # with_art layouts carry ONE joint 3-bit recon+art state stream
+        # (pack_joint); art-less layouts a 2-bit recon code plane
+        sizes = [("jc", 3 * h * w // 8) if with_art else ("rc", h * w // 4),
+                 ("re", self.cape), ("rn", 4),
                  ("meta", (3 + 2 * nbr) * 4)]
         if with_mv:
             sizes.append(("mv", 3 * nb * (1 if mv8 else 2)))
@@ -356,7 +399,7 @@ class FrameLayout:
         if q4:
             sizes += [("qe", self.capqe * 2), ("qn", 4)]
         if with_art:
-            sizes += [("ac", h * w // 4), ("ae", self.cape), ("an", 4)]
+            sizes += [("ae", self.cape), ("an", 4)]
         self.offsets = {}
         pos = 0
         for name, n in sizes:
@@ -387,7 +430,9 @@ class FrameLayout:
         """uint8 [total] -> field views (zero-copy except modes)."""
         out = {
             "h": self.h, "w": self.w,
-            "rc": self._f(buf, "rc", np.uint8),
+            "rc": None if self.with_art else self._f(buf, "rc", np.uint8),
+            "jst": (host_joint_states(self._f(buf, "jc", np.uint8))
+                    if self.with_art else None),
             "re": self._f(buf, "re", np.uint8),
             "rn": int(self._f(buf, "rn", np.int32)[0]),
             "meta": self._f(buf, "meta", np.int32),
@@ -403,11 +448,10 @@ class FrameLayout:
             "qn": int(self._f(buf, "qn", np.int32)[0]) if self.q4 else 0,
         }
         if self.with_art:
-            out["ac"] = self._f(buf, "ac", np.uint8)
             out["ae"] = self._f(buf, "ae", np.uint8)
             out["an"] = int(self._f(buf, "an", np.int32)[0])
         else:
-            out["ac"] = out["ae"] = None
+            out["ae"] = None
             out["an"] = 0
         return out
 
@@ -453,11 +497,32 @@ def unpack_vs_base(codes2: np.ndarray, esc: np.ndarray,
     return out.reshape(h, w)
 
 
-def unpack_art(codes2: np.ndarray, esc: np.ndarray,
-               art_guess: np.ndarray) -> np.ndarray:
-    """Inverse of :func:`pack_art` -> res_w_mc u8 [H, W]; ``art_guess`` from
-    :func:`host_art_guess_from_x`."""
-    return unpack_vs_base(codes2, esc, art_guess.astype(np.int32))
+def host_joint_states(jc: np.ndarray) -> np.ndarray:
+    """Inverse of the 3-bit packing in :func:`pack_joint` -> u8 [H*W]."""
+    b = jc.reshape(-1, 3).astype(np.uint32)
+    w24 = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+    return ((w24[:, None] >> (3 * np.arange(8))) & 7).astype(np.uint8).reshape(-1)
+
+
+def apply_joint(states: np.ndarray, esc: np.ndarray, base: np.ndarray,
+                plus: int, minus: int, escs: tuple) -> np.ndarray:
+    """Rebuild one of the joint-coded planes: ``base`` int [H, W] plus the
+    per-pixel {0, +1, -1} deltas and the positioned escapes -> u8 [H, W]."""
+    h, w = base.shape
+    flat = base.reshape(-1).astype(np.int32)
+    delta = (states == plus).astype(np.int32) - (states == minus)
+    out = ((flat + delta) & 255).astype(np.uint8)
+    pos = np.flatnonzero((states == escs[0]) | (states == escs[1]))
+    out[pos] = esc[: pos.size]
+    return out.reshape(h, w)
+
+
+def joint_recon(states, re, guess_r):
+    return apply_joint(states, re, guess_r, J_RP, J_RM, (J_RESC, J_BESC))
+
+
+def joint_art(states, ae, guess_a):
+    return apply_joint(states, ae, guess_a, J_AP, J_AM, (J_AESC, J_BESC))
 
 
 def _x_int_blocks_np(qdct: np.ndarray, row_qps: np.ndarray, bs: int) -> np.ndarray:
@@ -504,8 +569,11 @@ def host_recon_guess(qdct: np.ndarray, row_qps: np.ndarray,
 
 def host_rebuild_intra_recon(qdct: np.ndarray, modes: np.ndarray,
                              row_qps: np.ndarray, codes2: np.ndarray,
-                             esc: np.ndarray, bs: int) -> np.ndarray:
-    """Rebuild an I-frame's reconstruction from its correction codes.
+                             esc: np.ndarray, bs: int,
+                             jst: np.ndarray | None = None) -> np.ndarray:
+    """Rebuild an I-frame's reconstruction from its correction codes —
+    either a 2-bit ``codes2`` plane (:func:`pack_vs_base`) or the recon half
+    of a joint 3-bit state stream (``jst``, :func:`pack_joint`).
 
     Intra prediction reads *reconstructed* neighbors (reference
     IFrame.py:198-213), so blocks are corrected in scan order — each block's
@@ -516,7 +584,10 @@ def host_rebuild_intra_recon(qdct: np.ndarray, modes: np.ndarray,
 
     h, w = qdct.shape
     nbr, nbc = h // bs, w // bs
-    code = np.choose(_unpack_codes(codes2), [0, 1, -1, 3]).reshape(h, w)
+    if jst is not None:
+        code = np.choose(jst, [0, 1, -1, 0, 0, 3, 0, 3]).reshape(h, w)
+    else:
+        code = np.choose(_unpack_codes(codes2), [0, 1, -1, 3]).reshape(h, w)
     is_esc = code == 3
     esc_plane = np.zeros(h * w, np.uint8)
     pos = np.flatnonzero(is_esc.reshape(-1))

@@ -52,24 +52,42 @@ def _random_x_blocks(rng, h, w, bs):
     return ((x << EXACT_SHIFT) + jitter).astype(np.int32)
 
 
-def test_art_pack_roundtrip_with_escapes():
+@pytest.mark.parametrize("art_valid", [None, True, False])
+def test_joint_pack_roundtrip(art_valid):
+    """pack_joint (device, 3-bit states + escape lists) vs the host rebuild
+    (joint_recon / joint_art) across all state classes: match, +-1 on either
+    plane, both-nonzero pixels, and raw escapes."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(1)
     h, w, bs = 48, 64, 8
     x = _random_x_blocks(rng, h, w, bs)
-    base = PK.host_art_guess_from_x(x).astype(np.int32)
-    # art mostly base +-1, with a sprinkle of arbitrary (float-edge) bytes
-    delta = rng.choice([0, 1, -1], (h, w), p=[0.8, 0.1, 0.1])
-    art = ((base + delta) % 256).astype(np.uint8)
-    esc_px = rng.random((h, w)) < 0.03
-    art[esc_px] = rng.integers(0, 256, esc_px.sum())
+    guess_a = PK.host_art_guess_from_x(x).astype(np.int32)
+    guess_r = rng.integers(0, 256, (h, w)).astype(np.int32)
+    dr = rng.choice([0, 1, -1], (h, w), p=[0.85, 0.075, 0.075])
+    da = rng.choice([0, 1, -1], (h, w), p=[0.85, 0.075, 0.075])
+    recon = ((guess_r + dr) % 256).astype(np.uint8)
+    art = ((guess_a + da) % 256).astype(np.uint8)
+    for plane, base in ((recon, guess_r), (art, guess_a)):
+        px = rng.random((h, w)) < 0.02
+        plane[px] = rng.integers(0, 256, px.sum())
     cap = PK.esc_cap(h, w)
-    codes, esc, n_esc = PK.pack_art(jnp.asarray(art), jnp.asarray(x), cap)
-    assert int(n_esc) <= cap
-    out = PK.unpack_art(np.asarray(codes), np.asarray(esc),
-                        PK.host_art_guess_from_x(x))
-    assert np.array_equal(out, art)
+    av = None if art_valid is None else jnp.asarray(art_valid)
+    jc, re, rn, ae, an = PK.pack_joint(
+        jnp.asarray(recon), jnp.asarray(guess_r),
+        jnp.asarray(art), jnp.asarray(guess_a), cap, art_valid=av)
+    assert int(rn) <= cap and int(an) <= cap
+    states = PK.host_joint_states(np.asarray(jc))
+    out_r = PK.joint_recon(states, np.asarray(re), guess_r)
+    assert np.array_equal(out_r, recon)
+    if art_valid is False:
+        assert int(an) == 0
+        assert np.array_equal(
+            PK.joint_art(states, np.asarray(ae), guess_a),
+            (guess_a & 255).astype(np.uint8))  # art half empty
+    else:
+        out_a = PK.joint_art(states, np.asarray(ae), guess_a)
+        assert np.array_equal(out_a, art)
 
 
 def test_art_guess_device_host_identical():
@@ -83,15 +101,18 @@ def test_art_guess_device_host_identical():
     assert np.array_equal(dev, host)
 
 
-def test_art_pack_overflow_flagged():
+def test_joint_pack_overflow_flagged():
     import jax.numpy as jnp
 
-    h, w, bs = 32, 32, 8
-    x = np.zeros((h // bs, w // bs, bs, bs), np.int32)  # guess = all zeros
-    art = np.full((h, w), 77, np.uint8)  # every pixel escapes
+    h, w = 32, 32
+    zeros = np.zeros((h, w), np.int32)
+    recon = np.full((h, w), 77, np.uint8)  # every pixel escapes the recon half
+    art = np.zeros((h, w), np.uint8)
     cap = 16
-    codes, esc, n_esc = PK.pack_art(jnp.asarray(art), jnp.asarray(x), cap)
-    assert int(n_esc) == h * w > cap
+    _, _, rn, _, an = PK.pack_joint(jnp.asarray(recon), jnp.asarray(zeros),
+                                    jnp.asarray(art), jnp.asarray(zeros), cap)
+    assert int(rn) == h * w > cap
+    assert int(an) == 0
 
 
 @pytest.mark.parametrize("frac", [False, True])
@@ -171,11 +192,11 @@ def test_qdct_nibble_roundtrip(esc_heavy):
     assert int(qn) <= PK.qe_cap(cap)
     lay = PK.FrameLayout(h, w, bs, 2, True, True, q4=True)
     row = np.asarray(PK.pack_row(
-        jnp.zeros(h * w // 4, jnp.uint8), jnp.zeros(lay.cape, jnp.uint8),
+        jnp.zeros(3 * h * w // 8, jnp.uint8), jnp.zeros(lay.cape, jnp.uint8),
         jnp.int32(0), jnp.zeros(3 + 2 * lay.nbr, jnp.int32),
         jnp.zeros(3 * nb, jnp.int32), jnp.zeros(nb, jnp.uint8),
         vals4, lens, total,
-        jnp.zeros(h * w // 4, jnp.uint8), jnp.zeros(lay.cape, jnp.uint8),
+        jnp.zeros(lay.cape, jnp.uint8),
         jnp.int32(0), bs=bs, qe=qe, qn=qn))
     f = lay.split(row)
     assert f["qn"] == int(qn)
@@ -199,7 +220,7 @@ def test_frame_bytes_roundtrip(odd_nb, mv8):
     nbr = h // bs
     nb = nbr * (w // bs)
     lay = PK.FrameLayout(h, w, bs, 2, True, True, mv8)
-    rc = rng.integers(0, 256, h * w // 4).astype(np.uint8)
+    jc = rng.integers(0, 256, 3 * h * w // 8).astype(np.uint8)
     re = rng.integers(0, 256, lay.cape).astype(np.uint8)
     rn = np.int32(42)
     meta = rng.integers(-2 ** 30, 2 ** 30, 3 + 2 * nbr).astype(np.int32)
@@ -209,17 +230,17 @@ def test_frame_bytes_roundtrip(odd_nb, mv8):
     qv = rng.integers(-3000, 3000, lay.capq).astype(np.int16)
     ql = rng.integers(0, 64, nb).astype(np.int32)
     qt = np.int32(12345)
-    ac = rng.integers(0, 256, h * w // 4).astype(np.uint8)
     ae = rng.integers(0, 256, lay.cape).astype(np.uint8)
     an = np.int32(-7)
     buf = np.asarray(PK.pack_row(
-        jnp.asarray(rc), jnp.asarray(re), jnp.asarray(rn),
+        jnp.asarray(jc), jnp.asarray(re), jnp.asarray(rn),
         jnp.asarray(meta), jnp.asarray(mv),
         jnp.asarray(modes), jnp.asarray(qv), jnp.asarray(ql), jnp.asarray(qt),
-        jnp.asarray(ac), jnp.asarray(ae), jnp.asarray(an), bs=bs, mv8=mv8))
+        jnp.asarray(ae), jnp.asarray(an), bs=bs, mv8=mv8))
     assert buf.shape == (lay.total,)
     f = lay.split(buf)
-    assert np.array_equal(f["rc"], rc) and np.array_equal(f["re"], re)
+    assert np.array_equal(f["jst"], PK.host_joint_states(jc))
+    assert np.array_equal(f["re"], re)
     assert f["rn"] == 42
     assert np.array_equal(f["meta"], meta)
     assert np.array_equal(f["mv"], mv)
@@ -228,7 +249,7 @@ def test_frame_bytes_roundtrip(odd_nb, mv8):
     assert np.array_equal(f["qv"], qv)
     assert np.array_equal(f["ql"], ql)  # travels u8 at bs 8 (scan <= 64)
     assert f["qt"] == 12345 and f["an"] == -7
-    assert np.array_equal(f["ac"], ac) and np.array_equal(f["ae"], ae)
+    assert np.array_equal(f["ae"], ae)
 
 
 @pytest.mark.parametrize("bs", [4, 8, 16])
