@@ -6,10 +6,10 @@ dispatches (and later fetches) once per GOP instead of once per frame.  On
 remote-attached TPUs every dispatched program on the inter-frame dependency
 chain costs round-trip latency; chunking divides that cost by the GOP length.
 
-Eligibility: single reference frame (RC modes 0/1 here; RC 2/3 use the
-fused two-pass chunk in models/two_pass.py).  nRefFrames > 1 needs a rolling
-reference stack across scan steps and runs the per-frame path
-(models/pipeline.py).
+RC modes 0/1 run here; RC 2/3 use the fused two-pass chunk in
+models/two_pass.py.  nRefFrames > 1 carries a fixed-shape rolling reference
+stack through the scan (:func:`encode_chunk_multiref` / the two-pass
+chunk's built-in stack).
 """
 
 from functools import partial

@@ -1,22 +1,14 @@
 """TPU encode/decode drivers.
 
-The encode loop is an **async pipeline**: each frame dispatches ONE jitted
-device program (I-frame row scan or P-frame ME+DCT+RC pipeline) and is
-finalized — outputs fetched, entropy bits packed, artifacts written — only
-``PIPELINE_DEPTH`` frames later.  JAX dispatch is asynchronous, and the
-inter-frame dependency (reference frames) lives entirely on device, so the
-device chews through the frame chain while the host runs entropy coding for
-earlier frames; nothing ever blocks per frame.  This matters doubly on
-remote-attached TPUs where a synchronous roundtrip costs ~30 ms but chained
-dispatch costs ~2 ms.
-
-Dispatch is GOP-chunked (models/chunk.py; RC 2/3 use the fused on-device
-two-pass program, models/two_pass.py; nRefFrames > 1 carries a rolling
-reference stack through the scan) so the host touches the device once per
-GOP.  The per-frame path below remains only for nRefFrames > 1 with RC 2/3,
-where the host decision between passes (scene-change detection +
-proportional row budgets, reference encoder.py:85-98) forces per-frame
-synchronization (depth 0).
+The encode loop is an **async GOP-chunked pipeline**: one jitted device
+program encodes a whole GOP segment (models/chunk.py; RC 2/3 use the fused
+on-device two-pass program, models/two_pass.py; nRefFrames > 1 carries a
+rolling reference stack through the scan in either), so the host touches
+the device once per GOP.  JAX dispatch is asynchronous and the inter-frame
+dependency (reference frames) lives entirely on device, so the device chews
+through the frame chain while the host runs entropy coding for earlier
+chunks.  This matters doubly on remote-attached TPUs where a synchronous
+roundtrip costs ~30 ms but chained dispatch costs ~2 ms.
 
 Output artifacts, bitstream framing, metrics rows and RC decisions are
 identical to the golden model / reference (see golden/encoder.py for the
@@ -57,8 +49,6 @@ from .pframe import pframe_decode, pframe_encode
 logger = get_logger()
 
 INTER, INTRA = 0, 1
-PIPELINE_DEPTH = int(os.environ.get("BVC_PIPELINE_DEPTH", "8"))
-
 # BVC_PROFILE=1: accumulate a host-side stage breakdown (dispatch / fetch /
 # finalize / write) into STAGE_TIMER and log it at the end of every encode —
 # the measurement behind PROFILE.md §1 (utils/profiling.Timer).
@@ -76,11 +66,6 @@ def _stage(name):
 
     return STAGE_TIMER(name) if STAGE_TIMER is not None else contextlib.nullcontext()
 
-
-class _Pending:
-    """One dispatched frame awaiting finalization."""
-
-    __slots__ = ("index", "mode", "curr", "dev", "dispatch_dt", "is_first_pass")
 
 
 def _table_arrays(ec):
@@ -105,63 +90,6 @@ def _prev_avg_qp(prev_rows, ec):
     return int(mean(rows) - 0.1) + 1
 
 
-def _row_qps_for_pass(ec, is_first_pass, prev_rows, prev_pass_bits, nbr):
-    """Host-side per-row QP plan for all cases except RC1 (which runs
-    in-scan on device).  Returns (row_qps int32 [nbr], rc1 flag)."""
-    qp = ec.quantization_factor
-    if ec.RCflag == 0:
-        return np.full(nbr, qp, np.int32), False
-    if ec.RCflag == 1:
-        return np.full(nbr, qp, np.int32), True  # array unused on device
-    if is_first_pass:
-        return np.full(nbr, _prev_avg_qp(prev_rows, ec), np.int32), False
-    # second pass: proportional row budgets from the first pass (RateControl.py:23-30)
-    total = sum(prev_pass_bits)
-    out = np.empty(nbr, np.int32)
-    for i in range(nbr):
-        row_budget = bit_budget_per_frame(ec) * (prev_pass_bits[i] / total)
-        out[i] = find_rc_qp_for_row(row_budget, ec.rc_lookup_table, "I")
-    return out, False
-
-
-def _dispatch_frame(ec, mode, padded, refs_dev, irefs_dev, row_qps, rc1, tbl):
-    """Enqueue one frame's device program; returns device output tuple
-    (nothing is fetched here).  The ONLY eager array op per frame is the
-    h2d upload of the padded plane — references are passed as tuples and
-    stacked inside the jit, recon/half-pel come back as standalone outputs —
-    so the inter-frame dependency chain is exactly one program per frame."""
-    bs = ec.block_size
-    budget0 = jnp.float32(bit_budget_per_frame(ec)) if rc1 else jnp.float32(0)
-    initial_qp = jnp.int32(ec.quantization_factor)
-    curr_dev = jnp.asarray(padded)
-    tbl_qps, tbl_bits = tbl
-    frac = ec.fracMeEnabled
-
-    exact = getattr(ec, "exact_transform", False)
-    if mode == INTRA:
-        recon, hp, art, qdct, smalls = intra_encode_frame(
-            curr_dev, jnp.asarray(row_qps), budget0, tbl_qps, tbl_bits,
-            initial_qp, bs, rc1, emit_halfpel=frac, exact=exact,
-        )
-    else:
-        recon, hp, art, qdct, smalls = pframe_encode(
-            curr_dev, tuple(refs_dev), tuple(irefs_dev) if frac else (),
-            jnp.asarray(row_qps), budget0, tbl_qps, tbl_bits, initial_qp,
-            bs, max(ec.search_range, 0), rc1, ec.fastME, frac,
-            ec.nRefFrames > 1, emit_halfpel=frac, exact=exact,
-        )
-
-    refs_dev.append(recon)
-    irefs_dev.append(hp)
-    if len(refs_dev) > ec.nRefFrames:
-        refs_dev.pop(0)
-        irefs_dev.pop(0)
-    out = (recon, art, qdct, smalls)
-    # start device->host copies now; they queue behind the compute and are
-    # already resident when this frame is finalized DEPTH frames later
-    for arr in out:
-        arr.copy_to_host_async()
-    return out
 
 
 class _Finalized:
@@ -182,12 +110,6 @@ def _wrap_diff_u8(curr, prev_recon):
     diff = curr.astype(np.int16) - prev_recon.astype(np.int16)
     return (diff % 256).astype(np.uint8)
 
-
-def _finalize_frame(p: _Pending, ec, want_psnr=True) -> _Finalized:
-    """Fetch one frame's packed device outputs and pack its entropy bits."""
-    recon, art, qdct, smalls = jax.device_get(p.dev)
-    return _finalize_arrays(p.index, p.mode, p.curr, recon, art, qdct, smalls, ec,
-                            want_psnr=want_psnr)
 
 
 def _finalize_fields(index, mode, curr, recon, art, qdct, aux, metric_sum,
@@ -252,8 +174,8 @@ def _finalize_fields(index, mode, curr, recon, art, qdct, aux, metric_sum,
 
 def _finalize_arrays(index, mode, curr, recon, art, qdct, smalls, ec,
                      prev_recon=None, want_psnr=True) -> _Finalized:
-    """Finalize from the full device smalls vector (per-frame dispatch and
-    non-compact chunk paths): intra smalls = (modes, maes, row_qps,
+    """Finalize from the full device smalls vector (non-compact chunk
+    paths): intra smalls = (modes, maes, row_qps,
     row_bits), inter smalls = (mvs, sads, comps, row_qps, row_bits)."""
     bs = ec.block_size
     h, w = qdct.shape
@@ -411,13 +333,6 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
     tbl_np = _table_arrays(ec)
     tbl = (jnp.asarray(tbl_np[0]), jnp.asarray(tbl_np[1]))
 
-    gray = jnp.full((params.height, params.width), 128, dtype=jnp.uint8)
-    refs_dev = [gray]
-    irefs_dev = [build_half_pel(gray) if ec.fracMeEnabled else None]
-
-    depth = 0 if ec.RCflag > 1 else PIPELINE_DEPTH
-    pending: deque[_Pending] = deque()
-
     with open(params.y_only_file, "rb") as f_in, \
          open(file_io.get_mv_file_name(), "wt") as mv_fh, \
          open(file_io.get_quant_dct_coff_fh_file_name(), "wb") as qdct_fh, \
@@ -471,107 +386,19 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
             write_y_only_frame(recon_fh, f.recon)
             mv_fh.write(f.mv_line)
 
-        def drain_one():
-            p = pending.popleft()
-            f = _finalize_frame(p, ec)
-            write_out(f, p.dispatch_dt)
-            return f
-
-        if ec.nRefFrames == 1 or ec.RCflag <= 1:
-            if getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag > 1:
-                logger.warning(
-                    "parallel_gops ignored: RC 2/3 carries the previous "
-                    "frame's average QP across GOP boundaries (serial)")
-            if getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag <= 1:
-                # multi-chip: GOP batches sharded over the mesh's data axis
-                _run_gop_sharded(params, ec, f_in, tbl, write_out)
-            else:
-                # GOP-chunked dispatch: one device program per GOP segment
-                # (RC 2/3 use the fused two-pass program, models/two_pass.py;
-                # nRefFrames > 1 carries a rolling reference stack,
-                # models/chunk.py::encode_chunk_multiref)
-                _run_chunked(params, ec, f_in, tbl, write_out)
-            elapsed = time.time() - start_time
-            _append_throughput(params, elapsed, results_csv_path)
-            return
-
-        prev_rc_rows = [ec.quantization_factor]  # seed (reference encoder.py:72-73)
-        frame_index = 0
-        truncated_tail = 0
-        while True:
-            t_disp = time.time()
-            frame_index += 1
-            buf = f_in.read(y_size)
-            if not buf or frame_index > params.frames_to_process:
-                break
-            if len(buf) < y_size:
-                # truncated tail frame: drain the pipelined full frames so
-                # they are written, then raise like np.frombuffer().reshape
-                truncated_tail = len(buf)
-                break
-            padded = pad_frame(
-                np.frombuffer(buf, dtype=np.uint8).reshape(params.height, params.width), bs
-            )
-            nbr = padded.shape[0] // bs
-
-            is_i = (frame_index - 1) % ec.I_Period == 0
-            if is_i:
-                refs_dev.clear()
-                irefs_dev.clear()
-            # the reference only appends the FINAL pass's reconstruction
-            # (encoder.py:154), so remember the pre-frame deque state
-            refs_snapshot = list(refs_dev)
-            irefs_snapshot = list(irefs_dev)
-            row_qps, rc1 = _row_qps_for_pass(ec, True, prev_rc_rows, None, nbr)
-            mode = INTRA if is_i else INTER
-            dev = _dispatch_frame(ec, mode, padded, refs_dev, irefs_dev, row_qps, rc1, tbl)
-
-            if ec.RCflag > 1:
-                # two-pass: must look at first-pass bits -> synchronize now
-                p = _Pending()
-                p.index, p.mode, p.curr, p.dev = frame_index, mode, padded, dev
-                p.dispatch_dt = time.time() - t_disp
-                first = _finalize_frame(p, ec, want_psnr=False)
-                overage = _overage(first, ec)
-                scene_change = (
-                    not first.is_iframe()
-                    and overage is not None
-                    and overage[1] > SCENE_CHANGE_THRESHOLD
-                )
-                second_i = scene_change or first.is_iframe()
-                # second pass sees the same reference state the first pass saw
-                refs_dev[:] = refs_snapshot
-                irefs_dev[:] = irefs_snapshot
-                if second_i:
-                    refs_dev.clear()
-                    irefs_dev.clear()
-                row_qps2, rc1_2 = _row_qps_for_pass(
-                    ec, False, prev_rc_rows, first.bits_per_row, nbr
-                )
-                mode = INTRA if second_i else INTER
-                dev = _dispatch_frame(
-                    ec, mode, padded, refs_dev, irefs_dev, row_qps2, rc1_2, tbl
-                )
-
-            p = _Pending()
-            p.index, p.mode, p.curr, p.dev = frame_index, mode, padded, dev
-            p.dispatch_dt = time.time() - t_disp
-            pending.append(p)
-
-            while len(pending) > depth:
-                f = drain_one()
-                prev_rc_rows = f.rc_qp_per_row
-            if depth == 0 and pending:
-                f = drain_one()
-                prev_rc_rows = f.rc_qp_per_row
-
-        while pending:
-            f = drain_one()
-            prev_rc_rows = f.rc_qp_per_row
-        if truncated_tail:
-            raise ValueError(
-                f"truncated frame: read {truncated_tail} of {y_size} bytes"
-            )
+        if getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag > 1:
+            logger.warning(
+                "parallel_gops ignored: RC 2/3 carries the previous "
+                "frame's average QP across GOP boundaries (serial)")
+        if getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag <= 1:
+            # multi-chip: GOP batches sharded over the mesh's data axis
+            _run_gop_sharded(params, ec, f_in, tbl, write_out)
+        else:
+            # GOP-chunked dispatch: one device program per GOP segment
+            # (RC 2/3 use the fused two-pass program, models/two_pass.py;
+            # nRefFrames > 1 carries a rolling reference stack through the
+            # scan in every chunk variant)
+            _run_chunked(params, ec, f_in, tbl, write_out)
 
     elapsed = time.time() - start_time
     _append_throughput(params, elapsed, results_csv_path)
@@ -606,8 +433,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     if two_pass:
         # device-side scalars for the fused two-pass program.  The expected
         # frame size uses UNPADDED rows like the reference (Frame.py:158
-        # sizes it from ec.resolution) and the golden oracle / per-frame
-        # path (_overage below) — identical at block multiples.
+        # sizes it from ec.resolution) and the golden oracle — identical at
+        # block multiples.
         nbr_total = ec.resolution[1] // bs
         try:
             exp_p = float(ec.rc_lookup_table[ec.quantization_factor]["P"] * nbr_total)
@@ -622,9 +449,11 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         (2 * params.height, 2 * params.width), jnp.uint8)
     multiref = ec.nRefFrames > 1
     R = ec.nRefFrames
-    if multiref:
+    if multiref or two_pass:
         # rolling reference stack, deque semantics: slot 0 = oldest; the
-        # reference seeds the deque with one gray frame (encoder.py:33)
+        # reference seeds the deque with one gray frame (encoder.py:33).
+        # The fused two-pass program always carries a stack (R == 1 for
+        # single-reference runs).
         ref = jnp.zeros((R, params.height, params.width), jnp.uint8
                         ).at[0].set(gray)
         hp = jnp.zeros((R, 2 * params.height, 2 * params.width), jnp.uint8)
@@ -754,14 +583,19 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 tail = sm[1 + 5 * nb :]
                 if mode == INTRA:
                     per = np.concatenate([sm[1 : 1 + 2 * nb], tail])
+                    # intra (GOP start or scene change) clears the host
+                    # mirror of the reference deque
+                    recon_hist.clear()
+                    prev = None
                 else:
                     per = np.concatenate([sm[1 : 1 + 5 * nb], tail])
-                prev = last_recon if k == 0 else recons[k - 1]
+                    # res_wo_mc subtracts the OLDEST reference (PFrame.py:116)
+                    prev = recon_hist[0]
                 futures.append(fin_pool.submit(
                     _finalize_arrays, indices[k], mode, currs[k],
                     recon, art, qdct, per, ec, prev))
+                recon_hist.append(recon.copy())  # don't pin the chunk stack
                 recons.append(recon)
-            last_recon = recons[-1].copy()  # don't pin the chunk stack
             pending_fin.append((futures, per_frame_dt))
             return
         if kind == "intra_all":
@@ -819,7 +653,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                           params.frames_to_process - n_read))
             raw = f_in.read(y_size * k)
             n_frames = len(raw) // y_size
-            # A truncated tail frame raises like the golden / per-frame paths
+            # A truncated tail frame raises like the golden path
             # (np.frombuffer(buf).reshape on a short read) — but only after
             # the full frames read with it are encoded and written, matching
             # the reference's frame-at-a-time loop.
@@ -836,8 +670,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             nbr = frames_np.shape[1] // bs
             row_qps = jnp.full(nbr, ec.quantization_factor, jnp.int32)
             if two_pass:
-                dev, ref, hp, prev_avg = encode_chunk_two_pass(
-                    jnp.asarray(frames_np), ref, hp, prev_avg, budget0,
+                dev, ref, hp, nv, prev_avg = encode_chunk_two_pass(
+                    jnp.asarray(frames_np), ref, hp, nv, prev_avg, budget0,
                     tbl[0], tbl[1], exp_p_frame, initial_qp,
                     bs, max(ec.search_range, 0), ec.fastME, frac,
                     first_is_intra, exact=exact, compact=compact, int8q=int8q,
@@ -1080,24 +914,6 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
         fin_pool.shutdown(wait=True)
 
 
-def _overage(f: _Finalized, ec):
-    """Frame bits vs lookup expectation (reference Frame.py:155-163)."""
-    bits = f.dct_bits + f.pred_bits + 8 * 6
-    num_rows = ec.resolution[1] // ec.block_size
-    try:
-        return (
-            bits / (ec.rc_lookup_table[ec.quantization_factor]["I"] * num_rows),
-            bits / (ec.rc_lookup_table[ec.quantization_factor]["P"] * num_rows),
-        )
-    except (KeyError, TypeError):
-        if getattr(ec, "strict_reference_crashes", False):
-            raise
-        return None
-
-
-# ---------------------------------------------------------------------------
-# Decode
-# ---------------------------------------------------------------------------
 
 def _parse_prediction(data, ec, params, is_intra):
     """Entropy-decode one frame's prediction payload into planes."""

@@ -36,6 +36,7 @@ from ..ops import transform as T
 from ..ops.fastme import fast_search_frame
 from ..ops.intra import intra_encode_frame
 from ..ops.me import full_search, gather_pred_blocks
+from .chunk import _push_ref
 from .pframe import _wrap_int8_bits
 
 SCENE_CHANGE_THRESHOLD = 1.3  # reference encoder.py:30
@@ -64,8 +65,9 @@ def _row_qps_proportional(row_bits_1, budget_frame, tbl_qps, tbl_bits):
                                    "int8q", "mv8"))
 def encode_chunk_two_pass(
     frames: jnp.ndarray,       # uint8 [K, H, W]
-    ref0: jnp.ndarray,         # uint8 [H, W]
-    hp0: jnp.ndarray,          # uint8 [2H, 2W]
+    refs0: jnp.ndarray,        # uint8 [R, H, W] rolling reference stack
+    hps0: jnp.ndarray,         # uint8 [R, 2H, 2W] (used iff frac)
+    n_valid0: jnp.ndarray,     # int32 scalar: populated slots of refs0
     prev_avg_qp0: jnp.ndarray, # int32 scalar (seeded by the host)
     budget_frame: jnp.ndarray, # float32 scalar: targetBR / frame_rate
     tbl_qps: jnp.ndarray,      # int32 [n_tbl]
@@ -82,7 +84,7 @@ def encode_chunk_two_pass(
     int8q: bool = False,
     mv8: bool = False,
 ):
-    """Returns ``(out, ref_out, hp_out, prev_avg_out)`` with
+    """Returns ``(out, refs_out, hps_out, n_valid_out, prev_avg_out)`` with
     ``out = (recons [K,H,W] u8, arts [K,H,W] u8, qdcts [K,H,W] i16,
     smalls [K, 1+5nb+2nbr] i32)``; smalls lead with the frame's final mode
     (0=P, 1=I), then mvs/sads/comps (P) or modes/maes/pad (I), row_qps,
@@ -94,8 +96,17 @@ def encode_chunk_two_pass(
     (one transfer per chunk either way, amortizing tunnel latency).  The
     pipeline only requests ``compact`` here for non-fastME configs — fastME
     chunks are device-compute-bound, so the bytes hide under compute and
-    packing would put the host rebuild chain on the critical path."""
+    packing would put the host rebuild chain on the critical path.
+
+    The reference deque is a fixed-shape rolling stack carried through the
+    scan (R = refs0.shape[0]; models/chunk.py _push_ref semantics), so
+    nRefFrames > 1 runs the same fused program; scene-change intra frames
+    clear it like GOP starts (reference encoder.py:89-98).  R == 1
+    reproduces the single-reference search exactly (n_valid masking off)."""
     k, h, w = frames.shape
+    R = refs0.shape[0]
+    multiref = R > 1
+    zeros_hps = jnp.zeros((R, 2 * h, 2 * w), jnp.uint8)
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     qmats = jnp.asarray(T.quant_matrices(bs))
@@ -123,24 +134,29 @@ def encode_chunk_two_pass(
         qp2_rows = _row_qps_proportional(rb1, budget_frame, tbl_qps, tbl_bits)
         return intra_pass(curr, qp2_rows)
 
-    def p_two_pass(curr, ref, hp, prev_avg):
-        refs = ref[None]
-        interp = hp[None]
+    def p_two_pass(curr, refs, hps, nv, prev_avg):
+        n_valid = nv if multiref else None
         if fast:
-            mvs, sads, comps = fast_search_frame(curr, refs, interp, bs, frac)
-            preds = gather_pred_blocks(refs, interp, mvs, bs, frac).astype(jnp.int32)
+            mvs, sads, comps = fast_search_frame(curr, refs, hps, bs, frac,
+                                                 n_valid=n_valid)
+            preds = gather_pred_blocks(refs, hps, mvs, bs, frac).astype(jnp.int32)
         else:
-            mvs, sads, preds = full_search(curr, refs, interp, bs, search_range, frac)
+            mvs, sads, preds = full_search(curr, refs, hps, bs, search_range,
+                                           frac, n_valid=n_valid)
             sr2 = search_range * 2 if frac else search_range
-            comps = jnp.full((nbr, nbc), (2 * sr2 + 1) ** 2, jnp.int32)
+            n_window = (nv if multiref else 1) * (2 * sr2 + 1) ** 2
+            comps = jnp.full((nbr, nbc), 1, jnp.int32) * n_window
         cblocks = curr.reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3).astype(jnp.int32)
         coeffs = T.forward_coeffs(cblocks - preds, bs, exact)
 
         flat = mvs.reshape(-1, 3)
         prev = jnp.concatenate([jnp.zeros((1, 3), jnp.int32), flat[:-1]])
         dmv = flat - prev
-        mv_row_bits = (bitlen.golomb_len(dmv[:, 0]) + bitlen.golomb_len(dmv[:, 1])
-                       ).reshape(nbr, nbc).sum(axis=1)
+        mv_bits = bitlen.golomb_len(dmv[:, 0]) + bitlen.golomb_len(dmv[:, 1])
+        if multiref:
+            # nRefFrames > 1 streams code the reference index too
+            mv_bits = mv_bits + bitlen.golomb_len(dmv[:, 2])
+        mv_row_bits = mv_bits.reshape(nbr, nbc).sum(axis=1)
 
         def price(row_qps):
             Qr = qmats[row_qps][:, None]
@@ -174,20 +190,26 @@ def encode_chunk_two_pass(
 
             hp2 = build_half_pel(recon)
         else:
-            hp2 = hp
+            hp2 = jnp.zeros((2 * h, 2 * w), jnp.uint8)
         return (recon, hp2, art, qdct, smalls), scene, rb1, preds
 
+    def _fresh_stack(recon, hp2):
+        """Cleared-deque stack holding only this frame (intra semantics)."""
+        refs = jnp.zeros((R, h, w), jnp.uint8).at[0].set(recon)
+        hps = zeros_hps.at[0].set(hp2) if frac else zeros_hps
+        return refs, hps, jnp.int32(1)
+
     def step(carry, curr):
-        ref, hp, prev_avg = carry
+        refs, hps, nv, prev_avg = carry
         (p_recon, p_hp, p_art, p_qdct, p_smalls), scene, rb1, p_pred = p_two_pass(
-            curr, ref, hp, prev_avg)
+            curr, refs, hps, nv, prev_avg)
 
         def as_intra(_):
             # scene change: re-encode as intra with row budgets proportional
             # to the P first pass's bit shares (encoder.py:97)
             qp2_rows = _row_qps_proportional(rb1, budget_frame, tbl_qps, tbl_bits)
             r, h2, a, qd, sm, _rb = intra_pass(curr, qp2_rows)
-            out = (r, h2 if frac else hp, a, qd, sm)
+            out = (r, h2 if frac else p_hp, a, qd, sm)
             if compact:
                 # prediction plane for the correction-code packers: the intra
                 # predictor derived from the final recon (only traced here, so
@@ -207,13 +229,22 @@ def encode_chunk_two_pass(
         res = jax.lax.cond(scene, as_intra, as_p, None)
         recon, hp2, art, qdct, smalls = res[:5]
         new_avg = _avg_qp(smalls[1 + 5 * nb : 1 + 5 * nb + nbr], nbr)
+        # intra (scene change) clears the reference deque before pushing;
+        # P pushes onto the rolling stack
+        f_refs, f_hps, f_nv = _fresh_stack(recon, hp2)
+        p_refs, p_hps, p_nv = _push_ref(refs, hps, nv, recon, hp2, frac)
+        refs2 = jnp.where(scene, f_refs, p_refs)
+        hps2 = jnp.where(scene, f_hps, p_hps) if frac else hps
+        nv2 = jnp.where(scene, f_nv, p_nv)
         outs = (recon, art, qdct, smalls) + res[5:]
-        return (recon, hp2, new_avg), outs
+        return (refs2, hps2, nv2, new_avg), outs
 
     if first_is_intra:
         recon_i, hp_i, art_i, qdct_i, smalls_i, _ = intra_two_pass(frames[0], prev_avg_qp0)
         avg_i = _avg_qp(smalls_i[1 + 5 * nb : 1 + 5 * nb + nbr], nbr)
-        carry = (recon_i, hp_i if frac else hp0, avg_i)
+        refs_c, hps_c, nv_c = _fresh_stack(
+            recon_i, hp_i if frac else jnp.zeros((2 * h, 2 * w), jnp.uint8))
+        carry = (refs_c, hps_c, nv_c, avg_i)
         p_frames = frames[1:]
         head = (recon_i[None], art_i[None], qdct_i[None], smalls_i[None])
         if compact:
@@ -222,14 +253,14 @@ def encode_chunk_two_pass(
             ).astype(jnp.uint8)[None]
             head = head + (pred_head,)
     else:
-        carry = (ref0, hp0, prev_avg_qp0)
+        carry = (refs0, hps0, n_valid0, prev_avg_qp0)
         p_frames = frames
         head = None
 
     if p_frames.shape[0] > 0:
-        (ref_out, hp_out, avg_out), tail = jax.lax.scan(step, carry, p_frames)
+        (refs_out, hps_out, nv_out, avg_out), tail = jax.lax.scan(step, carry, p_frames)
     else:
-        ref_out, hp_out, avg_out = carry
+        refs_out, hps_out, nv_out, avg_out = carry
         tail = (jnp.zeros((0, h, w), jnp.uint8), jnp.zeros((0, h, w), jnp.uint8),
                 jnp.zeros((0, h, w), jnp.int16),
                 jnp.zeros((0, 1 + 5 * nb + 2 * nbr), jnp.int32),
@@ -251,7 +282,7 @@ def encode_chunk_two_pass(
         packed = jax.vmap(
             lambda r, a, q, sm: P.concat_bytes(r, a, q, sm)
         )(recons, arts, qdcts, smalls_all)
-    return out + (packed,), ref_out, hp_out, avg_out
+    return out + (packed,), refs_out, hps_out, nv_out, avg_out
 
 
 def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, mv8, h, w):

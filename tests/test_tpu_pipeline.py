@@ -148,10 +148,45 @@ def test_metrics_and_mv_artifacts(tmp_path):
     assert rows(iog.get_metrics_csv_file_name()) == rows(iot.get_metrics_csv_file_name())
 
 
-def test_scene_change_second_pass(tmp_path):
+@pytest.mark.parametrize("rcflag,nref,frac,exact", [
+    (2, 2, False, True),
+    (3, 3, False, True),
+    (3, 2, True, False),
+], ids=["rc2_nref2_exact", "rc3_nref3_exact", "rc3_nref2_frac"])
+def test_rate_control_multiref_vs_golden(tmp_path, rcflag, nref, frac, exact):
+    """RC 2/3 with nRefFrames > 1 runs the fused two-pass chunk with a
+    rolling reference stack (models/two_pass.py).  MV decisions (search +
+    reference picks + RC schedule) must match golden exactly; artifacts are
+    byte-identical under the integer-exact transform (float runs can hit
+    the documented +-1 DCT edge on long sequences)."""
+    iog, iot = _run_both(
+        tmp_path, f"rc{rcflag}n{nref}", W=176, H=144, N=6,
+        RCflag=rcflag, targetBR=480_000, nRefFrames=nref,
+        fracMeEnabled=frac, resolution=(176, 144), I_Period=5,
+        exact_transform=exact,
+    )
+    assert filecmp.cmp(iog.get_mv_file_name(), iot.get_mv_file_name(),
+                       shallow=False)
+    rt = np.fromfile(iot.get_mc_reconstructed_file_name(), np.uint8)
+    dt = np.fromfile(iot.get_mc_decoded_file_name(), np.uint8)
+    assert np.array_equal(rt, dt)
+    if exact:
+        for fn in ("get_encoded_file_name", "get_mc_reconstructed_file_name",
+                   "get_mc_decoded_file_name", "get_residual_wo_mc_file_name"):
+            assert filecmp.cmp(getattr(iog, fn)(), getattr(iot, fn)(),
+                               shallow=False), fn
+    else:
+        bg = os.path.getsize(iog.get_encoded_file_name())
+        bt = os.path.getsize(iot.get_encoded_file_name())
+        assert abs(bg - bt) / bg < 0.005
+
+
+@pytest.mark.parametrize("nref", [1, 2], ids=["nref1", "nref2"])
+def test_scene_change_second_pass(tmp_path, nref):
     """RC3 with a real scene cut: the P-frame whose first-pass bits overshoot
     1.3x the table expectation is re-encoded as an I-frame with cleared
-    references (reference encoder.py:89-98)."""
+    references (reference encoder.py:89-98) — including clearing the
+    nRefFrames > 1 rolling stack."""
     from basic_video_codec_tpu.tools.ygen import noise_sequence, textured_frame
 
     Wq, Hq, Nq = 176, 144, 4
@@ -159,7 +194,8 @@ def test_scene_change_second_pass(tmp_path):
     cut = noise_sequence(Wq, Hq, 2, seed=2)  # hard cut to noise
     frames = np.concatenate([base, cut])
     cfg = dict(block_size=16, search_range=2, I_Period=8, quantization_factor=9,
-               RCflag=3, targetBR=1_200_000, resolution=(Wq, Hq))
+               RCflag=3, targetBR=1_200_000, resolution=(Wq, Hq),
+               nRefFrames=nref)
     ios = {}
     for sub, enc, dec in (("g", golden_encode, golden_decode), ("t", tpu_encode, tpu_decode)):
         d = tmp_path / sub
