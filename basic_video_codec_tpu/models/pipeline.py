@@ -477,15 +477,12 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     from ..ops import pack as PK
 
     # The compact metric sums are device int32, so frames whose worst-case
-    # SAD total could overflow (> ~8 MP) use full planes instead.  fastME
-    # chunks are DEVICE-compute-bound (the serial refinement walk,
-    # PROFILE.md section 2): the full-plane bytes hide under compute, so
-    # packing would only add the host rebuild chain to the critical path
-    # (measured: 26 vs 30 fps on the deliverable config).  BVC_COMPACT=2
-    # forces packing on for such configs (test coverage).
+    # SAD total could overflow (> ~8 MP) use full planes instead.  (The
+    # earlier fastME exception is gone: the Pallas walk kernel cut the
+    # serial search from 14-28 ms to ~2 ms per CIF frame, so fastME chunks
+    # are transfer-bound like everything else.)
     compact_env = os.environ.get("BVC_COMPACT", "1")
     compact = (compact_env != "0"
-               and (not ec.fastME or compact_env == "2")
                and params.height * params.width * 255 < 2 ** 31)
     int8q = PK.qdct_int8_safe(ec)
     mv8 = PK.mv_int8_safe(ec)

@@ -47,6 +47,13 @@ def fast_search_frame(curr: jnp.ndarray, refs: jnp.ndarray, interp_refs: jnp.nda
     comps int32 [nbr, nbc])``.
     """
     h, w = curr.shape
+    from .fastme_pallas import fast_search_frame_pallas, use_pallas_fastme
+
+    if use_pallas_fastme(h, w, bs, refs.shape[0], frac):
+        # table + serial-walk split: ~4x fewer us per refinement iteration
+        # on the TPU backend (PROFILE.md section 2); decisions identical
+        return fast_search_frame_pallas(curr, refs, interp_refs, bs, frac,
+                                        n_valid=n_valid)
     nbr, nbc = h // bs, w // bs
     n_ref = refs.shape[0]
     curr_i = curr.astype(jnp.int32)
