@@ -21,8 +21,9 @@ synchronizations per frame; this module keeps the whole loop on device:
 RC2 and RC3 behave identically in the current reference (the RC3-only
 prev-pass MV seeding is commented out, PFrame.py:106-107).
 
-Single-reference only (like models/chunk.py); nRefFrames > 1 falls back to
-the per-frame two-pass path in models/pipeline.py.
+The reference deque is a fixed-shape rolling stack carried through the GOP
+scan (nRefFrames > 1 included; R == 1 reproduces the single-reference
+search exactly) — see :func:`encode_chunk_two_pass`.
 """
 
 from functools import partial
@@ -93,10 +94,7 @@ def encode_chunk_two_pass(
     models/chunk.py (recon/res correction codes + zigzag-prefix qdct —
     ~119 KB instead of ~413 KB per CIF block-16 frame), so the host pipeline
     reuses its compact fetch path; otherwise the full planes bitcast+concat
-    (one transfer per chunk either way, amortizing tunnel latency).  The
-    pipeline only requests ``compact`` here for non-fastME configs — fastME
-    chunks are device-compute-bound, so the bytes hide under compute and
-    packing would put the host rebuild chain on the critical path.
+    (one transfer per chunk either way, amortizing tunnel latency).
 
     The reference deque is a fixed-shape rolling stack carried through the
     scan (R = refs0.shape[0]; models/chunk.py _push_ref semantics), so
