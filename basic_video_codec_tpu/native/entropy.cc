@@ -185,6 +185,140 @@ int64_t bvc_format_mv_lines(const int32_t* mvs, int64_t nbr, int64_t nbc,
   return n;
 }
 
-int64_t bvc_version() { return 2; }
+// ---------------------------------------------------------------------------
+// Compact-transfer rebuild helpers (host side of ops/pack.py).  These are the
+// hot per-frame loops of the finalize path; as C they release the GIL and run
+// 5-10x faster than the NumPy fancy-indexing equivalents (which remain as
+// fallbacks).  Semantics are the NumPy functions', bit for bit.
+// ---------------------------------------------------------------------------
+
+// Scatter zigzag-prefix values back into an int16 plane (inverse of
+// ops/pack.pack_qdct).  out must be zeroed; vals in stream order; zz flat
+// in-block indices.  Python twin: ops/pack.unpack_qdct.
+void bvc_unpack_qdct(const int16_t* vals, const int32_t* lens, int64_t nbr,
+                     int64_t nbc, int64_t bs, const int64_t* zz,
+                     int16_t* out, int64_t w) {
+  int64_t off = 0;
+  for (int64_t i = 0; i < nbr; ++i) {
+    for (int64_t j = 0; j < nbc; ++j) {
+      int16_t* blk = out + i * bs * w + j * bs;
+      const int64_t len = lens[i * nbc + j];
+      for (int64_t k = 0; k < len; ++k) {
+        const int64_t fi = zz[k];
+        blk[(fi / bs) * w + (fi % bs)] = vals[off + k];
+      }
+      off += len;
+    }
+  }
+}
+
+// Decode the 3-bit joint state stream (ops/pack.pack_joint): 8 pixels per
+// 3 little-endian bytes -> one state byte per pixel.
+void bvc_joint_states(const uint8_t* jc, int64_t n_px, uint8_t* out) {
+  for (int64_t g = 0; g * 8 < n_px; ++g) {
+    const uint32_t w24 = uint32_t(jc[g * 3]) | (uint32_t(jc[g * 3 + 1]) << 8)
+                         | (uint32_t(jc[g * 3 + 2]) << 16);
+    for (int64_t k = 0; k < 8 && g * 8 + k < n_px; ++k)
+      out[g * 8 + k] = uint8_t((w24 >> (3 * k)) & 7);
+  }
+}
+
+// Rebuild one joint-coded plane: base u8 + {0,+1,-1} deltas + positioned
+// escapes.  plus/minus/escA/escB are the state ids for this plane's half
+// (ops/pack.joint_recon / joint_art).
+void bvc_apply_joint(const uint8_t* states, const uint8_t* esc,
+                     const uint8_t* base, uint8_t* out, int64_t n_px,
+                     int64_t plus, int64_t minus, int64_t esc_a,
+                     int64_t esc_b) {
+  int64_t e = 0;
+  for (int64_t p = 0; p < n_px; ++p) {
+    const uint8_t s = states[p];
+    if (s == esc_a || s == esc_b) {
+      out[p] = esc[e++];
+    } else {
+      out[p] = uint8_t(base[p] + (s == plus) - (s == minus));
+    }
+  }
+}
+
+// Motion-compensated prediction plane from the host reference stack
+// (Python twin: ops/pack.host_pred_inter).  planes: [R, ph, pw] u8 — the
+// reference stack, or the half-pel stack (then frac=1 and block offsets /
+// steps double).  mvs: int32 [nbr*nbc*3] (dx, dy, ref).
+void bvc_pred_inter(const uint8_t* planes, int64_t ph, int64_t pw,
+                    const int32_t* mvs, int64_t nbr, int64_t nbc, int64_t bs,
+                    int64_t frac, uint8_t* out) {
+  const int64_t scale = frac ? 2 : 1;
+  const int64_t w = nbc * bs;
+  for (int64_t i = 0; i < nbr; ++i) {
+    for (int64_t j = 0; j < nbc; ++j) {
+      const int32_t* mv = mvs + (i * nbc + j) * 3;
+      const uint8_t* pl = planes + int64_t(mv[2]) * ph * pw;
+      const int64_t oy = i * bs * scale + mv[1];
+      const int64_t ox = j * bs * scale + mv[0];
+      for (int64_t a = 0; a < bs; ++a) {
+        const uint8_t* src = pl + (oy + a * scale) * pw + ox;
+        uint8_t* dst = out + (i * bs + a) * w + j * bs;
+        if (scale == 1) {
+          std::memcpy(dst, src, size_t(bs));
+        } else {
+          for (int64_t b = 0; b < bs; ++b) dst[b] = src[2 * b];
+        }
+      }
+    }
+  }
+}
+
+// I-frame reconstruction rebuild in scan order (Python twin:
+// ops/pack.host_rebuild_intra_recon).  x: int32 [nbr*nbc*bs*bs] integer
+// IDCT residuals scaled by 2^shift; modes: int32 [nbr*nbc] (0 = horizontal,
+// reading recon[y0+b][x0-1] — the transposed-predictor quirk — 1 = vertical
+// reading recon[y0-1][x0+a]); code: int8 plane {0, +1, -1} with 3 = escape;
+// esc_plane u8 positioned escapes.  out u8 [h*w].
+void bvc_intra_rebuild(const int32_t* x, const int32_t* modes,
+                       const int8_t* code, const uint8_t* esc_plane,
+                       int64_t nbr, int64_t nbc, int64_t bs, int64_t shift,
+                       uint8_t* out) {
+  const int64_t w = nbc * bs;
+  const int64_t half = int64_t(1) << (shift - 1);
+  for (int64_t i = 0; i < nbr; ++i) {
+    for (int64_t j = 0; j < nbc; ++j) {
+      const int32_t* xb = x + (i * nbc + j) * bs * bs;
+      const int64_t y0 = i * bs, x0 = j * bs;
+      const int mode = int(modes[i * nbc + j]);
+      for (int64_t a = 0; a < bs; ++a) {
+        uint8_t* row = out + (y0 + a) * w + x0;
+        const int8_t* crow = code + (y0 + a) * w + x0;
+        const uint8_t* erow = esc_plane + (y0 + a) * w + x0;
+        for (int64_t b = 0; b < bs; ++b) {
+          int64_t pred;
+          if (mode == 0) {
+            pred = x0 > 0 ? out[(y0 + b) * w + x0 - 1] : 128;
+          } else {
+            pred = y0 > 0 ? out[(y0 - 1) * w + x0 + a] : 128;
+          }
+          if (crow[b] == 3) {
+            row[b] = erow[b];
+          } else {
+            int64_t g = (int64_t(xb[a * bs + b]) + (pred << shift) + half)
+                        >> shift;
+            if (g < 0) g = 0;
+            if (g > 255) g = 255;
+            row[b] = uint8_t(g + crow[b]);
+          }
+        }
+      }
+    }
+  }
+}
+
+// res_wo_mc plane: (curr - prev) mod 256 (Python twin:
+// models/pipeline._wrap_diff_u8).
+void bvc_wrap_diff(const uint8_t* curr, const uint8_t* prev, uint8_t* out,
+                   int64_t n_px) {
+  for (int64_t p = 0; p < n_px; ++p) out[p] = uint8_t(curr[p] - prev[p]);
+}
+
+int64_t bvc_version() { return 3; }
 
 }  // extern "C"

@@ -462,10 +462,22 @@ class FrameLayout:
 
 def unpack_qdct(vals: np.ndarray, lens: np.ndarray, h: int, w: int, bs: int,
                 zz: np.ndarray) -> np.ndarray:
-    """Inverse of :func:`pack_qdct` -> int16 plane [H, W]."""
+    """Inverse of :func:`pack_qdct` -> int16 plane [H, W] (native fast path
+    with a vectorized-NumPy fallback, like the entropy codec)."""
+    from ..entropy import native
+
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     L = bs * bs
+    lib = native._load()
+    if lib is not None:
+        out = np.zeros((h, w), np.int16)
+        v = np.ascontiguousarray(vals, np.int16)
+        ln = np.ascontiguousarray(lens, np.int32)
+        zz64 = np.ascontiguousarray(zz, np.int64)
+        lib.bvc_unpack_qdct(v.ctypes.data, ln.ctypes.data, nbr, nbc, bs,
+                            zz64.ctypes.data, out.ctypes.data, w)
+        return out
     lens = lens.astype(np.int64)  # lens may travel as i16; offsets overflow it
     offs = np.cumsum(lens) - lens
     k = np.arange(L)
@@ -499,6 +511,15 @@ def unpack_vs_base(codes2: np.ndarray, esc: np.ndarray,
 
 def host_joint_states(jc: np.ndarray) -> np.ndarray:
     """Inverse of the 3-bit packing in :func:`pack_joint` -> u8 [H*W]."""
+    from ..entropy import native
+
+    n_px = jc.size // 3 * 8
+    lib = native._load()
+    if lib is not None:
+        jcc = np.ascontiguousarray(jc, np.uint8)
+        out = np.empty(n_px, np.uint8)
+        lib.bvc_joint_states(jcc.ctypes.data, n_px, out.ctypes.data)
+        return out
     b = jc.reshape(-1, 3).astype(np.uint32)
     w24 = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
     return ((w24[:, None] >> (3 * np.arange(8))) & 7).astype(np.uint8).reshape(-1)
@@ -508,7 +529,19 @@ def apply_joint(states: np.ndarray, esc: np.ndarray, base: np.ndarray,
                 plus: int, minus: int, escs: tuple) -> np.ndarray:
     """Rebuild one of the joint-coded planes: ``base`` int [H, W] plus the
     per-pixel {0, +1, -1} deltas and the positioned escapes -> u8 [H, W]."""
+    from ..entropy import native
+
     h, w = base.shape
+    lib = native._load()
+    if lib is not None:
+        b8 = np.ascontiguousarray(base.astype(np.uint8))
+        e8 = np.ascontiguousarray(esc, np.uint8)
+        st = np.ascontiguousarray(states, np.uint8)
+        out = np.empty(h * w, np.uint8)
+        lib.bvc_apply_joint(st.ctypes.data, e8.ctypes.data, b8.ctypes.data,
+                            out.ctypes.data, h * w, plus, minus,
+                            escs[0], escs[1])
+        return out.reshape(h, w)
     flat = base.reshape(-1).astype(np.int32)
     delta = (states == plus).astype(np.int32) - (states == minus)
     out = ((flat + delta) & 255).astype(np.uint8)
@@ -570,7 +603,8 @@ def host_recon_guess(qdct: np.ndarray, row_qps: np.ndarray,
 def host_rebuild_intra_recon(qdct: np.ndarray, modes: np.ndarray,
                              row_qps: np.ndarray, codes2: np.ndarray,
                              esc: np.ndarray, bs: int,
-                             jst: np.ndarray | None = None) -> np.ndarray:
+                             jst: np.ndarray | None = None,
+                             x: np.ndarray | None = None) -> np.ndarray:
     """Rebuild an I-frame's reconstruction from its correction codes —
     either a 2-bit ``codes2`` plane (:func:`pack_vs_base`) or the recon half
     of a joint 3-bit state stream (``jst``, :func:`pack_joint`).
@@ -593,7 +627,22 @@ def host_rebuild_intra_recon(qdct: np.ndarray, modes: np.ndarray,
     pos = np.flatnonzero(is_esc.reshape(-1))
     esc_plane[pos] = esc[: pos.size]
     esc_plane = esc_plane.reshape(h, w)
-    x = _x_int_blocks_np(qdct, row_qps, bs)
+    if x is None:
+        x = _x_int_blocks_np(qdct, row_qps, bs)
+
+    from ..entropy import native
+
+    lib = native._load()
+    if lib is not None:
+        xc = np.ascontiguousarray(x, np.int32)
+        mc = np.ascontiguousarray(modes, np.int32)
+        cc = np.ascontiguousarray(code, np.int8)
+        ec_ = np.ascontiguousarray(esc_plane, np.uint8)
+        out = np.empty((h, w), np.uint8)
+        lib.bvc_intra_rebuild(xc.ctypes.data, mc.ctypes.data, cc.ctypes.data,
+                              ec_.ctypes.data, nbr, nbc, bs, T.EXACT_SHIFT,
+                              out.ctypes.data)
+        return out
     s = T.EXACT_SHIFT
     half = 1 << (s - 1)
     border = np.full((bs, bs), 128, np.int32)
@@ -623,11 +672,22 @@ def host_pred_inter(refs: np.ndarray, mvs: np.ndarray, bs: int,
     NumPy twin of ops.me.gather_pred_blocks.  ``refs`` is either one plane
     [H, W] (single-reference path: mv ref index is always 0) or the rolling
     stack [R, H, W] in deque order; ``hps`` likewise when ``frac``."""
+    from ..entropy import native
+
     if refs.ndim == 2:
         refs = refs[None]
     if hps is not None and hps.ndim == 2:
         hps = hps[None]
     nbr, nbc = mvs.shape[:2]
+    lib = native._load()
+    if lib is not None:
+        planes = np.ascontiguousarray(hps if frac else refs, np.uint8)
+        m = np.ascontiguousarray(mvs, np.int32)
+        out = np.empty((nbr * bs, nbc * bs), np.uint8)
+        lib.bvc_pred_inter(planes.ctypes.data, planes.shape[1],
+                           planes.shape[2], m.ctypes.data, nbr, nbc, bs,
+                           1 if frac else 0, out.ctypes.data)
+        return out.astype(np.int32)
     a = np.arange(bs)
     ref_idx = mvs[..., 2][..., None, None]
     if frac:

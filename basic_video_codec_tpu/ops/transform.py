@@ -104,8 +104,9 @@ def idct2_exact_core_np(rescaled_i32: np.ndarray, d_int: np.ndarray) -> np.ndarr
     """Bit-identical NumPy twin of :func:`idct2_exact_core` (verified in
     tests/test_pack.py).  The matmuls run in float64 BLAS — NumPy integer
     einsums fall back to slow C loops (~6 ms per CIF block-16 frame, the
-    whole host rebuild budget) while the products here stay < 2^32, exact in
-    float64.  The device's int32 wrap-on-overflow is reproduced by the
+    whole host rebuild budget); batched ``np.matmul`` beats tensordot /
+    flattened-GEMM variants here (measured).  Products stay < 2^32, exact
+    in float64; the device's int32 wrap-on-overflow is reproduced by the
     float64 -> int64 -> int32 cast chain (modulo 2^32)."""
     d = d_int.astype(np.float64)
     y = rescaled_i32.astype(np.float64)

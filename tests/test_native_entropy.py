@@ -67,3 +67,95 @@ def test_fallback_paths_match_native_or_numpy():
     bits = symbols_to_bits(syms)
     assert nbits == bits.shape[0]
     assert np.array_equal(native.decode_symbols_np(data, syms.size), syms)
+
+
+def test_native_rebuild_helpers_match_numpy(monkeypatch):
+    """The new native rebuild helpers (bvc_unpack_qdct / joint states+apply /
+    pred_inter / intra_rebuild / wrap_diff) must agree bit-for-bit with the
+    NumPy fallbacks they shadow."""
+    import basic_video_codec_tpu.ops.pack as PK
+    from basic_video_codec_tpu.entropy.zigzag import zigzag_indices
+    from basic_video_codec_tpu.models.pipeline import _wrap_diff_u8
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(9)
+    h, w, bs = 48, 64, 8
+    nbr, nbc = h // bs, w // bs
+
+    def both(fn, *a, **kw):
+        out_native = fn(*a, **kw)
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_tried", True)
+        out_np = fn(*a, **kw)
+        monkeypatch.undo()
+        assert np.array_equal(np.asarray(out_native), np.asarray(out_np)), fn
+        return out_native
+
+    # unpack_qdct
+    q = np.zeros((h, w), np.int16)
+    m = rng.random((h, w)) < 0.2
+    q[m] = rng.integers(-30, 31, m.sum())
+    zz = zigzag_indices(bs)
+    scans = q.reshape(nbr, bs, nbc, bs).swapaxes(1, 2).reshape(-1, bs * bs)[:, zz]
+    nz = scans != 0
+    lens = np.where(nz.any(1), bs * bs - np.argmax(nz[:, ::-1], 1), 0)
+    vals = np.concatenate([scans[i, : lens[i]] for i in range(len(lens))]
+                          + [np.zeros(4, np.int16)]).astype(np.int16)
+    out = both(PK.unpack_qdct, vals, lens.astype(np.int16), h, w, bs, zz)
+    assert np.array_equal(out, q)
+
+    # joint states + apply
+    jc = rng.integers(0, 256, 3 * h * w // 8).astype(np.uint8)
+    states = both(PK.host_joint_states, jc)
+    st = np.zeros(h * w, np.uint8)
+    st[: 40] = rng.integers(0, 8, 40)  # sparse escapes so the list suffices
+    esc = rng.integers(0, 256, h * w).astype(np.uint8)
+    base = rng.integers(0, 256, (h, w)).astype(np.int32)
+    both(PK.apply_joint, st, esc, base, PK.J_RP, PK.J_RM,
+         (PK.J_RESC, PK.J_BESC))
+    both(PK.apply_joint, st, esc, base, PK.J_AP, PK.J_AM,
+         (PK.J_AESC, PK.J_BESC))
+
+    # pred_inter (int + frac)
+    refs = rng.integers(0, 256, (2, h, w)).astype(np.uint8)
+    hps = rng.integers(0, 256, (2, 2 * h, 2 * w)).astype(np.uint8)
+    mvs = np.zeros((nbr, nbc, 3), np.int32)
+    mvs[..., 0] = rng.integers(-2, 3, (nbr, nbc))
+    mvs[..., 1] = rng.integers(-2, 3, (nbr, nbc))
+    mvs[..., 2] = rng.integers(0, 2, (nbr, nbc))
+    for i in range(nbr):
+        for j in range(nbc):
+            mvs[i, j, 0] = np.clip(mvs[i, j, 0], -j * bs, w - (j + 1) * bs)
+            mvs[i, j, 1] = np.clip(mvs[i, j, 1], -i * bs, h - (i + 1) * bs)
+    both(PK.host_pred_inter, refs, mvs, bs, False)
+    mvs2 = mvs.copy()
+    mvs2[..., :2] *= 2
+    both(PK.host_pred_inter, refs, mvs2, bs, True, hps)
+
+    # intra rebuild (device encode -> codes -> host chain)
+    import jax.numpy as jnp
+
+    from basic_video_codec_tpu.ops.intra import intra_encode_frame
+
+    curr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    row_qps = np.full(nbr, 3, np.int32)
+    recon, _, _, qdct, smalls = intra_encode_frame(
+        jnp.asarray(curr), jnp.asarray(row_qps), jnp.float32(0),
+        jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.float32), jnp.int32(3),
+        bs, False)
+    modes = np.asarray(smalls)[: nbr * nbc].reshape(nbr, nbc)
+    pred = PK.intra_pred_plane(recon, jnp.asarray(modes), bs)
+    guess = PK.recon_guess_plane(qdct, jnp.asarray(row_qps), pred, bs)
+    rc, re, rn = PK.pack_vs_base(recon, jnp.asarray(np.asarray(guess).astype(np.int32)), PK.esc_cap(h, w))
+    out = both(PK.host_rebuild_intra_recon, np.asarray(qdct, np.int16),
+               modes.astype(np.int32), row_qps, np.asarray(rc),
+               np.asarray(re), bs)
+    assert np.array_equal(out, np.asarray(recon))
+
+    # wrap diff
+    prev = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    both(_wrap_diff_u8, curr, prev)
