@@ -1,0 +1,159 @@
+"""Real-hardware validation sweep for the TPU compute path.
+
+The CPU test suite (tests/, virtual 8-device mesh) proves conformance of
+the XLA paths; the Pallas kernels compile differently on the real chip
+(Mosaic), where interpret mode catches none of the backend's constraints
+(CLAUDE.md gotchas).  This script re-proves, ON the attached TPU:
+
+1. Pallas fastME walk (ops/fastme_pallas.py) decision parity vs the XLA
+   scan x while implementation — mvs, sads AND comparison counts — across
+   block sizes, references, warm-up masking and half-pel.
+2. Pallas full-search parity vs the XLA candidate scan (bench config).
+3. End-to-end: the reference deliverable config (CIF RC3 + fastME) under
+   the integer-exact transform produces a bitstream byte-identical to the
+   golden NumPy oracle, and decode == encoder reconstruction.
+4. A 720p smoke encode/decode (decode == recon) — the compact-transfer
+   caps and kernels at a production-ish resolution.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/tpu_validate.py
+Exits non-zero on any mismatch.  Takes a few minutes (compiles).
+"""
+
+import filecmp
+import logging
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+logging.disable(logging.INFO)
+
+
+def check(ok, msg):
+    print(("PASS  " if ok else "FAIL  ") + msg, flush=True)
+    if not ok:
+        sys.exit(1)
+
+
+def fastme_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from basic_video_codec_tpu.golden.interp import build_pre_interpolated_buffer
+    from basic_video_codec_tpu.ops.fastme import fast_search_frame
+    from basic_video_codec_tpu.ops.fastme_pallas import fast_search_frame_pallas
+    from basic_video_codec_tpu.tools import ygen
+
+    os.environ["BVC_PALLAS_FASTME"] = "0"  # force the XLA reference path
+    cases = [
+        (288, 352, 16, 1, False, None),
+        (288, 352, 16, 2, False, None),
+        (288, 352, 16, 3, False, 2),
+        (288, 352, 16, 1, True, None),
+        (288, 352, 8, 1, False, None),
+        (288, 352, 8, 2, True, None),
+    ]
+    for h, w, bs, n_ref, frac, nv in cases:
+        base = ygen.moving_sequence(w, h, n_ref + 1, seed=42)
+        refs = np.stack([base[i] for i in range(n_ref)])
+        curr = base[n_ref]
+        hps = (np.stack([build_pre_interpolated_buffer(r) for r in refs])
+               if frac else np.zeros((n_ref, 2 * h, 2 * w), np.uint8))
+        nvj = None if nv is None else jnp.int32(nv)
+        args = (jnp.asarray(curr), jnp.asarray(refs), jnp.asarray(hps), bs, frac)
+        mx = fast_search_frame(*args, n_valid=nvj)
+        mp = fast_search_frame_pallas(*args, n_valid=nvj)
+        ok = all(np.array_equal(np.asarray(a), np.asarray(b))
+                 for a, b in zip(mx, mp))
+        check(ok, f"fastME walk parity bs={bs} refs={n_ref} frac={frac} nv={nv}")
+    del os.environ["BVC_PALLAS_FASTME"]
+
+
+def fullsearch_parity():
+    import jax.numpy as jnp
+
+    from basic_video_codec_tpu.ops.me import full_search
+    from basic_video_codec_tpu.ops.pallas_me import full_search_pallas, use_pallas
+    from basic_video_codec_tpu.tools import ygen
+
+    h, w, bs, r = 288, 352, 8, 2
+    if not use_pallas(h, w, bs, r, frac=False, n_ref=1):
+        print("SKIP  full-search pallas (gate off for this shape)")
+        return
+    base = ygen.moving_sequence(w, h, 2, seed=7)
+    hps = jnp.zeros((1, 2 * h, 2 * w), jnp.uint8)
+    a = (jnp.asarray(base[1]), jnp.asarray(base[0])[None], hps, bs, r, False)
+    mx = full_search(*a)
+    mp = full_search_pallas(*a)
+    ok = all(np.array_equal(np.asarray(x), np.asarray(y))
+             for x, y in zip(mx[:2], mp[:2]))
+    check(ok, "full-search pallas parity (bench config)")
+
+
+def deliverable_golden():
+    from basic_video_codec_tpu.config import EncoderConfig, InputParameters
+    from basic_video_codec_tpu.golden.encoder import encode_video as golden_encode
+    from basic_video_codec_tpu.io.fileio import FileIOHelper
+    from basic_video_codec_tpu.models.pipeline import decode_video as tpu_decode
+    from basic_video_codec_tpu.models.pipeline import encode_video as tpu_encode
+    from basic_video_codec_tpu.tools import ygen
+
+    W, H, N = 352, 288, 8
+    tmp = tempfile.mkdtemp(prefix="bvc_val_")
+    y = ygen.moving_sequence(W, H, N, seed=5)
+    ios = {}
+    for sub, enc in (("g", golden_encode), ("t", tpu_encode)):
+        d = os.path.join(tmp, sub)
+        os.makedirs(d, exist_ok=True)
+        ygen.write_y_file(os.path.join(d, "s.y"), y)
+        ec = EncoderConfig(block_size=16, search_range=16, I_Period=8,
+                           quantization_factor=4, fastME=True, RCflag=3,
+                           targetBR=2_400_000, resolution=(W, H),
+                           exact_transform=True)
+        p = InputParameters(os.path.join(d, "s.y"), W, H, ec,
+                            frames_to_process=N)
+        enc(p, results_csv_path=None)
+        if sub == "t":
+            tpu_decode(p)
+        ios[sub] = FileIOHelper(p, create_dirs=False)
+    g, t = ios["g"], ios["t"]
+    check(filecmp.cmp(g.get_encoded_file_name(), t.get_encoded_file_name(),
+                      shallow=False),
+          "deliverable (RC3+fastME, exact) bitstream == golden")
+    rec = np.fromfile(t.get_mc_reconstructed_file_name(), np.uint8)
+    dec = np.fromfile(t.get_mc_decoded_file_name(), np.uint8)
+    check(np.array_equal(rec, dec), "deliverable decode == encoder recon")
+
+
+def smoke_720p():
+    from basic_video_codec_tpu.config import EncoderConfig, InputParameters
+    from basic_video_codec_tpu.models.pipeline import decode_video, encode_video
+    from basic_video_codec_tpu.tools import ygen
+
+    W, H, N = 1280, 720, 6
+    tmp = tempfile.mkdtemp(prefix="bvc_720_")
+    ygen.write_y_file(os.path.join(tmp, "s.y"),
+                      ygen.moving_sequence(W, H, N, seed=3))
+    ec = EncoderConfig(block_size=16, search_range=4, I_Period=6,
+                       quantization_factor=6, resolution=(W, H))
+    p = InputParameters(os.path.join(tmp, "s.y"), W, H, ec,
+                        frames_to_process=N)
+    encode_video(p, results_csv_path=None)
+    decode_video(p)
+    from basic_video_codec_tpu.io.fileio import FileIOHelper
+
+    io = FileIOHelper(p, create_dirs=False)
+    rec = np.fromfile(io.get_mc_reconstructed_file_name(), np.uint8)
+    dec = np.fromfile(io.get_mc_decoded_file_name(), np.uint8)
+    check(np.array_equal(rec, dec), "720p smoke decode == encoder recon")
+
+
+if __name__ == "__main__":
+    fastme_parity()
+    fullsearch_parity()
+    deliverable_golden()
+    smoke_720p()
+    print("ALL HARDWARE CHECKS PASSED")
