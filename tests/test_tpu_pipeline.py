@@ -107,10 +107,9 @@ def test_rate_control_exact_vs_golden(tmp_path, rcflag):
     dict(fastME=True, RCflag=3, targetBR=480_000),
 ], ids=["rc0", "rc3"])
 def test_compact_forced_fastme(tmp_path, monkeypatch, cfg):
-    """BVC_COMPACT=2 forces packed transfers for device-bound fastME configs
-    (the pipeline default keeps those on full planes): the compact row
-    packers (models/chunk.py and two_pass.py) must reproduce the full-plane
-    run bit-for-bit — every artifact, not just the bitstream.  (Golden
+    """Packed transfers (now the default for every config) must reproduce
+    the full-plane run (BVC_COMPACT=0) bit-for-bit — every artifact, not
+    just the bitstream — including the runtime-mode two-pass rows.  (Golden
     parity is NOT asserted here: adding the packers to the jit changes XLA
     fusion, which can flip a round-half float-DCT case — the documented
     +-1 tolerance class, covered by test_self_consistency_and_parity.)"""
