@@ -45,8 +45,9 @@ PREFIX_CAP_FRACTION = 3, 8  # capacity = 3/8 of the plane's coefficients
 # Escape lists hold only float-vs-fixed-point rounding disagreements (both
 # the recon codes and the art codes are based on integer-exact guesses), so
 # the capacity is a small fraction of the plane (measured: <= a handful of
-# escapes per CIF frame; the cap leaves ~500x headroom).
-ESC_DIVISOR = 64
+# escapes per CIF frame; the cap leaves ~100x headroom, and an overflow
+# only costs a full-plane fallback fetch, never correctness).
+ESC_DIVISOR = 256
 
 
 def qdct_caps(nb: int, bs: int) -> int:
@@ -142,8 +143,9 @@ def pack_qdct(qdct: jnp.ndarray, bs: int, cap: int, vdtype, q4: bool = False):
 
 
 def qe_cap(capq: int) -> int:
-    """Nibble-escape value capacity: 1/16 of the prefix value slots (~4x the
-    measured escape rate at the eligible QPs)."""
+    """Nibble-escape value capacity: 1/16 of the prefix value slots (~2x
+    the measured worst case — 1761 escapes on a CIF bench-config frame;
+    overflow falls back to the full plane)."""
     return max(capq // 16, 256)
 
 
@@ -423,7 +425,11 @@ class FrameLayout:
         nib -= (nib >= 8) * 16  # sign-extend; sentinel -8 = escape
         pos = np.flatnonzero(nib == -8)
         qe = self._f(buf, "qe", np.int16)
-        nib[pos] = qe[: pos.size]
+        # on escape overflow (qn > capqe) the expansion is garbage but must
+        # not crash: the caller fetches the full plane instead (qn check in
+        # the pipeline's submit path)
+        n = min(pos.size, qe.size)
+        nib[pos[:n]] = qe[:n]
         return nib
 
     def split(self, buf: np.ndarray) -> dict:
