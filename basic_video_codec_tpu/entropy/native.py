@@ -60,7 +60,8 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64]
         for name in ("bvc_unpack_qdct", "bvc_joint_states",
                      "bvc_apply_joint", "bvc_pred_inter",
-                     "bvc_intra_rebuild", "bvc_wrap_diff"):
+                     "bvc_intra_rebuild", "bvc_wrap_diff",
+                     "bvc_joint_decode2"):
             getattr(lib, name).restype = None
         lib.bvc_unpack_qdct.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -81,7 +82,10 @@ def _load():
             ctypes.c_void_p]
         lib.bvc_wrap_diff.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
-        assert lib.bvc_version() == 3
+        lib.bvc_joint_decode2.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p]
+        assert lib.bvc_version() == 4
         _lib = lib
     except Exception as e:  # missing compiler, load failure -> NumPy fallback
         logger.warning(f"native entropy codec unavailable ({e}); using NumPy fallback")

@@ -48,11 +48,12 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4):
         qp_i = P.pack_qdct(qdct_i, bs, P.qdct_caps(nb, bs), vdtype, q4)
         qv_i, ql_i, qt_i = qp_i[:3]
         meta_i, mv_z, modes_i = _meta_i(smalls_i, nb, nbr)
-        jc_i, re_i, rn_i, ae_i, an_i = _pack_intra_recon(
-            recon_i, qdct_i, smalls_i, bs, nb, nbr, nbc, cap, joint=True)
+        jb_i, jk_i, jn_i, re_i, rn_i, ae_i, an_i = _pack_intra_recon(
+            recon_i, qdct_i, smalls_i, bs, nb, nbr, nbc, cap, joint=True,
+            tight=q4)
         rows.append(P.pack_row(
-            jc_i, re_i, rn_i, meta_i, mv_z, modes_i, qv_i, ql_i, qt_i,
-            ae_i, an_i, bs=bs, mv8=mv8,
+            (jb_i, jk_i, jn_i), re_i, rn_i, meta_i, mv_z, modes_i,
+            qv_i, ql_i, qt_i, ae_i, an_i, bs=bs, mv8=mv8,
             qe=qp_i[3] if q4 else None, qn=qp_i[4] if q4 else None)[None])
     recons, arts, qdcts, smalls = p_parts
     if recons.shape[0] > 0:
@@ -64,19 +65,20 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4):
             row_qps = sm[5 * nb : 5 * nb + nbr]
             x = P.exact_x_blocks(qdct, row_qps, bs)
             guess = P.recon_guess_from_x(x, pred, bs)
-            return P.pack_joint(recon, guess, art, P.art_guess_from_x(x), cap)
+            return P.pack_joint(recon, guess, art, P.art_guess_from_x(x),
+                                cap, tight=q4)
 
-        jc, re, rn, ae, an = jax.vmap(pack_one)(
+        jb, jk, jn, re, rn, ae, an = jax.vmap(pack_one)(
             arts, recons, preds, qdcts, smalls)
 
-        def row(r1, r2, r3, sm, v, l, t, e, n, qen=None):
+        def row(b1, b2, b3, r2, r3, sm, v, l, t, e, n, qen=None):
             meta, mv, modes = _meta_p(sm, nb, nbr)
-            return P.pack_row(r1, r2, r3, meta, mv, modes, v, l, t, e, n,
-                              bs=bs, mv8=mv8,
+            return P.pack_row((b1, b2, b3), r2, r3, meta, mv, modes, v, l, t,
+                              e, n, bs=bs, mv8=mv8,
                               qe=qen[0] if qen else None,
                               qn=qen[1] if qen else None)
 
-        args = (jc, re, rn, smalls, qv, ql, qt, ae, an)
+        args = (jb, jk, jn, re, rn, smalls, qv, ql, qt, ae, an)
         if q4:
             args = args + ((qp[3], qp[4]),)
         rows.append(jax.vmap(row)(*args))
@@ -85,18 +87,18 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4):
 
 
 def _pack_intra_recon(recon, qdct, smalls, bs, nb, nbr, nbc, cap,
-                      joint=False):
+                      joint=False, tight=False):
     """Correction codes for an I-frame's reconstruction: the prediction
     plane comes from the FINAL recon + modes (each block's predictor pixels
     are final by scan order), the guess from the shared integer IDCT.
-    With ``joint`` (with_art layouts), the recon half of the 3-bit joint
+    With ``joint`` (with_art layouts), the recon half of the joint state
     stream with an empty art half (intra res planes are host-derived)."""
     modes = smalls[:nb].reshape(nbr, nbc)
     row_qps = smalls[2 * nb : 2 * nb + nbr]
     pred = P.intra_pred_plane(recon, modes, bs)
     guess = P.recon_guess_plane(qdct, row_qps, pred, bs)
     if joint:
-        return P.pack_joint(recon, guess, guess, guess, cap)
+        return P.pack_joint(recon, guess, guess, guess, cap, tight=tight)
     return P.pack_vs_base(recon, guess, cap)
 
 

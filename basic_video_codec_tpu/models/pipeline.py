@@ -521,6 +521,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     qcap = PK.qdct_caps(nb_pad, bs)
     ecap = PK.esc_cap(ph, pw)
     qecap = PK.qe_cap(qcap)
+    jkcap = PK.jk_cap(ph, pw, q4)
 
     vbytes = 1 if int8q else 2
     layouts = {
@@ -548,11 +549,14 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         # program, so it must only happen on the (rare) overflow path
         sel = (lambda a: a[k]) if k is not None else (lambda a: a)
         with _stage("overflow fallback fetch"):
+            jover = f["jn"] > jkcap  # kind-list overflow: states are garbage
             q_full = (jax.device_get(sel(d_qdcts))
                       if f["qt"] > qcap or f["qn"] > qecap else None)
             a_full = (jax.device_get(sel(d_arts))
-                      if int(f["meta"][0]) == INTER and f["an"] > ecap else None)
-            r_full = jax.device_get(sel(d_recons)) if f["rn"] > ecap else None
+                      if int(f["meta"][0]) == INTER
+                      and (f["an"] > ecap or jover) else None)
+            r_full = (jax.device_get(sel(d_recons))
+                      if f["rn"] > ecap or jover else None)
         reb = rebuilder.submit(f, q_full, r_full)
         futures.append(fin_pool.submit(
             _finalize_compact, idx, curr, f, ec, reb, a_full))
@@ -807,6 +811,7 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
     qcap = PK.qdct_caps(nb_pad, bs)
     ecap = PK.esc_cap(ph, pw)
     qecap = PK.qe_cap(qcap)
+    jkcap = PK.jk_cap(ph, pw, q4)
     vbytes = 1 if int8q else 2
     layout = (PK.FrameLayout(ph, pw, bs, vbytes, False, False, q4=q4)
               if intra_only
@@ -848,12 +853,14 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
                 for k in range(n):
                     f = layout.split(packed[g, k])
                     qd, ad, rd = planes_of(dev, g, k)
+                    jover = f["jn"] > jkcap
                     q_full = (jax.device_get(qd)
                               if f["qt"] > qcap or f["qn"] > qecap else None)
                     a_full = (jax.device_get(ad)
-                              if int(f["meta"][0]) == INTER and f["an"] > ecap
-                              else None)
-                    r_full = jax.device_get(rd) if f["rn"] > ecap else None
+                              if int(f["meta"][0]) == INTER
+                              and (f["an"] > ecap or jover) else None)
+                    r_full = (jax.device_get(rd)
+                              if f["rn"] > ecap or jover else None)
                     rebuilt = _rebuild_frame(f, ec, hist, q_full, r_full)
                     futures.append(fin_pool.submit(
                         _finalize_compact, idx, gop_frames[g][k], f, ec,

@@ -310,10 +310,10 @@ def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, mv8, h, w
         x = P.exact_x_blocks(qdct, rq, bs)
         guess = P.recon_guess_from_x(x, pred, bs)
         # art half zeroed on intra rows (their res planes are host-derived)
-        jc, re, rn, ae, an = P.pack_joint(
+        jb, jk, jn, re, rn, ae, an = P.pack_joint(
             recon, guess, art, P.art_guess_from_x(x), cap, art_valid=~is_i)
         qv, ql, qt = P.pack_qdct(qdct, bs, capq, vdtype)
-        return P.pack_row(jc, re, rn, meta, mv, modes, qv, ql, qt, ae,
-                          an, bs=bs, mv8=mv8)
+        return P.pack_row((jb, jk, jn), re, rn, meta, mv, modes, qv, ql, qt,
+                          ae, an, bs=bs, mv8=mv8)
 
     return jax.vmap(row)(recons, arts, qdcts, smalls, preds)

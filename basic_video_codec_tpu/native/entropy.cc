@@ -312,6 +312,31 @@ void bvc_intra_rebuild(const int32_t* x, const int32_t* modes,
   }
 }
 
+// Decode the joint-state bitmap + compacted 3-bit kind list
+// (ops/pack.pack_joint) -> one state byte per pixel.  Bits and kind groups
+// are little-endian; kinds past capk decode as 0 (overflow is handled by
+// the caller's full-plane fallback).
+void bvc_joint_decode2(const uint8_t* jb, const uint8_t* jk, int64_t n_px,
+                       int64_t capk, uint8_t* out) {
+  int64_t k = 0;
+  for (int64_t p = 0; p < n_px; ++p) {
+    if ((jb[p >> 3] >> (p & 7)) & 1) {
+      uint8_t kind = 0;
+      if (k < capk) {
+        const int64_t g = k >> 3;
+        const uint32_t w24 = uint32_t(jk[g * 3])
+                             | (uint32_t(jk[g * 3 + 1]) << 8)
+                             | (uint32_t(jk[g * 3 + 2]) << 16);
+        kind = uint8_t((w24 >> (3 * (k & 7))) & 7);
+      }
+      out[p] = kind;
+      ++k;
+    } else {
+      out[p] = 0;
+    }
+  }
+}
+
 // res_wo_mc plane: (curr - prev) mod 256 (Python twin:
 // models/pipeline._wrap_diff_u8).
 void bvc_wrap_diff(const uint8_t* curr, const uint8_t* prev, uint8_t* out,
@@ -319,6 +344,6 @@ void bvc_wrap_diff(const uint8_t* curr, const uint8_t* prev, uint8_t* out,
   for (int64_t p = 0; p < n_px; ++p) out[p] = uint8_t(curr[p] - prev[p]);
 }
 
-int64_t bvc_version() { return 3; }
+int64_t bvc_version() { return 4; }
 
 }  // extern "C"

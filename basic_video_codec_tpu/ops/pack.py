@@ -19,9 +19,10 @@ cheaply re-expand:
   ``art_guess = trunc(x >> SHIFT) mod 256``.  Each code is {match, +1, -1,
   escape}, and because round(...) and trunc(...) flip at different
   fractional boundaries the two planes' nonzero codes are nearly disjoint
-  (~0.1% overlap measured) — so ONE joint 3-bit state stream
-  (:func:`pack_joint`) encodes both: 2 x 101 KB -> 38 KB + tiny escape
-  lists.  Inter frames rebuild vectorized; intra frames rebuild
+  (~0.1% overlap measured) — so ONE joint state stream (:func:`pack_joint`)
+  encodes both, entropy-split into a 1-bit nonzero bitmap plus a compacted
+  3-bit kind list: 2 x 101 KB -> ~25 KB + tiny escape lists.  Inter frames
+  rebuild vectorized; intra frames rebuild
   block-by-block in scan order (the prediction chain), with the IDCT still
   batched.
 * **res_w_mc** (I-frames): pure integer function of (curr, recon, modes) —
@@ -176,12 +177,26 @@ def pack_vs_base(plane: jnp.ndarray, base: jnp.ndarray, cap: int):
     return codes2, esc[:cap], esc_mask.sum().astype(jnp.int32)
 
 
-# Joint recon+art correction states, 3 bits/pixel.  round(...) and trunc(...)
-# flip at DIFFERENT fractional boundaries (0.5 vs 0.0), so the two planes'
-# nonzero codes are nearly disjoint (measured overlap ~0.1%) — one 3-bit
-# state stream beats two independent 2-bit streams by 1 bit/pixel with no
-# content-dependent failure mode (every (cr, ca) pair has a state).
+# Joint recon+art correction states.  round(...) and trunc(...) flip at
+# DIFFERENT fractional boundaries (0.5 vs 0.0), so the two planes' nonzero
+# codes are nearly disjoint (measured overlap ~0.1%) and one joint state
+# stream beats two independent 2-bit streams.  The stream is entropy-split:
+# a 1-bit nonzero BITMAP (most pixels match both guesses) plus a compacted
+# 3-bit KIND list for the nonzero pixels only — at the measured nonzero
+# rates (8-28% typical, up to ~42% at QP 0) this beats a flat 3-bit plane
+# by another ~30-40%.  Every (cr, ca) pair still has a state, so the only
+# content-dependent failure is kind-list overflow, which falls back to
+# full planes like every other cap.
 J_NONE, J_RP, J_RM, J_AP, J_AM, J_RESC, J_AESC, J_BESC = range(8)
+
+
+def jk_cap(h: int, w: int, tight: bool) -> int:
+    """Nonzero-kind list capacity (entries).  ``tight`` (the q4 config
+    class: fixed QP >= 5) covers the measured <= 29% nonzero rate with
+    3/8; rate-controlled / low-QP configs can reach ~42%, so they carry
+    1/2.  Multiples of 8 (3-bit group packing)."""
+    frac = (3, 8) if tight else (1, 2)
+    return max(h * w * frac[0] // frac[1] // 8 * 8, 1024)
 
 
 def _code_vs(plane, base):
@@ -196,13 +211,26 @@ def _compact_bytes(mask, plane_flat, cap):
     return out[:cap], mask.sum().astype(jnp.int32)
 
 
-def pack_joint(recon, guess_r, art, guess_a, cap, art_valid=None):
-    """-> (jc u8 [3*H*W/8], re [cap], rn i32, ae [cap], an i32).
+def _pack3(vals, n_groups):
+    """3-bit pack: int [8*n_groups] (values 0..7) -> u8 [3*n_groups]
+    (little-endian bit order, 8 values per 3 bytes)."""
+    s = vals.reshape(n_groups, 8).astype(jnp.uint32)
+    w24 = (s << (3 * jnp.arange(8, dtype=jnp.uint32))[None, :]).sum(axis=1)
+    return jnp.stack([w24 & 255, (w24 >> 8) & 255, (w24 >> 16) & 255],
+                     axis=-1).astype(jnp.uint8).reshape(-1)
 
-    ``jc`` is the 3-bit joint state stream (8 pixels -> 3 bytes, little-
-    endian); escapes carry raw plane bytes in raster order.  ``art_valid``
-    (scalar bool, optional) zeroes the art half per frame — used for intra
-    rows of runtime-mode layouts, whose res plane is host-derived."""
+
+def pack_joint(recon, guess_r, art, guess_a, cap, art_valid=None,
+               tight=False):
+    """-> (jb u8 [H*W/8], jk u8 [3*capk/8], jn i32, re [cap], rn i32,
+    ae [cap], an i32).
+
+    ``jb`` is the nonzero bitmap (little-endian bits); ``jk`` the 3-bit
+    kind list of the nonzero pixels in raster order; ``jn`` the nonzero
+    count (> capk means overflow: fetch BOTH full planes).  Escapes carry
+    raw plane bytes in raster order.  ``art_valid`` (scalar bool, optional)
+    zeroes the art half per frame — used for intra rows of runtime-mode
+    layouts, whose res plane is host-derived."""
     cr = _code_vs(recon, guess_r)
     ca = _code_vs(art, guess_a)
     if art_valid is not None:
@@ -219,11 +247,18 @@ def pack_joint(recon, guess_r, art, guess_a, cap, art_valid=None):
     esc_a = (state == J_AESC) | (state == J_BESC)
     re, rn = _compact_bytes(esc_r, recon.reshape(-1), cap)
     ae, an = _compact_bytes(esc_a, art.reshape(-1), cap)
-    s = state.reshape(-1, 8).astype(jnp.uint32)
-    w24 = (s << (3 * jnp.arange(8, dtype=jnp.uint32))[None, :]).sum(axis=1)
-    jc = jnp.stack([w24 & 255, (w24 >> 8) & 255, (w24 >> 16) & 255],
-                   axis=-1).astype(jnp.uint8).reshape(-1)
-    return jc, re, rn, ae, an
+    nz = state != 0
+    n_px = nz.shape[0]
+    weights = (1 << jnp.arange(8, dtype=jnp.uint32))[None, :]
+    jb = (nz.reshape(-1, 8).astype(jnp.uint32) * weights).sum(
+        axis=1).astype(jnp.uint8)
+    capk = jk_cap(recon.shape[0], recon.shape[1], tight)
+    off = jnp.cumsum(nz) - nz
+    kidx = jnp.where(nz & (off < capk), off, capk)
+    kinds = jnp.zeros(capk + 8, jnp.int32).at[kidx].set(state)[:capk]
+    jk = _pack3(kinds, capk // 8)
+    jn = nz.sum().astype(jnp.int32)
+    return jb, jk, jn, re, rn, ae, an
 
 
 def _blockify(plane, bs):
@@ -306,7 +341,7 @@ def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
              an=None, *, bs, mv8=False, qe=None, qn=None):
     """One frame's transfer row in :class:`FrameLayout` field order (device).
 
-    ``codes`` is the joint 3-bit state stream (:func:`pack_joint`,
+    ``codes`` is the joint state tuple ``(jb, jk, jn)`` (:func:`pack_joint`,
     ``with_art`` layouts, with ``ae``/``an``) or the 2-bit recon code plane
     (:func:`pack_vs_base`, art-less layouts); ``re``/``rn`` its recon
     escapes / count; ``mv`` int [3*nb] or None (layout without MVs),
@@ -323,7 +358,7 @@ def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
     mbits = (m.reshape(nbm, 8) * weights).sum(axis=1).astype(jnp.uint8)
     if nbm & 1:
         mbits = jnp.concatenate([mbits, jnp.zeros(1, jnp.uint8)])
-    parts = [codes, re, rn, meta]
+    parts = [*(codes if isinstance(codes, tuple) else (codes,)), re, rn, meta]
     if mv is not None:
         parts.append(mv.astype(jnp.int8 if mv8 else jnp.int16))
     parts += [mbits, qv,
@@ -388,11 +423,14 @@ class FrameLayout:
         nbm = (nb + 7) // 8
         nbm2 = nbm + (nbm & 1)
         self.nbm = nbm
-        # with_art layouts carry ONE joint 3-bit recon+art state stream
-        # (pack_joint); art-less layouts a 2-bit recon code plane
-        sizes = [("jc", 3 * h * w // 8) if with_art else ("rc", h * w // 4),
-                 ("re", self.cape), ("rn", 4),
-                 ("meta", (3 + 2 * nbr) * 4)]
+        self.capk = jk_cap(h, w, q4)
+        # with_art layouts carry the joint recon+art state stream as a
+        # nonzero bitmap + compacted 3-bit kind list (pack_joint); art-less
+        # layouts a 2-bit recon code plane
+        sizes = ([("jb", h * w // 8), ("jk", 3 * self.capk // 8), ("jn", 4)]
+                 if with_art else [("rc", h * w // 4)])
+        sizes += [("re", self.cape), ("rn", 4),
+                  ("meta", (3 + 2 * nbr) * 4)]
         if with_mv:
             sizes.append(("mv", 3 * nb * (1 if mv8 else 2)))
         sizes += [("modes", nbm2),
@@ -437,8 +475,12 @@ class FrameLayout:
         out = {
             "h": self.h, "w": self.w,
             "rc": None if self.with_art else self._f(buf, "rc", np.uint8),
-            "jst": (host_joint_states(self._f(buf, "jc", np.uint8))
+            "jst": (host_joint_decode(self._f(buf, "jb", np.uint8),
+                                      self._f(buf, "jk", np.uint8),
+                                      self.h * self.w)
                     if self.with_art else None),
+            "jn": (int(self._f(buf, "jn", np.int32)[0]) if self.with_art
+                   else 0),
             "re": self._f(buf, "re", np.uint8),
             "rn": int(self._f(buf, "rn", np.int32)[0]),
             "meta": self._f(buf, "meta", np.int32),
@@ -529,6 +571,30 @@ def host_joint_states(jc: np.ndarray) -> np.ndarray:
     b = jc.reshape(-1, 3).astype(np.uint32)
     w24 = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
     return ((w24[:, None] >> (3 * np.arange(8))) & 7).astype(np.uint8).reshape(-1)
+
+
+def host_joint_decode(jb: np.ndarray, jk: np.ndarray,
+                      n_px: int) -> np.ndarray:
+    """Inverse of pack_joint's bitmap + kind-list split -> u8 states [n_px].
+    Kind-list overflow (jn > capk) decodes garbage-but-safe states; the
+    pipeline fetches both full planes in that case."""
+    from ..entropy import native
+
+    lib = native._load()
+    if lib is not None:
+        jbc = np.ascontiguousarray(jb, np.uint8)
+        jkc = np.ascontiguousarray(jk, np.uint8)
+        out = np.empty(n_px, np.uint8)
+        lib.bvc_joint_decode2(jbc.ctypes.data, jkc.ctypes.data, n_px,
+                              jk.size // 3 * 8, out.ctypes.data)
+        return out
+    bits = np.unpackbits(jb, bitorder="little")[:n_px]
+    kinds = host_joint_states(jk)
+    out = np.zeros(n_px, np.uint8)
+    pos = np.flatnonzero(bits)
+    n = min(pos.size, kinds.size)
+    out[pos[:n]] = kinds[:n]
+    return out
 
 
 def apply_joint(states: np.ndarray, esc: np.ndarray, base: np.ndarray,

@@ -108,9 +108,12 @@ def test_native_rebuild_helpers_match_numpy(monkeypatch):
     out = both(PK.unpack_qdct, vals, lens.astype(np.int16), h, w, bs, zz)
     assert np.array_equal(out, q)
 
-    # joint states + apply
+    # joint states + bitmap/kind decode + apply
     jc = rng.integers(0, 256, 3 * h * w // 8).astype(np.uint8)
     states = both(PK.host_joint_states, jc)
+    jb = rng.integers(0, 256, h * w // 8).astype(np.uint8)
+    jk = rng.integers(0, 256, 3 * PK.jk_cap(h, w, False) // 8).astype(np.uint8)
+    both(PK.host_joint_decode, jb, jk, h * w)
     st = np.zeros(h * w, np.uint8)
     st[: 40] = rng.integers(0, 8, 40)  # sparse escapes so the list suffices
     esc = rng.integers(0, 256, h * w).astype(np.uint8)

@@ -54,9 +54,9 @@ def _random_x_blocks(rng, h, w, bs):
 
 @pytest.mark.parametrize("art_valid", [None, True, False])
 def test_joint_pack_roundtrip(art_valid):
-    """pack_joint (device, 3-bit states + escape lists) vs the host rebuild
-    (joint_recon / joint_art) across all state classes: match, +-1 on either
-    plane, both-nonzero pixels, and raw escapes."""
+    """pack_joint (device: nonzero bitmap + 3-bit kind list + escape lists)
+    vs the host rebuild (joint_recon / joint_art) across all state classes:
+    match, +-1 on either plane, both-nonzero pixels, and raw escapes."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(1)
@@ -73,11 +73,12 @@ def test_joint_pack_roundtrip(art_valid):
         plane[px] = rng.integers(0, 256, px.sum())
     cap = PK.esc_cap(h, w)
     av = None if art_valid is None else jnp.asarray(art_valid)
-    jc, re, rn, ae, an = PK.pack_joint(
+    jb, jk, jn, re, rn, ae, an = PK.pack_joint(
         jnp.asarray(recon), jnp.asarray(guess_r),
         jnp.asarray(art), jnp.asarray(guess_a), cap, art_valid=av)
     assert int(rn) <= cap and int(an) <= cap
-    states = PK.host_joint_states(np.asarray(jc))
+    assert int(jn) <= PK.jk_cap(h, w, False)
+    states = PK.host_joint_decode(np.asarray(jb), np.asarray(jk), h * w)
     out_r = PK.joint_recon(states, np.asarray(re), guess_r)
     assert np.array_equal(out_r, recon)
     if art_valid is False:
@@ -109,9 +110,11 @@ def test_joint_pack_overflow_flagged():
     recon = np.full((h, w), 77, np.uint8)  # every pixel escapes the recon half
     art = np.zeros((h, w), np.uint8)
     cap = 16
-    _, _, rn, _, an = PK.pack_joint(jnp.asarray(recon), jnp.asarray(zeros),
-                                    jnp.asarray(art), jnp.asarray(zeros), cap)
+    _, _, jn, _, rn, _, an = PK.pack_joint(
+        jnp.asarray(recon), jnp.asarray(zeros),
+        jnp.asarray(art), jnp.asarray(zeros), cap)
     assert int(rn) == h * w > cap
+    assert int(jn) == h * w  # every pixel nonzero -> kind-list overflow
     assert int(an) == 0
 
 
@@ -192,7 +195,9 @@ def test_qdct_nibble_roundtrip(esc_heavy):
     assert int(qn) <= PK.qe_cap(cap)
     lay = PK.FrameLayout(h, w, bs, 2, True, True, q4=True)
     row = np.asarray(PK.pack_row(
-        jnp.zeros(3 * h * w // 8, jnp.uint8), jnp.zeros(lay.cape, jnp.uint8),
+        (jnp.zeros(h * w // 8, jnp.uint8),
+         jnp.zeros(3 * lay.capk // 8, jnp.uint8), jnp.int32(0)),
+        jnp.zeros(lay.cape, jnp.uint8),
         jnp.int32(0), jnp.zeros(3 + 2 * lay.nbr, jnp.int32),
         jnp.zeros(3 * nb, jnp.int32), jnp.zeros(nb, jnp.uint8),
         vals4, lens, total,
@@ -220,7 +225,9 @@ def test_frame_bytes_roundtrip(odd_nb, mv8):
     nbr = h // bs
     nb = nbr * (w // bs)
     lay = PK.FrameLayout(h, w, bs, 2, True, True, mv8)
-    jc = rng.integers(0, 256, 3 * h * w // 8).astype(np.uint8)
+    jb = rng.integers(0, 256, h * w // 8).astype(np.uint8)
+    jk = rng.integers(0, 256, 3 * lay.capk // 8).astype(np.uint8)
+    jn = np.int32(rng.integers(0, lay.capk))
     re = rng.integers(0, 256, lay.cape).astype(np.uint8)
     rn = np.int32(42)
     meta = rng.integers(-2 ** 30, 2 ** 30, 3 + 2 * nbr).astype(np.int32)
@@ -233,13 +240,15 @@ def test_frame_bytes_roundtrip(odd_nb, mv8):
     ae = rng.integers(0, 256, lay.cape).astype(np.uint8)
     an = np.int32(-7)
     buf = np.asarray(PK.pack_row(
-        jnp.asarray(jc), jnp.asarray(re), jnp.asarray(rn),
+        (jnp.asarray(jb), jnp.asarray(jk), jnp.asarray(jn)),
+        jnp.asarray(re), jnp.asarray(rn),
         jnp.asarray(meta), jnp.asarray(mv),
         jnp.asarray(modes), jnp.asarray(qv), jnp.asarray(ql), jnp.asarray(qt),
         jnp.asarray(ae), jnp.asarray(an), bs=bs, mv8=mv8))
     assert buf.shape == (lay.total,)
     f = lay.split(buf)
-    assert np.array_equal(f["jst"], PK.host_joint_states(jc))
+    assert np.array_equal(f["jst"], PK.host_joint_decode(jb, jk, h * w))
+    assert f["jn"] == int(jn)
     assert np.array_equal(f["re"], re)
     assert f["rn"] == 42
     assert np.array_equal(f["meta"], meta)
