@@ -29,7 +29,8 @@ def _pack_qdct_stack(qdcts, bs, vdtype, q4):
     return jax.vmap(lambda q: P.pack_qdct(q, bs, cap, vdtype, q4))(qdcts)
 
 
-def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4):
+def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
+                     jt):
     """Shared compact-transfer epilogue: ONE packed uint8 row per frame in
     ops/pack.py FrameLayout order.  ``intra_parts`` is the chunk head's
     (recon, qdct, smalls) or None; ``p_parts`` the stacked P-frame
@@ -40,7 +41,8 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4):
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     vdtype = jnp.int8 if int8q else jnp.int16
-    layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4)
+    layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
+                           jt)
     cap = P.esc_cap(h, w)
     rows = []
     if intra_parts is not None:
@@ -50,7 +52,7 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4):
         meta_i, mv_z, modes_i = _meta_i(smalls_i, nb, nbr)
         jb_i, jk_i, jn_i, re_i, rn_i, ae_i, an_i = _pack_intra_recon(
             recon_i, qdct_i, smalls_i, bs, nb, nbr, nbc, cap, joint=True,
-            tight=q4)
+            tight=jt)
         rows.append(P.pack_row(
             (jb_i, jk_i, jn_i), re_i, rn_i, meta_i, mv_z, modes_i,
             qv_i, ql_i, qt_i, ae_i, an_i, bs=bs, mv8=mv8,
@@ -66,7 +68,7 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4):
             x = P.exact_x_blocks(qdct, row_qps, bs)
             guess = P.recon_guess_from_x(x, pred, bs)
             return P.pack_joint(recon, guess, art, P.art_guess_from_x(x),
-                                cap, tight=q4)
+                                cap, tight=jt)
 
         jb, jk, jn, re, rn, ae, an = jax.vmap(pack_one)(
             arts, recons, preds, qdcts, smalls)
@@ -260,7 +262,7 @@ def encode_chunk(
 
     packed = _pack_chunk_rows(
         (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
-        p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4)
+        p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4, q4 and not rc1)
     return intra_out, p_out[:4], ref_out, hp_out, packed
 
 
@@ -369,7 +371,7 @@ def encode_chunk_multiref(
 
     packed = _pack_chunk_rows(
         (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
-        p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4)
+        p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4, q4 and not rc1)
     return intra_out, p_out[:4], refs_out, hps_out, nv_out, packed
 
 

@@ -521,18 +521,21 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     qcap = PK.qdct_caps(nb_pad, bs)
     ecap = PK.esc_cap(ph, pw)
     qecap = PK.qe_cap(qcap)
-    jkcap = PK.jk_cap(ph, pw, q4)
+    jt = q4 and not rc1 and ec.RCflag == 0  # tight kind cap: fixed QP >= 5
+    jkcap = PK.jk_cap(ph, pw, jt)
 
     vbytes = 1 if int8q else 2
     layouts = {
         "intra_all": PK.FrameLayout(ph, pw, bs, vbytes, False, False,
                                     q4=q4),
-        "intra_led": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4),
-        "p_only": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4),
+        "intra_led": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
+                                    jt),
+        "p_only": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
+                                 jt),
         # mode is a runtime value per frame (scene changes), so every row
         # carries both mv and art fields; intra rows zero the unused ones
-        # (q4 would be inert there anyway: RC >= 2 keeps whole-byte values)
-        "two_pass": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4),
+        "two_pass": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
+                                   False),
     }
 
     rebuilder = _ReconRebuilder(ec, ph, pw, fin_pool) if compact else None
@@ -705,7 +708,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     tbl[0], tbl[1], exp_p_frame, initial_qp,
                     bs, max(ec.search_range, 0), ec.fastME, frac,
                     first_is_intra, exact=exact, compact=compact, int8q=int8q,
-                    mv8=mv8,
+                    mv8=mv8, q4=q4,
                 )
                 kind = "two_pass"
                 leaves = (dev[4],)  # one bundled buffer per chunk
@@ -811,11 +814,13 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
     qcap = PK.qdct_caps(nb_pad, bs)
     ecap = PK.esc_cap(ph, pw)
     qecap = PK.qe_cap(qcap)
-    jkcap = PK.jk_cap(ph, pw, q4)
+    jt = q4 and not rc1 and ec.RCflag == 0
+    jkcap = PK.jk_cap(ph, pw, jt)
     vbytes = 1 if int8q else 2
     layout = (PK.FrameLayout(ph, pw, bs, vbytes, False, False, q4=q4)
               if intra_only
-              else PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4))
+              else PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
+                                  jt))
 
     data = max(1, min(len(jax.devices()), ec.parallel_gops))
     mesh = make_mesh(data, data=data, space=1)

@@ -63,7 +63,7 @@ def _row_qps_proportional(row_bits_1, budget_frame, tbl_qps, tbl_bits):
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "fast", "frac",
                                    "first_is_intra", "exact", "compact",
-                                   "int8q", "mv8"))
+                                   "int8q", "mv8", "q4"))
 def encode_chunk_two_pass(
     frames: jnp.ndarray,       # uint8 [K, H, W]
     refs0: jnp.ndarray,        # uint8 [R, H, W] rolling reference stack
@@ -84,6 +84,7 @@ def encode_chunk_two_pass(
     compact: bool = False,
     int8q: bool = False,
     mv8: bool = False,
+    q4: bool = False,
 ):
     """Returns ``(out, refs_out, hps_out, n_valid_out, prev_avg_out)`` with
     ``out = (recons [K,H,W] u8, arts [K,H,W] u8, qdcts [K,H,W] i16,
@@ -271,7 +272,7 @@ def encode_chunk_two_pass(
     if compact:
         recons, arts, qdcts, smalls_all, preds_all = out
         packed = _pack_two_pass_rows(recons, arts, qdcts, smalls_all,
-                                     preds_all, bs, int8q, mv8, h, w)
+                                     preds_all, bs, int8q, mv8, q4, h, w)
         out = out[:4]
     else:
         # bundle the FULL planes into one buffer per chunk: pure
@@ -283,7 +284,7 @@ def encode_chunk_two_pass(
     return out + (packed,), refs_out, hps_out, nv_out, avg_out
 
 
-def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, mv8, h, w):
+def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, mv8, q4, h, w):
     """Compact-transfer rows for the fused two-pass chunk, in the same
     ops/pack.py FrameLayout as models/chunk.py._pack_chunk_rows — the frame
     mode (I on GOP starts and scene changes, else P) is a runtime value, so
@@ -312,8 +313,10 @@ def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, mv8, h, w
         # art half zeroed on intra rows (their res planes are host-derived)
         jb, jk, jn, re, rn, ae, an = P.pack_joint(
             recon, guess, art, P.art_guess_from_x(x), cap, art_valid=~is_i)
-        qv, ql, qt = P.pack_qdct(qdct, bs, capq, vdtype)
-        return P.pack_row((jb, jk, jn), re, rn, meta, mv, modes, qv, ql, qt,
-                          ae, an, bs=bs, mv8=mv8)
+        qp_ = P.pack_qdct(qdct, bs, capq, vdtype, q4)
+        return P.pack_row((jb, jk, jn), re, rn, meta, mv, modes,
+                          qp_[0], qp_[1], qp_[2], ae, an, bs=bs, mv8=mv8,
+                          qe=qp_[3] if q4 else None,
+                          qn=qp_[4] if q4 else None)
 
     return jax.vmap(row)(recons, arts, qdcts, smalls, preds)

@@ -151,11 +151,13 @@ def qe_cap(capq: int) -> int:
 
 
 def qdct_nibble_safe(ec) -> bool:
-    """Nibble-packed qdct values: fixed-QP configs at QP >= 5, where the
-    measured escape rate (|v| > 7) is a few percent.  Rate-controlled runs
-    can drop to QP 1-2 where most values would escape (overflow storms), so
-    they stay on whole-byte values."""
-    return ec.RCflag == 0 and ec.quantization_factor >= 5
+    """Nibble-packed qdct values: configs whose measured escape rate
+    (|v| > 7) stays a few percent — fixed QP >= 5 and every rate-controlled
+    mode (the deliverable config peaks at 726 escapes/frame vs a 2376-entry
+    cap; pathological low-QP content only costs full-plane fallbacks, never
+    correctness).  Fixed QP < 5 would escape-storm, so it stays on
+    whole-byte values."""
+    return ec.RCflag > 0 or ec.quantization_factor >= 5
 
 
 def pack_vs_base(plane: jnp.ndarray, base: jnp.ndarray, cap: int):
@@ -407,7 +409,7 @@ class FrameLayout:
     """
 
     def __init__(self, h, w, bs, vbytes, with_mv, with_art, mv8=False,
-                 q4=False):
+                 q4=False, jt=None):
         nbr = h // bs
         nb = nbr * (w // bs)
         self.h, self.w, self.nb, self.nbr = h, w, nb, nbr
@@ -423,7 +425,9 @@ class FrameLayout:
         nbm = (nb + 7) // 8
         nbm2 = nbm + (nbm & 1)
         self.nbm = nbm
-        self.capk = jk_cap(h, w, q4)
+        # kind-list sizing decouples from the nibble flag: RC runs can be
+        # nibble-eligible but still reach ~40% nonzero code rates
+        self.capk = jk_cap(h, w, q4 if jt is None else jt)
         # with_art layouts carry the joint recon+art state stream as a
         # nonzero bitmap + compacted 3-bit kind list (pack_joint); art-less
         # layouts a 2-bit recon code plane
