@@ -30,21 +30,26 @@ def _pack_qdct_stack(qdcts, bs, vdtype, q4):
 
 
 def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
-                     jt):
+                     jt, tail=False):
     """Shared compact-transfer epilogue: ONE packed uint8 row per frame in
     ops/pack.py FrameLayout order.  ``intra_parts`` is the chunk head's
     (recon, qdct, smalls) or None; ``p_parts`` the stacked P-frame
     (recons, arts, qdcts, smalls); ``preds`` each P-frame's MC prediction
     plane [K, H, W] u8, emitted by the scan step (pframe_encode emit_pred) —
     regathering it here from stacked half-pel buffers faults the TPU
-    backend when the program also contains the fastME while_loop."""
+    backend when the program also contains the fastME while_loop.
+
+    With ``tail``, the cap-padded fields (jk, qv, qe) leave the rows and
+    travel in a chunk-wide compacted pool at their used sizes
+    (ops/pack.pack_tail_pool); returns ``(heads [K, NBh], pool)``."""
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     vdtype = jnp.int8 if int8q else jnp.int16
     layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
-                           jt)
+                           jt, tail=tail)
     cap = P.esc_cap(h, w)
     rows = []
+    tails = []  # per-segment (jk, qv, qe, jn, qt, qn) stacks, frame order
     if intra_parts is not None:
         recon_i, qdct_i, smalls_i = intra_parts
         qp_i = P.pack_qdct(qdct_i, bs, P.qdct_caps(nb, bs), vdtype, q4)
@@ -56,7 +61,12 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
         rows.append(P.pack_row(
             (jb_i, jk_i, jn_i), re_i, rn_i, meta_i, mv_z, modes_i,
             qv_i, ql_i, qt_i, ae_i, an_i, bs=bs, mv8=mv8,
-            qe=qp_i[3] if q4 else None, qn=qp_i[4] if q4 else None)[None])
+            qe=qp_i[3] if q4 else None, qn=qp_i[4] if q4 else None,
+            tail=tail)[None])
+        tails.append((jk_i[None], qv_i[None],
+                      qp_i[3][None] if q4 else None,
+                      jn_i[None], qt_i[None],
+                      qp_i[4][None] if q4 else jnp.zeros(1, jnp.int32)))
     recons, arts, qdcts, smalls = p_parts
     if recons.shape[0] > 0:
         qp = _pack_qdct_stack(qdcts, bs, vdtype, q4)
@@ -78,14 +88,28 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
             return P.pack_row((b1, b2, b3), r2, r3, meta, mv, modes, v, l, t,
                               e, n, bs=bs, mv8=mv8,
                               qe=qen[0] if qen else None,
-                              qn=qen[1] if qen else None)
+                              qn=qen[1] if qen else None, tail=tail)
 
         args = (jb, jk, jn, re, rn, smalls, qv, ql, qt, ae, an)
         if q4:
             args = args + ((qp[3], qp[4]),)
         rows.append(jax.vmap(row)(*args))
-    return (jnp.concatenate(rows) if rows
-            else jnp.zeros((0, layout.total), jnp.uint8))
+        tails.append((jk, qv, qp[3] if q4 else None, jn, qt,
+                      qp[4] if q4 else jnp.zeros(qt.shape[0], jnp.int32)))
+    heads = (jnp.concatenate(rows) if rows
+             else jnp.zeros((0, layout.total), jnp.uint8))
+    if not tail:
+        return heads
+    if not tails:
+        return heads, jnp.zeros(0, jnp.uint8)
+    jks = jnp.concatenate([t[0] for t in tails])
+    qvs = jnp.concatenate([t[1] for t in tails])
+    qes = jnp.concatenate([t[2] for t in tails]) if q4 else None
+    jns = jnp.concatenate([jnp.atleast_1d(t[3]) for t in tails])
+    qts = jnp.concatenate([jnp.atleast_1d(t[4]) for t in tails])
+    qns = jnp.concatenate([jnp.atleast_1d(t[5]) for t in tails])
+    pool = P.pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns)
+    return heads, pool
 
 
 def _pack_intra_recon(recon, qdct, smalls, bs, nb, nbr, nbc, cap,
@@ -128,7 +152,8 @@ def _meta_i(smalls, nb, nbr):
     return meta, jnp.zeros(3 * nb, jnp.int32), modes
 
 
-@partial(jax.jit, static_argnames=("bs", "rc1", "exact", "compact", "int8q", "q4"))
+@partial(jax.jit, static_argnames=("bs", "rc1", "exact", "compact", "int8q",
+                                   "q4", "tail"))
 def encode_chunk_intra_only(
     frames: jnp.ndarray,        # uint8 [K, H, W]
     row_qps: jnp.ndarray,       # int32 [nbr]
@@ -142,6 +167,7 @@ def encode_chunk_intra_only(
     compact: bool = False,
     int8q: bool = False,
     q4: bool = False,
+    tail: bool = False,
 ):
     """All-intra chunk (I_Period == 1): every frame clears the reference
     deques, so frames are fully independent — one ``vmap`` instead of a scan.
@@ -170,18 +196,25 @@ def encode_chunk_intra_only(
         rc, re, rn = _pack_intra_recon(r, q, sm, bs, nb, nbr, nbc, cap)
         return P.pack_row(rc, re, rn, meta, None, modes, v, l, t, bs=bs,
                           qe=qen[0] if qen else None,
-                          qn=qen[1] if qen else None)
+                          qn=qen[1] if qen else None, tail=tail)
 
     args = (recons, qdcts, smalls, qv, ql, qt)
     if q4:
         args = args + ((qp[3], qp[4]),)
     packed = jax.vmap(row)(*args)
+    if tail:
+        layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, False, False,
+                               q4=q4, tail=True)
+        qns = qp[4] if q4 else jnp.zeros(qt.shape[0], jnp.int32)
+        pool = P.pack_tail_pool(layout, None, qv, qp[3] if q4 else None,
+                                jnp.zeros(qt.shape[0], jnp.int32), qt, qns)
+        packed = (packed, pool)
     return recons, arts, qdcts, smalls, packed
 
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
                                    "first_is_intra", "exact", "compact",
-                                   "int8q", "mv8", "q4"))
+                                   "int8q", "mv8", "q4", "tail"))
 def encode_chunk(
     frames: jnp.ndarray,        # uint8 [K, H, W]
     ref0: jnp.ndarray,          # uint8 [H, W] incoming reference (used iff not first_is_intra)
@@ -202,6 +235,7 @@ def encode_chunk(
     int8q: bool = False,
     mv8: bool = False,
     q4: bool = False,
+    tail: bool = False,
 ):
     """Returns ``(intra_out | None, p_out, ref_out, hp_out)`` where
     ``intra_out = (recon, art, qdct, smalls)`` for frames[0] and
@@ -262,7 +296,8 @@ def encode_chunk(
 
     packed = _pack_chunk_rows(
         (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
-        p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4, q4 and not rc1)
+        p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4, q4 and not rc1,
+        tail=tail)
     return intra_out, p_out[:4], ref_out, hp_out, packed
 
 
@@ -286,7 +321,7 @@ def _push_ref(refs, hps, n_valid, recon, hp, frac):
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
                                    "first_is_intra", "exact", "compact",
-                                   "int8q", "mv8", "q4"))
+                                   "int8q", "mv8", "q4", "tail"))
 def encode_chunk_multiref(
     frames: jnp.ndarray,        # uint8 [K, H, W]
     refs0: jnp.ndarray,         # uint8 [R, H, W] incoming rolling stack
@@ -308,6 +343,7 @@ def encode_chunk_multiref(
     int8q: bool = False,
     mv8: bool = False,
     q4: bool = False,
+    tail: bool = False,
 ):
     """nRefFrames > 1 GOP chunk: :func:`encode_chunk` with the single
     reference replaced by a rolling stack carried through the scan.  The
@@ -371,7 +407,8 @@ def encode_chunk_multiref(
 
     packed = _pack_chunk_rows(
         (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
-        p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4, q4 and not rc1)
+        p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4, q4 and not rc1,
+        tail=tail)
     return intra_out, p_out[:4], refs_out, hps_out, nv_out, packed
 
 

@@ -384,6 +384,10 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
         )
 
         def write_out(f: _Finalized, dispatch_dt: float):
+            with _stage("write artifacts"):
+                _write_out(f, dispatch_dt)
+
+        def _write_out(f: _Finalized, dispatch_dt: float):
             if f.is_iframe():
                 recon_history.clear()
             elif f.res_wo_mc is None:
@@ -415,25 +419,66 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
             write_y_only_frame(recon_fh, f.recon)
             mv_fh.write(f.mv_line)
 
-        if getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag > 1:
-            logger.warning(
-                "parallel_gops ignored: RC 2/3 carries the previous "
-                "frame's average QP across GOP boundaries (serial)")
-        if getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag <= 1:
-            # multi-chip: GOP batches sharded over the mesh's data axis
-            _run_gop_sharded(params, ec, f_in, tbl, write_out)
-        else:
-            # GOP-chunked dispatch: one device program per GOP segment
-            # (RC 2/3 use the fused two-pass program, models/two_pass.py;
-            # nRefFrames > 1 carries a rolling reference stack through the
-            # scan in every chunk variant)
-            _run_chunked(params, ec, f_in, tbl, write_out)
+        # Artifact/bitstream writing runs on ONE dedicated worker so disk IO
+        # (~0.5 MB/frame across five files) overlaps the fetch/finalize
+        # loop; frames are submitted strictly in order, so the file contents
+        # are identical to synchronous writes.
+        from concurrent.futures import ThreadPoolExecutor
+
+        writer = ThreadPoolExecutor(max_workers=1)
+        wq: deque = deque()
+
+        def write_async(f: _Finalized, dispatch_dt: float):
+            while wq and wq[0].done():
+                wq.popleft().result()  # surface write errors promptly
+            while len(wq) >= 64:  # backpressure: bound buffered frames
+                wq.popleft().result()
+            wq.append(writer.submit(write_out, f, dispatch_dt))
+
+        try:
+            if getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag > 1:
+                logger.warning(
+                    "parallel_gops ignored: RC 2/3 carries the previous "
+                    "frame's average QP across GOP boundaries (serial)")
+            if getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag <= 1:
+                # multi-chip: GOP batches sharded over the mesh's data axis
+                _run_gop_sharded(params, ec, f_in, tbl, write_async)
+            else:
+                # GOP-chunked dispatch: one device program per GOP segment
+                # (RC 2/3 use the fused two-pass program, models/two_pass.py;
+                # nRefFrames > 1 carries a rolling reference stack through the
+                # scan in every chunk variant)
+                _run_chunked(params, ec, f_in, tbl, write_async)
+        finally:
+            while wq:
+                wq.popleft().result()
+            writer.shutdown(wait=True)
 
     elapsed = time.time() - start_time
     _append_throughput(params, elapsed, results_csv_path)
 
 
 MAX_CHUNK = int(os.environ.get("BVC_CHUNK", "24"))
+# Dispatched-chunk pipeline depth: how many chunks may be in flight (device
+# compute + async d2h copies) before the host blocks on a fetch.  Depth 2
+# leaves every chunk's ~25 ms tunnel round-trip exposed; deeper pipelines
+# overlap the RTTs of consecutive chunks' copies (PROFILE.md §1).
+DEPTH = max(int(os.environ.get("BVC_DEPTH", "2")), 1)
+
+
+def _bucket(n: int) -> int:
+    """Round a tail-pool fetch length up to a coarse grid (eighth steps
+    between powers of two, waste <= 12.5%) so the ``pool[:n]`` slice
+    programs compile a bounded number of times."""
+    if n <= 4096:
+        return 4096
+    p = 1 << (int(n) - 1).bit_length()
+    half = p // 2
+    for i in range(1, 9):
+        q = half + half * i // 8
+        if n <= q:
+            return q
+    return p
 
 
 def _run_chunked(params, ec, f_in, tbl, write_out):
@@ -513,6 +558,10 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     compact_env = os.environ.get("BVC_COMPACT", "1")
     compact = (compact_env != "0"
                and params.height * params.width * 255 < 2 ** 31)
+    # tail mode: the cap-padded fields travel in a per-chunk compacted pool
+    # fetched at (bucket-rounded) USED size — roughly halves the d2h bytes
+    # of typical content (ops/pack.pack_tail_pool)
+    tail_mode = compact and os.environ.get("BVC_TAIL", "1") != "0"
     int8q = PK.qdct_int8_safe(ec)
     mv8 = PK.mv_int8_safe(ec)
     q4 = PK.qdct_nibble_safe(ec)
@@ -527,15 +576,15 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     vbytes = 1 if int8q else 2
     layouts = {
         "intra_all": PK.FrameLayout(ph, pw, bs, vbytes, False, False,
-                                    q4=q4),
+                                    q4=q4, tail=tail_mode),
         "intra_led": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
-                                    jt),
+                                    jt, tail=tail_mode),
         "p_only": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
-                                 jt),
+                                 jt, tail=tail_mode),
         # mode is a runtime value per frame (scene changes), so every row
         # carries both mv and art fields; intra rows zero the unused ones
         "two_pass": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
-                                   False),
+                                   False, tail=tail_mode),
     }
 
     rebuilder = _ReconRebuilder(ec, ph, pw, fin_pool) if compact else None
@@ -564,22 +613,80 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         futures.append(fin_pool.submit(
             _finalize_compact, idx, curr, f, ec, reb, a_full))
 
-    def fetch_compact(indices, currs, kind, dev):
-        """Fetch one packed buffer; chain per-frame rebuilds (serial worker)
-        and submit per-frame finalize jobs (parallel pool)."""
-        futures = []
+    # chunks whose heads are parsed and whose tail-pool slice copy is in
+    # flight; lagging the tail fetch one chunk hides its round-trip
+    tail_ctx: deque = deque()
+    # recent per-frame tail byte totals per chunk kind, for the predictive
+    # prefetch: the device executes programs strictly in dispatch order, so
+    # a pool slice dispatched at FETCH time queues behind every later
+    # chunk's compute (~60 ms) — instead a slice sized from recent totals
+    # (25% margin) is dispatched right after its own chunk program, and the
+    # late exactly-sized fetch only happens on a content jump (rare)
+    tail_stats: dict = {}
+
+    def tail_prefetch(kind, dev, n_frames):
+        if not tail_mode:
+            return None
+        pool_dev = dev[4][1]
+        cap = pool_dev.shape[0]
+        hist = tail_stats.get(kind)
+        if hist:
+            # 15% margin + 4 KB over the recent worst: a shortfall only
+            # costs one late exactly-sized fetch (queued behind in-flight
+            # chunks), so the margin stays tight
+            n = min(cap, _bucket(int(max(hist) * n_frames * 1.15) + 4096))
+        else:
+            n = cap  # first chunk of this kind: no estimate yet
+        sl = pool_dev[:n]
+        sl.copy_to_host_async()
+        return sl
+
+    def parse_compact(indices, currs, kind, dev, pre):
+        """Tail stage A: fetch the head rows, derive the pool offsets from
+        the head counts, and locate the pool bytes — normally the
+        prefetched slice ``pre``; on prediction shortfall a late
+        exactly-sized slice."""
+        lay = layouts[kind]
+        with _stage("fetch (device_get)"):
+            heads = jax.device_get(dev[4][0] if tail_mode else dev[4])
+        segs = sl = None
+        if tail_mode:
+            sizes = [sum(lay.tail_sizes(*lay.head_counts(heads[k])))
+                     for k in range(heads.shape[0])]
+            segs = np.cumsum([0] + sizes)
+            total = int(segs[-1])
+            tail_stats.setdefault(kind, deque(maxlen=4)).append(
+                total / max(len(indices), 1))
+            if total:
+                if pre is not None and pre.shape[0] >= total:
+                    sl = pre
+                else:
+                    pool_dev = dev[4][1]
+                    sl = pool_dev[: min(_bucket(total), pool_dev.shape[0])]
+                    sl.copy_to_host_async()
+        return (indices, currs, kind, dev, heads, segs, sl)
+
+    def finish_compact(ctx):
+        """Tail stage B: collect the pool bytes; chain per-frame rebuilds
+        (serial worker) and submit per-frame finalize jobs (parallel pool)."""
+        indices, currs, kind, dev, heads, segs, sl = ctx
+        with _stage("fetch (device_get)"):
+            tail_np = jax.device_get(sl) if sl is not None else None
         lay = layouts[kind]
         if kind in ("intra_all", "two_pass"):
-            packed = jax.device_get(dev[4])
             d_recons, d_arts, d_qdcts, pos = dev[0], dev[1], dev[2], 0
             intra_head = None
         else:
-            packed = jax.device_get(dev[4])
             d_recons, d_arts, d_qdcts = dev[1][0], dev[1][1], dev[1][2]
             intra_head = dev[0] if kind == "intra_led" else None
             pos = 1 if kind == "intra_led" else 0
-        for k in range(packed.shape[0]):
-            f = lay.split(packed[k])
+        futures = []
+        for k in range(heads.shape[0]):
+            t = None
+            if tail_mode:
+                t = (tail_np[segs[k] : segs[k + 1]] if tail_np is not None
+                     else np.zeros(0, np.uint8))
+            f = lay.split(heads[k], t)
             if intra_head is not None and k == 0:
                 submit_compact(futures, indices[0], currs[0], f,
                                intra_head[2], intra_head[1], intra_head[0])
@@ -588,14 +695,19 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                                d_qdcts, d_arts, d_recons, k - pos)
         return futures
 
+    def drain_tails(keep: int):
+        while len(tail_ctx) > keep:
+            ctx, dt = tail_ctx.popleft()
+            pending_fin.append((finish_compact(ctx), dt))
+
     def fetch_chunk():
-        indices, currs, kind, dev, dispatch_dt = pending_dev.popleft()
+        indices, currs, kind, dev, dispatch_dt, pre = pending_dev.popleft()
         per_frame_dt = dispatch_dt / max(len(indices), 1)
         nonlocal last_recon
         if compact:
-            with _stage("fetch (device_get)"):
-                futs = fetch_compact(indices, currs, kind, dev)
-            pending_fin.append((futs, per_frame_dt))
+            tail_ctx.append((parse_compact(indices, currs, kind, dev, pre),
+                             per_frame_dt))
+            drain_tails(1 if tail_mode else 0)
             return
         futures = []
         if kind == "two_pass":
@@ -670,8 +782,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         for fut in futures:
             with _stage("finalize wait (entropy pool)"):
                 f = fut.result()
-            with _stage("write artifacts"):
-                write_out(f, per_frame_dt)
+            write_out(f, per_frame_dt)  # async submit to the writer thread
 
     truncated_tail = 0
     try:
@@ -708,59 +819,66 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     tbl[0], tbl[1], exp_p_frame, initial_qp,
                     bs, max(ec.search_range, 0), ec.fastME, frac,
                     first_is_intra, exact=exact, compact=compact, int8q=int8q,
-                    mv8=mv8, q4=q4,
+                    mv8=mv8, q4=q4, tail=tail_mode,
                 )
                 kind = "two_pass"
-                leaves = (dev[4],)  # one bundled buffer per chunk
+                # one bundled buffer per chunk (tail mode: async-copy the
+                # heads only; the pool travels sliced at fetch time)
+                leaves = (dev[4][0],) if tail_mode else (dev[4],)
             elif intra_only:
                 # every frame clears the references: fully parallel vmap chunk
                 dev = encode_chunk_intra_only(
                     jnp.asarray(frames_np), row_qps, budget0, tbl[0], tbl[1],
                     initial_qp, bs, rc1, exact=exact, compact=compact,
-                    int8q=int8q, q4=q4,
+                    int8q=int8q, q4=q4, tail=tail_mode,
                 )
                 kind = "intra_all"
-                leaves = (dev[4],) if compact else dev
+                leaves = ((dev[4][0],) if tail_mode else (dev[4],)) if compact else dev
             elif multiref:
                 out = encode_chunk_multiref(
                     jnp.asarray(frames_np), ref, hp, nv, row_qps, budget0,
                     tbl[0], tbl[1], initial_qp, bs, max(ec.search_range, 0),
                     rc1, ec.fastME, frac, first_is_intra, exact=exact,
                     compact=compact, int8q=int8q, mv8=mv8, q4=q4,
+                    tail=tail_mode,
                 )
                 ref, hp, nv = out[2], out[3], out[4]
                 # normalize to the fetcher's (intra_out, p_out, _, _, packed)
                 dev = ((out[0], out[1], None, None, out[5]) if compact
                        else (out[0], out[1]))
                 kind = "intra_led" if first_is_intra else "p_only"
-                leaves = (dev[4],) if compact else dev[:2]
+                leaves = (((dev[4][0],) if tail_mode else (dev[4],))
+                          if compact else dev[:2])
             else:
                 dev = encode_chunk(
                     jnp.asarray(frames_np), ref, hp, row_qps, budget0, tbl[0], tbl[1],
                     initial_qp, bs, max(ec.search_range, 0), rc1, ec.fastME, frac,
                     first_is_intra, exact=exact, compact=compact, int8q=int8q,
-                    mv8=mv8, q4=q4,
+                    mv8=mv8, q4=q4, tail=tail_mode,
                 )
                 ref, hp = dev[2], dev[3]
                 kind = "intra_led" if first_is_intra else "p_only"
-                leaves = (dev[4],) if compact else dev[:2]
+                leaves = (((dev[4][0],) if tail_mode else (dev[4],))
+                          if compact else dev[:2])
             for leaf in jax.tree_util.tree_leaves(leaves):
                 leaf.copy_to_host_async()
+            pre = tail_prefetch(kind, dev, n_frames) if compact else None
             indices = list(range(n_read + 1, n_read + n_frames + 1))  # 1-based
             pending_dev.append((indices, frames_np, kind, dev,
-                                time.time() - t_disp))
+                                time.time() - t_disp, pre))
             if STAGE_TIMER is not None:
                 STAGE_TIMER.totals["dispatch (pad+h2d+enqueue)"] += time.time() - t_disp
                 STAGE_TIMER.counts["dispatch (pad+h2d+enqueue)"] += n_frames
             n_read += n_frames
             if truncated_tail:
                 break
-            while len(pending_dev) > 2:
+            while len(pending_dev) > DEPTH:
                 fetch_chunk()
             while len(pending_fin) > 1:
                 write_chunk()
         while pending_dev:
             fetch_chunk()
+        drain_tails(0)
         while pending_fin:
             write_chunk()
         if truncated_tail:

@@ -63,7 +63,7 @@ def _row_qps_proportional(row_bits_1, budget_frame, tbl_qps, tbl_bits):
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "fast", "frac",
                                    "first_is_intra", "exact", "compact",
-                                   "int8q", "mv8", "q4"))
+                                   "int8q", "mv8", "q4", "tail"))
 def encode_chunk_two_pass(
     frames: jnp.ndarray,       # uint8 [K, H, W]
     refs0: jnp.ndarray,        # uint8 [R, H, W] rolling reference stack
@@ -85,6 +85,7 @@ def encode_chunk_two_pass(
     int8q: bool = False,
     mv8: bool = False,
     q4: bool = False,
+    tail: bool = False,
 ):
     """Returns ``(out, refs_out, hps_out, n_valid_out, prev_avg_out)`` with
     ``out = (recons [K,H,W] u8, arts [K,H,W] u8, qdcts [K,H,W] i16,
@@ -272,7 +273,8 @@ def encode_chunk_two_pass(
     if compact:
         recons, arts, qdcts, smalls_all, preds_all = out
         packed = _pack_two_pass_rows(recons, arts, qdcts, smalls_all,
-                                     preds_all, bs, int8q, mv8, q4, h, w)
+                                     preds_all, bs, int8q, mv8, q4, h, w,
+                                     tail=tail)
         out = out[:4]
     else:
         # bundle the FULL planes into one buffer per chunk: pure
@@ -284,11 +286,13 @@ def encode_chunk_two_pass(
     return out + (packed,), refs_out, hps_out, nv_out, avg_out
 
 
-def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, mv8, q4, h, w):
+def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, mv8,
+                        q4, h, w, tail=False):
     """Compact-transfer rows for the fused two-pass chunk, in the same
     ops/pack.py FrameLayout as models/chunk.py._pack_chunk_rows — the frame
     mode (I on GOP starts and scene changes, else P) is a runtime value, so
-    the meta/mv/modes fields are selected per frame with ``where``."""
+    the meta/mv/modes fields are selected per frame with ``where``.  With
+    ``tail``, returns ``(heads, pool)`` like the chunk packer."""
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     vdtype = jnp.int8 if int8q else jnp.int16
@@ -314,9 +318,20 @@ def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, mv8, q4, 
         jb, jk, jn, re, rn, ae, an = P.pack_joint(
             recon, guess, art, P.art_guess_from_x(x), cap, art_valid=~is_i)
         qp_ = P.pack_qdct(qdct, bs, capq, vdtype, q4)
-        return P.pack_row((jb, jk, jn), re, rn, meta, mv, modes,
+        head = P.pack_row((jb, jk, jn), re, rn, meta, mv, modes,
                           qp_[0], qp_[1], qp_[2], ae, an, bs=bs, mv8=mv8,
                           qe=qp_[3] if q4 else None,
-                          qn=qp_[4] if q4 else None)
+                          qn=qp_[4] if q4 else None, tail=tail)
+        qe_ = qp_[3] if q4 else jnp.zeros(0, jnp.int16)
+        qn_ = qp_[4] if q4 else jnp.int32(0)
+        return head, jk, qp_[0], qe_, jn, qp_[2], qn_
 
-    return jax.vmap(row)(recons, arts, qdcts, smalls, preds)
+    heads, jks, qvs, qes, jns, qts, qns = jax.vmap(row)(
+        recons, arts, qdcts, smalls, preds)
+    if not tail:
+        return heads
+    layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
+                           False, tail=True)
+    pool = P.pack_tail_pool(layout, jks, qvs, qes if q4 else None,
+                            jns, qts, qns)
+    return heads, pool

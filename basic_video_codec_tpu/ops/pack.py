@@ -339,8 +339,70 @@ def intra_pred_plane(recon: jnp.ndarray, modes: jnp.ndarray, bs: int) -> jnp.nda
     return _unblockify(jnp.where(sel, pred_h, pred_v))
 
 
+def tail_pool_cap(layout) -> int:
+    """Static pool capacity per frame (bytes): the sum of the tail fields'
+    caps — the pool can never overflow beyond the per-field caps."""
+    cap = layout.capq // 2 if layout.q4 else layout.capq * layout.vbytes
+    if layout.with_art:
+        cap += 3 * layout.capk // 8
+    if layout.q4:
+        cap += 2 * layout.capqe
+    return cap
+
+
+def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns):
+    """Chunk-level compaction of the variable-size transfer fields.
+
+    The cap-padded fields (``jk`` kind lists, ``qv`` zigzag-prefix values,
+    ``qe`` nibble escapes) average ~25-35% occupancy on typical content, so
+    the fixed-size row wastes ~half the d2h bytes of a transfer-bound
+    pipeline.  This packs each frame's USED bytes — in field order
+    [jk, qv, qe] — contiguously into one chunk-wide pool; the host re-derives
+    every offset from the head counts (:meth:`FrameLayout.tail_sizes`) and
+    fetches only ``pool[:bucket(total)]``.
+
+    ``jks``/``qes`` may be None for layouts without those fields; arrays are
+    [K, cap_bytes] uint8 (already bitcast).  Returns ``pool [K*cap] u8``.
+    """
+    k = qts.shape[0]
+    zeros = jnp.zeros(k, jnp.int32)
+    u_jk = layout.jk_used(jns) if layout.with_art else zeros
+    u_qv = layout.qv_used(qts)
+    u_qe = layout.qe_used(qns) if layout.q4 else zeros
+    sizes = u_jk + u_qv + u_qe
+    offs = jnp.cumsum(sizes) - sizes
+    cap = k * tail_pool_cap(layout)
+    pool = jnp.zeros(cap + 1, jnp.uint8)
+
+    def scatter(pool, field, base, used):
+        ar = jnp.arange(field.shape[1], dtype=jnp.int32)
+        idx = offs[:, None] + base[:, None] + ar[None, :]
+        keep = ar[None, :] < used[:, None]
+        idx = jnp.where(keep & (idx < cap), idx, cap)
+        return pool.at[idx.reshape(-1)].set(field.reshape(-1))
+
+    base = zeros
+    if jks is not None:
+        pool = scatter(pool, jks, base, u_jk)
+        base = base + u_jk
+    pool = scatter(pool, _as_bytes2d(qvs), base, u_qv)
+    base = base + u_qv
+    if qes is not None:
+        pool = scatter(pool, _as_bytes2d(qes), base, u_qe)
+    return pool[:cap]
+
+
+def _as_bytes2d(a):
+    """[K, C] any dtype -> [K, C*itemsize] uint8 (little-endian, matching
+    the host's np ``view``)."""
+    if a.dtype == jnp.uint8:
+        return a
+    b = jax.lax.bitcast_convert_type(a, jnp.uint8)
+    return b.reshape(a.shape[0], -1)
+
+
 def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
-             an=None, *, bs, mv8=False, qe=None, qn=None):
+             an=None, *, bs, mv8=False, qe=None, qn=None, tail=False):
     """One frame's transfer row in :class:`FrameLayout` field order (device).
 
     ``codes`` is the joint state tuple ``(jb, jk, jn)`` (:func:`pack_joint`,
@@ -360,13 +422,16 @@ def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
     mbits = (m.reshape(nbm, 8) * weights).sum(axis=1).astype(jnp.uint8)
     if nbm & 1:
         mbits = jnp.concatenate([mbits, jnp.zeros(1, jnp.uint8)])
-    parts = [*(codes if isinstance(codes, tuple) else (codes,)), re, rn, meta]
+    cparts = codes if isinstance(codes, tuple) else (codes,)
+    if tail and len(cparts) == 3:
+        cparts = (cparts[0], cparts[2])  # jb, jn — jk travels in the pool
+    parts = [*cparts, re, rn, meta]
     if mv is not None:
         parts.append(mv.astype(jnp.int8 if mv8 else jnp.int16))
-    parts += [mbits, qv,
-              ql.astype(jnp.uint8 if bs * bs <= 255 else jnp.int16), qt]
+    parts += [mbits] + ([] if tail else [qv]) + [
+        ql.astype(jnp.uint8 if bs * bs <= 255 else jnp.int16), qt]
     if qe is not None:
-        parts += [qe, qn]
+        parts += ([] if tail else [qe]) + [qn]
     if ae is not None:
         parts += [ae, an]
     return concat_bytes(*parts)
@@ -409,7 +474,7 @@ class FrameLayout:
     """
 
     def __init__(self, h, w, bs, vbytes, with_mv, with_art, mv8=False,
-                 q4=False, jt=None):
+                 q4=False, jt=None, tail=False):
         nbr = h // bs
         nb = nbr * (w // bs)
         self.h, self.w, self.nb, self.nbr = h, w, nb, nbr
@@ -418,6 +483,7 @@ class FrameLayout:
         self.with_art = with_art
         self.mv8 = mv8
         self.q4 = q4
+        self.tail = tail
         self.qlbytes = 1 if bs * bs <= 255 else 2
         self.capq = qdct_caps(nb, bs)
         self.cape = esc_cap(h, w)
@@ -430,18 +496,25 @@ class FrameLayout:
         self.capk = jk_cap(h, w, q4 if jt is None else jt)
         # with_art layouts carry the joint recon+art state stream as a
         # nonzero bitmap + compacted 3-bit kind list (pack_joint); art-less
-        # layouts a 2-bit recon code plane
-        sizes = ([("jb", h * w // 8), ("jk", 3 * self.capk // 8), ("jn", 4)]
+        # layouts a 2-bit recon code plane.  In ``tail`` mode the three
+        # cap-padded fields (jk, qv, qe) leave the fixed row and travel in
+        # the chunk's compacted pool (:func:`pack_tail_pool`) at their USED
+        # sizes; their counts (jn, qt, qn) stay in the head so the host can
+        # re-derive every pool offset.
+        sizes = ([("jb", h * w // 8)]
+                 + ([] if tail else [("jk", 3 * self.capk // 8)])
+                 + [("jn", 4)]
                  if with_art else [("rc", h * w // 4)])
         sizes += [("re", self.cape), ("rn", 4),
                   ("meta", (3 + 2 * nbr) * 4)]
         if with_mv:
             sizes.append(("mv", 3 * nb * (1 if mv8 else 2)))
-        sizes += [("modes", nbm2),
-                  ("qv", self.capq // 2 if q4 else self.capq * vbytes),
-                  ("ql", nb * self.qlbytes), ("qt", 4)]
+        sizes += ([("modes", nbm2)]
+                  + ([] if tail else
+                     [("qv", self.capq // 2 if q4 else self.capq * vbytes)])
+                  + [("ql", nb * self.qlbytes), ("qt", 4)])
         if q4:
-            sizes += [("qe", self.capqe * 2), ("qn", 4)]
+            sizes += ([] if tail else [("qe", self.capqe * 2)]) + [("qn", 4)]
         if with_art:
             sizes += [("ae", self.cape), ("an", 4)]
         self.offsets = {}
@@ -451,22 +524,51 @@ class FrameLayout:
             pos += n
         self.total = pos
 
+    # -- tail-mode size formulas (host ints; device twins below) ----------
+    def tail_sizes(self, jn: int, qt: int, qn: int) -> tuple:
+        """(jk_bytes, qv_bytes, qe_bytes) of one frame's pool segment, from
+        the head counts — bit-identical to the device formulas used by
+        :func:`pack_tail_pool` (overflowing counts clamp at the caps; the
+        pipeline falls back to full planes for those frames, but the pool
+        walk must still agree on every offset)."""
+        u_jk = (min(jn, self.capk) + 7) // 8 * 3 if self.with_art else 0
+        u_qv = ((min(qt, self.capq) + 1) // 2 if self.q4
+                else min(qt, self.capq) * self.vbytes)
+        u_qe = 2 * min(qn, self.capqe) if self.q4 else 0
+        return u_jk, u_qv, u_qe
+
+    def jk_used(self, jn):
+        return (jnp.minimum(jn, self.capk) + 7) // 8 * 3
+
+    def qv_used(self, qt):
+        qt = jnp.minimum(qt, self.capq)
+        return (qt + 1) // 2 if self.q4 else qt * self.vbytes
+
+    def qe_used(self, qn):
+        return 2 * jnp.minimum(qn, self.capqe)
+
+    def head_counts(self, buf) -> tuple:
+        """(jn, qt, qn) from a head row (ints)."""
+        jn = int(self._f(buf, "jn", np.int32)[0]) if self.with_art else 0
+        qt = int(self._f(buf, "qt", np.int32)[0])
+        qn = int(self._f(buf, "qn", np.int32)[0]) if self.q4 else 0
+        return jn, qt, qn
+
     def _f(self, buf, name, dtype):
         s, e = self.offsets[name]
         return buf[s:e].view(dtype)
 
-    def _qv(self, buf):
-        """qv field as int16 values (expands the ``q4`` nibble stream and
+    def _qv(self, qv_bytes, qe_bytes):
+        """qv bytes as int16 values (expands the ``q4`` nibble stream and
         re-places its escape values; zero-copy view otherwise)."""
         if not self.q4:
-            return self._f(buf, "qv", np.int8 if self.vbytes == 1 else np.int16)
-        packed = self._f(buf, "qv", np.uint8)
-        nib = np.empty(self.capq, np.int16)
-        nib[0::2] = packed & 15
-        nib[1::2] = packed >> 4
+            return qv_bytes.view(np.int8 if self.vbytes == 1 else np.int16)
+        nib = np.empty(2 * qv_bytes.size, np.int16)
+        nib[0::2] = qv_bytes & 15
+        nib[1::2] = qv_bytes >> 4
         nib -= (nib >= 8) * 16  # sign-extend; sentinel -8 = escape
         pos = np.flatnonzero(nib == -8)
-        qe = self._f(buf, "qe", np.int16)
+        qe = qe_bytes.view(np.int16)
         # on escape overflow (qn > capqe) the expansion is garbage but must
         # not crash: the caller fetches the full plane instead (qn check in
         # the pipeline's submit path)
@@ -474,14 +576,24 @@ class FrameLayout:
         nib[pos[:n]] = qe[:n]
         return nib
 
-    def split(self, buf: np.ndarray) -> dict:
-        """uint8 [total] -> field views (zero-copy except modes)."""
+    def split(self, buf: np.ndarray, tail: np.ndarray | None = None) -> dict:
+        """uint8 [total] (+ the frame's pool segment in ``tail`` mode) ->
+        field views (zero-copy except modes)."""
+        if self.tail:
+            u_jk, u_qv, u_qe = self.tail_sizes(*self.head_counts(buf))
+            jk = tail[:u_jk]
+            qv_b = tail[u_jk : u_jk + u_qv]
+            qe_b = tail[u_jk + u_qv : u_jk + u_qv + u_qe]
+        else:
+            jk = self._f(buf, "jk", np.uint8) if self.with_art else None
+            s, e = self.offsets["qv"]
+            qv_b = buf[s:e]
+            qe_b = self._f(buf, "qe", np.uint8) if self.q4 else None
         out = {
             "h": self.h, "w": self.w,
             "rc": None if self.with_art else self._f(buf, "rc", np.uint8),
             "jst": (host_joint_decode(self._f(buf, "jb", np.uint8),
-                                      self._f(buf, "jk", np.uint8),
-                                      self.h * self.w)
+                                      jk, self.h * self.w)
                     if self.with_art else None),
             "jn": (int(self._f(buf, "jn", np.int32)[0]) if self.with_art
                    else 0),
@@ -493,7 +605,7 @@ class FrameLayout:
             "modes": np.unpackbits(
                 self._f(buf, "modes", np.uint8)[: self.nbm],
                 bitorder="little")[: self.nb],
-            "qv": self._qv(buf),
+            "qv": self._qv(qv_b, qe_b),
             "ql": self._f(buf, "ql",
                           np.uint8 if self.qlbytes == 1 else np.int16),
             "qt": int(self._f(buf, "qt", np.int32)[0]),
