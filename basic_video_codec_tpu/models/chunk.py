@@ -30,7 +30,7 @@ def _pack_qdct_stack(qdcts, bs, vdtype, q4):
 
 
 def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
-                     jt, tail=False):
+                     jt, tail=False, mvk=3):
     """Shared compact-transfer epilogue: ONE packed uint8 row per frame in
     ops/pack.py FrameLayout order.  ``intra_parts`` is the chunk head's
     (recon, qdct, smalls) or None; ``p_parts`` the stacked P-frame
@@ -46,7 +46,7 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
     nb = nbr * nbc
     vdtype = jnp.int8 if int8q else jnp.int16
     layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
-                           jt, tail=tail)
+                           jt, tail=tail, mvk=mvk)
     cap = P.esc_cap(h, w)
     rows = []
     tails = []  # per-segment (jk, qv, qe, jn, qt, qn) stacks, frame order
@@ -55,18 +55,28 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
         qp_i = P.pack_qdct(qdct_i, bs, P.qdct_caps(nb, bs), vdtype, q4)
         qv_i, ql_i, qt_i = qp_i[:3]
         meta_i, mv_z, modes_i = _meta_i(smalls_i, nb, nbr)
+        if mvk == 2:
+            mv_z = jnp.zeros(2 * nb, jnp.int32)
         jb_i, jk_i, jn_i, re_i, rn_i, ae_i, an_i = _pack_intra_recon(
             recon_i, qdct_i, smalls_i, bs, nb, nbr, nbc, cap, joint=True,
             tight=jt)
+        if tail:
+            j1_i, jbz_i, jbn_i = P.split_bitmap(jb_i)
+            codes_i = (j1_i, jbn_i, jn_i)
+        else:
+            jbz_i = jbn_i = None
+            codes_i = (jb_i, jk_i, jn_i)
         rows.append(P.pack_row(
-            (jb_i, jk_i, jn_i), re_i, rn_i, meta_i, mv_z, modes_i,
+            codes_i, re_i, rn_i, meta_i, mv_z, modes_i,
             qv_i, ql_i, qt_i, ae_i, an_i, bs=bs, mv8=mv8,
             qe=qp_i[3] if q4 else None, qn=qp_i[4] if q4 else None,
             tail=tail)[None])
         tails.append((jk_i[None], qv_i[None],
                       qp_i[3][None] if q4 else None,
                       jn_i[None], qt_i[None],
-                      qp_i[4][None] if q4 else jnp.zeros(1, jnp.int32)))
+                      qp_i[4][None] if q4 else jnp.zeros(1, jnp.int32),
+                      jbz_i[None] if tail else None,
+                      jbn_i[None] if tail else None))
     recons, arts, qdcts, smalls = p_parts
     if recons.shape[0] > 0:
         qp = _pack_qdct_stack(qdcts, bs, vdtype, q4)
@@ -82,20 +92,29 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
 
         jb, jk, jn, re, rn, ae, an = jax.vmap(pack_one)(
             arts, recons, preds, qdcts, smalls)
+        if tail:
+            j1, jbz, jbn = jax.vmap(P.split_bitmap)(jb)
+            c1, c2, c3 = j1, jbn, jn
+        else:
+            jbz = jbn = None
+            c1, c2, c3 = jb, jk, jn
 
         def row(b1, b2, b3, r2, r3, sm, v, l, t, e, n, qen=None):
             meta, mv, modes = _meta_p(sm, nb, nbr)
+            if mvk == 2:
+                mv = mv.reshape(-1, 3)[:, :2].reshape(-1)
             return P.pack_row((b1, b2, b3), r2, r3, meta, mv, modes, v, l, t,
                               e, n, bs=bs, mv8=mv8,
                               qe=qen[0] if qen else None,
                               qn=qen[1] if qen else None, tail=tail)
 
-        args = (jb, jk, jn, re, rn, smalls, qv, ql, qt, ae, an)
+        args = (c1, c2, c3, re, rn, smalls, qv, ql, qt, ae, an)
         if q4:
             args = args + ((qp[3], qp[4]),)
         rows.append(jax.vmap(row)(*args))
         tails.append((jk, qv, qp[3] if q4 else None, jn, qt,
-                      qp[4] if q4 else jnp.zeros(qt.shape[0], jnp.int32)))
+                      qp[4] if q4 else jnp.zeros(qt.shape[0], jnp.int32),
+                      jbz, jbn))
     heads = (jnp.concatenate(rows) if rows
              else jnp.zeros((0, layout.total), jnp.uint8))
     if not tail:
@@ -108,7 +127,9 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
     jns = jnp.concatenate([jnp.atleast_1d(t[3]) for t in tails])
     qts = jnp.concatenate([jnp.atleast_1d(t[4]) for t in tails])
     qns = jnp.concatenate([jnp.atleast_1d(t[5]) for t in tails])
-    pool = P.pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns)
+    jbzs = jnp.concatenate([t[6] for t in tails])
+    jbns = jnp.concatenate([jnp.atleast_1d(t[7]) for t in tails])
+    pool = P.pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs, jbns)
     return heads, pool
 
 
@@ -297,7 +318,7 @@ def encode_chunk(
     packed = _pack_chunk_rows(
         (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
         p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4, q4 and not rc1,
-        tail=tail)
+        tail=tail, mvk=2)
     return intra_out, p_out[:4], ref_out, hp_out, packed
 
 

@@ -274,7 +274,7 @@ def encode_chunk_two_pass(
         recons, arts, qdcts, smalls_all, preds_all = out
         packed = _pack_two_pass_rows(recons, arts, qdcts, smalls_all,
                                      preds_all, bs, int8q, mv8, q4, h, w,
-                                     tail=tail)
+                                     tail=tail, mvk=2 if R == 1 else 3)
         out = out[:4]
     else:
         # bundle the FULL planes into one buffer per chunk: pure
@@ -287,7 +287,7 @@ def encode_chunk_two_pass(
 
 
 def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, mv8,
-                        q4, h, w, tail=False):
+                        q4, h, w, tail=False, mvk=3):
     """Compact-transfer rows for the fused two-pass chunk, in the same
     ops/pack.py FrameLayout as models/chunk.py._pack_chunk_rows — the frame
     mode (I on GOP starts and scene changes, else P) is a runtime value, so
@@ -310,6 +310,8 @@ def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, mv8,
                             payload[4 * nb : 5 * nb].sum()])
         meta = jnp.concatenate([jnp.where(is_i, meta_i, meta_p), rq, rb])
         mv = jnp.where(is_i, 0, payload[: 3 * nb])
+        if mvk == 2:
+            mv = mv.reshape(-1, 3)[:, :2].reshape(-1)
         modes = jnp.where(is_i, payload[:nb], 0).astype(jnp.uint8)
         pred = pred_u8.astype(jnp.int32)
         x = P.exact_x_blocks(qdct, rq, bs)
@@ -318,20 +320,26 @@ def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, mv8,
         jb, jk, jn, re, rn, ae, an = P.pack_joint(
             recon, guess, art, P.art_guess_from_x(x), cap, art_valid=~is_i)
         qp_ = P.pack_qdct(qdct, bs, capq, vdtype, q4)
-        head = P.pack_row((jb, jk, jn), re, rn, meta, mv, modes,
+        if tail:
+            j1, jbz, jbn = P.split_bitmap(jb)
+            codes = (j1, jbn, jn)
+        else:
+            jbz, jbn = jnp.zeros(0, jnp.uint8), jnp.int32(0)
+            codes = (jb, jk, jn)
+        head = P.pack_row(codes, re, rn, meta, mv, modes,
                           qp_[0], qp_[1], qp_[2], ae, an, bs=bs, mv8=mv8,
                           qe=qp_[3] if q4 else None,
                           qn=qp_[4] if q4 else None, tail=tail)
         qe_ = qp_[3] if q4 else jnp.zeros(0, jnp.int16)
         qn_ = qp_[4] if q4 else jnp.int32(0)
-        return head, jk, qp_[0], qe_, jn, qp_[2], qn_
+        return head, jk, qp_[0], qe_, jn, qp_[2], qn_, jbz, jbn
 
-    heads, jks, qvs, qes, jns, qts, qns = jax.vmap(row)(
+    heads, jks, qvs, qes, jns, qts, qns, jbzs, jbns = jax.vmap(row)(
         recons, arts, qdcts, smalls, preds)
     if not tail:
         return heads
     layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
-                           False, tail=True)
+                           False, tail=True, mvk=mvk)
     pool = P.pack_tail_pool(layout, jks, qvs, qes if q4 else None,
-                            jns, qts, qns)
+                            jns, qts, qns, jbzs, jbns)
     return heads, pool

@@ -344,13 +344,37 @@ def tail_pool_cap(layout) -> int:
     caps — the pool can never overflow beyond the per-field caps."""
     cap = layout.capq // 2 if layout.q4 else layout.capq * layout.vbytes
     if layout.with_art:
-        cap += 3 * layout.capk // 8
+        cap += 3 * layout.capk // 8 + layout.h * layout.w // 8
     if layout.q4:
         cap += 2 * layout.capqe
     return cap
 
 
-def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns):
+def split_bitmap(jb):
+    """Two-level split of the correction bitmap (device side).
+
+    ~50% of a typical frame's bitmap BYTES are zero (corrections cluster in
+    textured/moving regions), so the flat bitmap is itself worth
+    entropy-splitting: a presence bit per byte stays in the head
+    (``j1``, bytes/8) and only the nonzero bytes travel, front-compacted,
+    as the first tail-pool field.  Returns ``(j1, jbz, jbn)``."""
+    c = jb.shape[0]
+    nz = jb != 0
+    off = jnp.cumsum(nz) - nz
+    idx = jnp.where(nz, off, c)
+    jbz = jnp.zeros(c + 1, jnp.uint8).at[idx].set(jb)[:c]
+    c8 = (c + 7) // 8
+    nzp = nz
+    if c8 * 8 != c:
+        nzp = jnp.concatenate([nz, jnp.zeros(c8 * 8 - c, bool)])
+    weights = (1 << jnp.arange(8, dtype=jnp.uint32))[None, :]
+    j1 = (nzp.reshape(-1, 8).astype(jnp.uint32) * weights).sum(
+        axis=1).astype(jnp.uint8)
+    return j1, jbz, nz.sum().astype(jnp.int32)
+
+
+def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs=None,
+                   jbns=None):
     """Chunk-level compaction of the variable-size transfer fields.
 
     The cap-padded fields (``jk`` kind lists, ``qv`` zigzag-prefix values,
@@ -366,10 +390,11 @@ def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns):
     """
     k = qts.shape[0]
     zeros = jnp.zeros(k, jnp.int32)
+    u_jb = jbns if jbzs is not None else zeros
     u_jk = layout.jk_used(jns) if layout.with_art else zeros
     u_qv = layout.qv_used(qts)
     u_qe = layout.qe_used(qns) if layout.q4 else zeros
-    sizes = u_jk + u_qv + u_qe
+    sizes = u_jb + u_jk + u_qv + u_qe
     offs = jnp.cumsum(sizes) - sizes
     cap = k * tail_pool_cap(layout)
     pool = jnp.zeros(cap + 1, jnp.uint8)
@@ -382,6 +407,9 @@ def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns):
         return pool.at[idx.reshape(-1)].set(field.reshape(-1))
 
     base = zeros
+    if jbzs is not None:
+        pool = scatter(pool, jbzs, base, u_jb)
+        base = base + u_jb
     if jks is not None:
         pool = scatter(pool, jks, base, u_jk)
         base = base + u_jk
@@ -423,8 +451,6 @@ def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
     if nbm & 1:
         mbits = jnp.concatenate([mbits, jnp.zeros(1, jnp.uint8)])
     cparts = codes if isinstance(codes, tuple) else (codes,)
-    if tail and len(cparts) == 3:
-        cparts = (cparts[0], cparts[2])  # jb, jn — jk travels in the pool
     parts = [*cparts, re, rn, meta]
     if mv is not None:
         parts.append(mv.astype(jnp.int8 if mv8 else jnp.int16))
@@ -474,7 +500,7 @@ class FrameLayout:
     """
 
     def __init__(self, h, w, bs, vbytes, with_mv, with_art, mv8=False,
-                 q4=False, jt=None, tail=False):
+                 q4=False, jt=None, tail=False, mvk=3):
         nbr = h // bs
         nb = nbr * (w // bs)
         self.h, self.w, self.nb, self.nbr = h, w, nb, nbr
@@ -484,6 +510,9 @@ class FrameLayout:
         self.mv8 = mv8
         self.q4 = q4
         self.tail = tail
+        # MV components per block: single-reference configs drop the
+        # always-zero reference index (2), multi-reference keep it (3)
+        self.mvk = mvk
         self.qlbytes = 1 if bs * bs <= 255 else 2
         self.capq = qdct_caps(nb, bs)
         self.cape = esc_cap(h, w)
@@ -501,14 +530,17 @@ class FrameLayout:
         # the chunk's compacted pool (:func:`pack_tail_pool`) at their USED
         # sizes; their counts (jn, qt, qn) stay in the head so the host can
         # re-derive every pool offset.
-        sizes = ([("jb", h * w // 8)]
+        self.jbC = h * w // 8  # flat correction-bitmap bytes
+        sizes = ([("j1", (self.jbC + 7) // 8), ("jbn", 4), ("jn", 4)]
+                 if (with_art and tail) else
+                 [("jb", self.jbC)]
                  + ([] if tail else [("jk", 3 * self.capk // 8)])
                  + [("jn", 4)]
                  if with_art else [("rc", h * w // 4)])
         sizes += [("re", self.cape), ("rn", 4),
                   ("meta", (3 + 2 * nbr) * 4)]
         if with_mv:
-            sizes.append(("mv", 3 * nb * (1 if mv8 else 2)))
+            sizes.append(("mv", mvk * nb * (1 if mv8 else 2)))
         sizes += ([("modes", nbm2)]
                   + ([] if tail else
                      [("qv", self.capq // 2 if q4 else self.capq * vbytes)])
@@ -525,17 +557,18 @@ class FrameLayout:
         self.total = pos
 
     # -- tail-mode size formulas (host ints; device twins below) ----------
-    def tail_sizes(self, jn: int, qt: int, qn: int) -> tuple:
-        """(jk_bytes, qv_bytes, qe_bytes) of one frame's pool segment, from
-        the head counts — bit-identical to the device formulas used by
-        :func:`pack_tail_pool` (overflowing counts clamp at the caps; the
-        pipeline falls back to full planes for those frames, but the pool
-        walk must still agree on every offset)."""
+    def tail_sizes(self, jbn: int, jn: int, qt: int, qn: int) -> tuple:
+        """(jb_bytes, jk_bytes, qv_bytes, qe_bytes) of one frame's pool
+        segment, from the head counts — bit-identical to the device
+        formulas used by :func:`pack_tail_pool` (overflowing counts clamp
+        at the caps; the pipeline falls back to full planes for those
+        frames, but the pool walk must still agree on every offset)."""
+        u_jb = min(jbn, self.jbC) if self.with_art else 0
         u_jk = (min(jn, self.capk) + 7) // 8 * 3 if self.with_art else 0
         u_qv = ((min(qt, self.capq) + 1) // 2 if self.q4
                 else min(qt, self.capq) * self.vbytes)
         u_qe = 2 * min(qn, self.capqe) if self.q4 else 0
-        return u_jk, u_qv, u_qe
+        return u_jb, u_jk, u_qv, u_qe
 
     def jk_used(self, jn):
         return (jnp.minimum(jn, self.capk) + 7) // 8 * 3
@@ -548,15 +581,28 @@ class FrameLayout:
         return 2 * jnp.minimum(qn, self.capqe)
 
     def head_counts(self, buf) -> tuple:
-        """(jn, qt, qn) from a head row (ints)."""
+        """(jbn, jn, qt, qn) from a head row (ints)."""
+        jbn = (int(self._f(buf, "jbn", np.int32)[0])
+               if self.with_art and self.tail else 0)
         jn = int(self._f(buf, "jn", np.int32)[0]) if self.with_art else 0
         qt = int(self._f(buf, "qt", np.int32)[0])
         qn = int(self._f(buf, "qn", np.int32)[0]) if self.q4 else 0
-        return jn, qt, qn
+        return jbn, jn, qt, qn
 
     def _f(self, buf, name, dtype):
         s, e = self.offsets[name]
         return buf[s:e].view(dtype)
+
+    def _mv(self, buf):
+        """MV field as a flat [(x, y, ref) * nb] int array — re-inserts the
+        zero reference column for 2-component (single-reference) layouts."""
+        m = self._f(buf, "mv", np.int8 if self.mv8 else np.int16)
+        if self.mvk == 3:
+            return m
+        m2 = m.reshape(-1, 2)
+        out = np.zeros((m2.shape[0], 3), m.dtype)
+        out[:, :2] = m2
+        return out.reshape(-1)
 
     def _qv(self, qv_bytes, qe_bytes):
         """qv bytes as int16 values (expands the ``q4`` nibble stream and
@@ -580,11 +626,21 @@ class FrameLayout:
         """uint8 [total] (+ the frame's pool segment in ``tail`` mode) ->
         field views (zero-copy except modes)."""
         if self.tail:
-            u_jk, u_qv, u_qe = self.tail_sizes(*self.head_counts(buf))
-            jk = tail[:u_jk]
-            qv_b = tail[u_jk : u_jk + u_qv]
-            qe_b = tail[u_jk + u_qv : u_jk + u_qv + u_qe]
+            u_jb, u_jk, u_qv, u_qe = self.tail_sizes(*self.head_counts(buf))
+            p1 = u_jb + u_jk
+            jk = tail[u_jb:p1]
+            qv_b = tail[p1 : p1 + u_qv]
+            qe_b = tail[p1 + u_qv : p1 + u_qv + u_qe]
+            jb = None
+            if self.with_art:
+                # re-inflate the flat bitmap from the presence bits + the
+                # compacted nonzero bytes (split_bitmap's inverse)
+                jb = np.zeros(self.jbC, np.uint8)
+                pos = np.flatnonzero(np.unpackbits(
+                    self._f(buf, "j1", np.uint8), bitorder="little")[: self.jbC])
+                jb[pos[:u_jb]] = tail[:u_jb]
         else:
+            jb = self._f(buf, "jb", np.uint8) if self.with_art else None
             jk = self._f(buf, "jk", np.uint8) if self.with_art else None
             s, e = self.offsets["qv"]
             qv_b = buf[s:e]
@@ -592,16 +648,14 @@ class FrameLayout:
         out = {
             "h": self.h, "w": self.w,
             "rc": None if self.with_art else self._f(buf, "rc", np.uint8),
-            "jst": (host_joint_decode(self._f(buf, "jb", np.uint8),
-                                      jk, self.h * self.w)
+            "jst": (host_joint_decode(jb, jk, self.h * self.w)
                     if self.with_art else None),
             "jn": (int(self._f(buf, "jn", np.int32)[0]) if self.with_art
                    else 0),
             "re": self._f(buf, "re", np.uint8),
             "rn": int(self._f(buf, "rn", np.int32)[0]),
             "meta": self._f(buf, "meta", np.int32),
-            "mv": (self._f(buf, "mv", np.int8 if self.mv8 else np.int16)
-                   if self.with_mv else None),
+            "mv": (self._mv(buf) if self.with_mv else None),
             "modes": np.unpackbits(
                 self._f(buf, "modes", np.uint8)[: self.nbm],
                 bitorder="little")[: self.nb],
