@@ -89,8 +89,12 @@ def apply_dct_2d_exact(block) -> np.ndarray:
     return y.astype(np.float32) / np.float32(1 << (EXACT_SHIFT + 2))
 
 
+IDCT_GUARD = 6  # mid-stage guard bits; MUST equal ops/transform.IDCT_GUARD
+
+
 def apply_idct_2d_exact(rescaled_int) -> np.ndarray:
     d = _dct_matrix_int(np.asarray(rescaled_int).shape[0])
-    t1 = _rshift_round(d.T @ np.asarray(rescaled_int, dtype=np.int64), EXACT_SHIFT)
-    x = (t1 @ d).astype(np.int32)
+    t1 = _rshift_round(d.T @ np.asarray(rescaled_int, dtype=np.int64),
+                       EXACT_SHIFT - IDCT_GUARD)
+    x = _rshift_round((t1 @ d).astype(np.int64), IDCT_GUARD).astype(np.int32)
     return x.astype(np.float32) / np.float32(1 << EXACT_SHIFT)

@@ -45,6 +45,7 @@ def dct_matrix(n: int) -> np.ndarray:
 
 
 EXACT_SHIFT = 13  # fixed-point scale of the integer DCT basis
+IDCT_GUARD = 6  # guard bits kept through the exact-IDCT mid stage
 
 
 @lru_cache(maxsize=None)
@@ -93,11 +94,21 @@ def idct2_exact_core(rescaled_i32: jnp.ndarray, d_int: jnp.ndarray) -> jnp.ndarr
     ``2^EXACT_SHIFT`` as int32, before the float conversion.  Every operation
     is deterministic integer arithmetic, so :func:`idct2_exact_core_np` below
     reproduces it bit-for-bit on the host — the foundation of the compact
-    transfer's reconstruction correction codes (ops/pack.py)."""
+    transfer's reconstruction correction codes (ops/pack.py).
+
+    The mid stage keeps ``IDCT_GUARD`` fractional bits: without them the
+    per-entry rounding error (<= 0.5) amplifies through the second matmul to
+    ~0.25 *pixel* units, flipping the rounded reconstruction on ~9% of
+    pixels vs the float path — with 6 guard bits that drops ~30x (measured),
+    which is what keeps the compact-transfer correction lists small.
+    Exactness: mid products <= 2^13 * 2^13 = 2^26; second-stage products may
+    wrap int32, but two's-complement sums stay congruent mod 2^32 and the
+    TRUE result (residual * 2^(13+6) <= ~2^30) fits, so the wrap cancels."""
     y = rescaled_i32.astype(jnp.int32)
     t1 = jnp.einsum("km,...kl->...ml", d_int, y)          # D_i^T @ Y
-    t1 = _rshift_round(t1, EXACT_SHIFT)                   # ~t1_true, <= 2^15
-    return jnp.einsum("...ml,ln->...mn", t1, d_int)       # true <= 2^28
+    t1 = _rshift_round(t1, EXACT_SHIFT - IDCT_GUARD)      # ~t1_true * 2^g
+    x = jnp.einsum("...ml,ln->...mn", t1, d_int)          # true <= ~2^30
+    return _rshift_round(x, IDCT_GUARD)
 
 
 def idct2_exact_core_np(rescaled_i32: np.ndarray, d_int: np.ndarray) -> np.ndarray:
@@ -112,9 +123,11 @@ def idct2_exact_core_np(rescaled_i32: np.ndarray, d_int: np.ndarray) -> np.ndarr
     y = rescaled_i32.astype(np.float64)
     t1f = np.matmul(d.T, y)                               # D_i^T @ Y
     t1 = t1f.astype(np.int64).astype(np.int32)
-    t1 = (t1 + np.int32(1 << (EXACT_SHIFT - 1))) >> EXACT_SHIFT
+    sh = EXACT_SHIFT - IDCT_GUARD
+    t1 = (t1 + np.int32(1 << (sh - 1))) >> sh
     t2f = np.matmul(t1.astype(np.float64), d)
-    return t2f.astype(np.int64).astype(np.int32)
+    x = t2f.astype(np.int64).astype(np.int32)
+    return (x + np.int32(1 << (IDCT_GUARD - 1))) >> IDCT_GUARD
 
 
 def idct2_exact(rescaled_i32: jnp.ndarray, d_int: jnp.ndarray) -> jnp.ndarray:
