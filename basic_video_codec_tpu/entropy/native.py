@@ -35,10 +35,17 @@ def _load():
         stale = (not os.path.exists(_SO_PATH)
                  or os.path.getmtime(_SO_PATH) < os.path.getmtime(src))
         if stale:
-            subprocess.run(
-                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _SO_PATH, src],
-                check=True, capture_output=True,
-            )
+            # -march=native: the .so is always (re)built on the machine that
+            # runs it, so target the local SIMD set (the block-IDCT lanes
+            # vectorize 4-8x with AVX2); falls back without the flag for
+            # compilers/platforms that reject it.
+            cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+                   "-std=c++17", "-o", _SO_PATH, src]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                cmd.remove("-march=native")
+                subprocess.run(cmd, check=True, capture_output=True)
         lib = ctypes.CDLL(_SO_PATH)
         lib.bvc_encode_symbols.restype = ctypes.c_int64
         lib.bvc_encode_symbols.argtypes = [
@@ -85,7 +92,21 @@ def _load():
         lib.bvc_joint_decode2.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p]
-        assert lib.bvc_version() == 4
+        lib.bvc_x_art.restype = None
+        lib.bvc_x_art.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.bvc_recon_joint.restype = None
+        lib.bvc_recon_joint.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p]
+        lib.bvc_sse.restype = ctypes.c_int64
+        lib.bvc_sse.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        assert lib.bvc_version() == 6
         _lib = lib
     except Exception as e:  # missing compiler, load failure -> NumPy fallback
         logger.warning(f"native entropy codec unavailable ({e}); using NumPy fallback")

@@ -239,8 +239,7 @@ def _rebuild_prepare(f, ec, q_full=None):
         qdct = np.asarray(q_full, dtype=np.int16)
     else:
         qdct = PK.unpack_qdct(f["qv"], f["ql"], h, w, bs, zigzag_indices(bs))
-    x = PK._x_int_blocks_np(qdct, row_qps, bs)
-    art_guess = PK.host_art_guess_from_x(x) if mode == INTER else None
+    x, art_guess = PK.host_x_art(qdct, row_qps, bs, want_art=mode == INTER)
     return mode, qdct, row_qps, x, art_guess
 
 
@@ -278,13 +277,11 @@ def _rebuild_apply(prep, f, ec, hist, r_full=None):
         oldest = hist[0]
         if r_full is not None:
             recon = np.asarray(r_full)
+        elif f.get("jst") is not None:
+            recon = PK.host_recon_joint(x, pred, f["jst"], f["re"], bs)
         else:
-            guess = PK.host_recon_guess_from_x(x, pred, bs)
-            if f.get("jst") is not None:
-                recon = PK.joint_recon(f["jst"], f["re"],
-                                       guess.astype(np.int32))
-            else:
-                recon = PK.unpack_vs_base(f["rc"], f["re"], guess)
+            recon = PK.unpack_vs_base(
+                f["rc"], f["re"], PK.host_recon_guess_from_x(x, pred, bs))
     hist.append(recon)
     return mode, recon, qdct, pred, oldest, art_guess
 

@@ -23,6 +23,38 @@ inline void put_bits(uint8_t* buf, int64_t& pos, uint64_t value, int nbits) {
   }
 }
 
+// Streaming MSB-first bit writer: codewords accumulate left-aligned in a
+// 64-bit register and flush whole bytes — ~10x fewer memory ops than the
+// per-bit put_bits loop.  Codewords here are <= 33 bits (int16 coefficient
+// -> mapped+1 <= 2^17 -> 2*17-1), so nacc + nbits <= 7 + 33 < 64 always.
+struct BitWriter {
+  uint8_t* out;
+  int64_t cap_bytes;
+  int64_t nbytes = 0;
+  uint64_t acc = 0;
+  int nacc = 0;
+  inline bool put(uint64_t value, int nbits) {
+    acc |= value << (64 - nacc - nbits);
+    nacc += nbits;
+    while (nacc >= 8) {
+      if (nbytes >= cap_bytes) return false;
+      out[nbytes++] = uint8_t(acc >> 56);
+      acc <<= 8;
+      nacc -= 8;
+    }
+    return true;
+  }
+  // zero-pads the final partial byte; returns the BIT length or -1.
+  inline int64_t finish() {
+    const int64_t bits = nbytes * 8 + nacc;
+    if (nacc) {
+      if (nbytes >= cap_bytes) return -1;
+      out[nbytes++] = uint8_t(acc >> 56);
+    }
+    return bits;
+  }
+};
+
 inline int bit_at(const uint8_t* buf, int64_t pos) {
   return (buf[pos >> 3] >> (7 - (pos & 7))) & 1;
 }
@@ -49,17 +81,16 @@ extern "C" {
 // Returns the bit length, or -1 if out of capacity.
 int64_t bvc_encode_symbols(const int64_t* syms, int64_t n, uint8_t* out,
                            int64_t cap_bytes) {
-  int64_t pos = 0;
+  BitWriter bw{out, cap_bytes};
   for (int64_t i = 0; i < n; ++i) {
     int64_t v = syms[i];
     uint64_t mapped = v <= 0 ? uint64_t(-2 * v) : uint64_t(2 * v - 1);
     uint64_t x = mapped + 1;
     int nbits = 64 - __builtin_clzll(x);
-    int total = 2 * nbits - 1;  // (nbits-1) leading zeros + nbits value bits
-    if ((pos + total + 7) / 8 > cap_bytes) return -1;
-    put_bits(out, pos, x, total);
+    // (nbits-1) leading zeros + nbits value bits
+    if (!bw.put(x, 2 * nbits - 1)) return -1;
   }
-  return pos;
+  return bw.finish();
 }
 
 // Decode consecutive symbols until the stream (n_bits) is exhausted or cap
@@ -108,54 +139,52 @@ int64_t bvc_encode_dct_plane(const int16_t* qdct, int64_t h, int64_t w,
                              int64_t bs, const int64_t* zz, int64_t eob,
                              uint8_t* out, int64_t cap_bytes) {
   const int64_t scan_len = bs * bs;
-  int64_t pos = 0;
-  const int64_t cap_bits = cap_bytes * 8;
+  BitWriter bw{out, cap_bytes};
 
   auto emit = [&](int64_t v) -> bool {
     uint64_t mapped = v <= 0 ? uint64_t(-2 * v) : uint64_t(2 * v - 1);
     uint64_t x = mapped + 1;
     int nbits = 64 - __builtin_clzll(x);
-    int total = 2 * nbits - 1;
-    if (pos + total > cap_bits) return false;
-    put_bits(out, pos, x, total);
-    return true;
+    return bw.put(x, 2 * nbits - 1);
   };
+
+  // plane offsets of the zigzag scan, computed once (no div/mod per access)
+  int64_t zoff[64 * 64];
+  for (int64_t i = 0; i < scan_len; ++i)
+    zoff[i] = (zz[i] / bs) * w + (zz[i] % bs);
+  int16_t scan[64 * 64];
 
   for (int64_t by = 0; by < h; by += bs) {
     for (int64_t bx = 0; bx < w; bx += bs) {
       const int16_t* blk = qdct + by * w + bx;
-      // walk the zigzag scan with inline RLE
+      // gather the block's zigzag scan once, then RLE over the flat copy
+      int64_t last_nz = -1;
+      for (int64_t i = 0; i < scan_len; ++i) {
+        scan[i] = blk[zoff[i]];
+        if (scan[i]) last_nz = i;
+      }
       int64_t i = 0;
       while (i < scan_len) {
-        int64_t fi = zz[i];
-        int32_t v = blk[(fi / bs) * w + (fi % bs)];
-        if (v == 0) {
+        if (i > last_nz) {  // rest-of-block zeros terminator
+          if (!emit(0)) return -1;
+          break;
+        }
+        if (scan[i] == 0) {
           int64_t run = 0;
-          while (i < scan_len) {
-            fi = zz[i];
-            if (blk[(fi / bs) * w + (fi % bs)] != 0) break;
-            ++run;
-            ++i;
-          }
-          if (!emit(i < scan_len ? run : 0)) return -1;  // 0 = rest zeros
+          while (scan[i] == 0) { ++run; ++i; }  // last_nz bounds the walk
+          if (!emit(run)) return -1;
         } else {
           int64_t start = i;
-          while (i < scan_len) {
-            fi = zz[i];
-            if (blk[(fi / bs) * w + (fi % bs)] == 0) break;
-            ++i;
-          }
+          while (i < scan_len && scan[i] != 0) ++i;
           if (!emit(-(i - start))) return -1;
-          for (int64_t k = start; k < i; ++k) {
-            fi = zz[k];
-            if (!emit(blk[(fi / bs) * w + (fi % bs)])) return -1;
-          }
+          for (int64_t k = start; k < i; ++k)
+            if (!emit(scan[k])) return -1;
         }
       }
       if (!emit(eob)) return -1;
     }
   }
-  return pos;
+  return bw.finish();
 }
 
 // Render the mv.txt line for one frame: entries sorted by (x, y) — x-major —
@@ -344,6 +373,114 @@ void bvc_wrap_diff(const uint8_t* curr, const uint8_t* prev, uint8_t* out,
   for (int64_t p = 0; p < n_px; ++p) out[p] = uint8_t(curr[p] - prev[p]);
 }
 
-int64_t bvc_version() { return 4; }
+// Integer-exact IDCT of a whole frame fused with the res_w_mc truncation
+// guess (twin of ops/pack._x_int_blocks_np + host_art_guess_from_x, which
+// twin ops/transform.idct2_exact_core on device).  Bit-exactness relies on
+// two's-complement wrap: every accumulation runs in uint32 (defined wrap)
+// and is reinterpreted int32, exactly like the device's int32 einsums and
+// the NumPy twin's float64->int64->int32 cast chain.  The power-of-two
+// quant rescale is inlined: Q(k,l) = 2^(qp + e) with e = 0 below the
+// anti-diagonal, 1 on it, 2 above (ops/transform.quant_matrices).
+// d_int: int32 [bs*bs] fixed-point basis; x_out: int32 [nbr*nbc*bs*bs]
+// blocked; art_out: u8 [h*w] raster (may be null).
+void bvc_x_art(const int16_t* qdct, const int32_t* row_qps,
+               const int32_t* d_int, int64_t nbr, int64_t nbc, int64_t bs,
+               int64_t shift, int64_t guard, int32_t* x_out,
+               uint8_t* art_out) {
+  const int64_t w = nbc * bs;
+  const int sh1 = int(shift - guard);
+  const uint32_t half1 = uint32_t(1) << (sh1 - 1);
+  const uint32_t halfg = uint32_t(1) << (guard - 1);
+  // y, t1 scratch for one block
+  int32_t y[64 * 64], t1[64 * 64];
+  for (int64_t i = 0; i < nbr; ++i) {
+    const int qp = int(row_qps[i]);
+    for (int64_t j = 0; j < nbc; ++j) {
+      const int16_t* blk = qdct + i * bs * w + j * bs;
+      for (int64_t k = 0; k < bs; ++k)
+        for (int64_t l = 0; l < bs; ++l) {
+          const int64_t e = k + l < bs - 1 ? 0 : (k + l == bs - 1 ? 1 : 2);
+          y[k * bs + l] =
+              int32_t(uint32_t(int32_t(blk[k * w + l])) << (qp + e));
+        }
+      // t1[m][l] = wrap32(sum_k d[k][m] * y[k][l]), then guarded shift-round
+      // (reduction loop outermost so the lane loop auto-vectorizes)
+      for (int64_t m = 0; m < bs; ++m) {
+        uint32_t acc[64] = {0};
+        for (int64_t k = 0; k < bs; ++k) {
+          const uint32_t dkm = uint32_t(d_int[k * bs + m]);
+          for (int64_t l = 0; l < bs; ++l)
+            acc[l] += dkm * uint32_t(y[k * bs + l]);
+        }
+        for (int64_t l = 0; l < bs; ++l)
+          t1[m * bs + l] = int32_t(acc[l] + half1) >> sh1;
+      }
+      // x[m][n] = wrap32(sum_l t1[m][l] * d[l][n]) >> guard (rounded)
+      int32_t* xb = x_out + (i * nbc + j) * bs * bs;
+      for (int64_t m = 0; m < bs; ++m) {
+        uint32_t acc[64] = {0};
+        for (int64_t l = 0; l < bs; ++l) {
+          const uint32_t tml = uint32_t(t1[m * bs + l]);
+          for (int64_t n = 0; n < bs; ++n)
+            acc[n] += tml * uint32_t(d_int[l * bs + n]);
+        }
+        for (int64_t n = 0; n < bs; ++n) {
+          const int32_t x = int32_t(acc[n] + halfg) >> int(guard);
+          xb[m * bs + n] = x;
+          if (art_out) {
+            const int32_t t = x >= 0 ? x >> shift : -((-x) >> shift);
+            art_out[(i * bs + m) * w + j * bs + n] = uint8_t(t & 255);
+          }
+        }
+      }
+    }
+  }
+}
+
+// Inter reconstruction from the blocked integer residuals: recon guess
+// clip((x + (pred << shift) + half) >> shift) fused with the joint
+// correction codes (twin of ops/pack.host_recon_guess_from_x +
+// joint_recon).  states/esc/out are raster u8 planes.
+void bvc_recon_joint(const int32_t* x, const uint8_t* pred,
+                     const uint8_t* states, const uint8_t* esc, int64_t nbr,
+                     int64_t nbc, int64_t bs, int64_t shift, int64_t plus,
+                     int64_t minus, int64_t esc_a, int64_t esc_b,
+                     uint8_t* out) {
+  const int64_t w = nbc * bs;
+  const int64_t half = int64_t(1) << (shift - 1);
+  int64_t e = 0;  // escapes are consumed in raster-pixel order
+  for (int64_t yy = 0; yy < nbr * bs; ++yy) {
+    const int64_t i = yy / bs, a = yy % bs;
+    for (int64_t j = 0; j < nbc; ++j) {
+      const int32_t* xrow = x + ((i * nbc + j) * bs + a) * bs;
+      const int64_t row = yy * w + j * bs;
+      for (int64_t b = 0; b < bs; ++b) {
+        const int64_t p = row + b;
+        const uint8_t s = states[p];
+        if (s == esc_a || s == esc_b) {
+          out[p] = esc[e++];
+          continue;
+        }
+        int64_t g = (int64_t(xrow[b]) + (int64_t(pred[p]) << shift)
+                     + half) >> shift;
+        if (g < 0) g = 0;
+        if (g > 255) g = 255;
+        out[p] = uint8_t(g + (s == plus) - (s == minus));
+      }
+    }
+  }
+}
+
+// Sum of squared differences of two u8 planes (PSNR numerator).
+int64_t bvc_sse(const uint8_t* a, const uint8_t* b, int64_t n_px) {
+  int64_t acc = 0;
+  for (int64_t p = 0; p < n_px; ++p) {
+    const int32_t d = int32_t(a[p]) - int32_t(b[p]);
+    acc += d * d;
+  }
+  return acc;
+}
+
+int64_t bvc_version() { return 6; }
 
 }  // extern "C"

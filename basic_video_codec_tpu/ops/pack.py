@@ -842,6 +842,56 @@ def host_recon_guess(qdct: np.ndarray, row_qps: np.ndarray,
     return host_recon_guess_from_x(_x_int_blocks_np(qdct, row_qps, bs), pred, bs)
 
 
+def host_x_art(qdct: np.ndarray, row_qps: np.ndarray, bs: int,
+               want_art: bool = True):
+    """``(_x_int_blocks_np(...), host_art_guess_from_x(...))`` in ONE native
+    pass (bvc_x_art) — the fixed-point IDCT is the single most expensive
+    host-rebuild step, and fusing the truncation guess reads each x block
+    while it is still in cache.  NumPy fallback composes the twins."""
+    from ..entropy import native
+    from . import transform as T
+
+    lib = native._load()
+    if lib is None:
+        x = _x_int_blocks_np(qdct, row_qps, bs)
+        return x, (host_art_guess_from_x(x) if want_art else None)
+    h, w = qdct.shape
+    nbr, nbc = h // bs, w // bs
+    q = np.ascontiguousarray(qdct, np.int16)
+    rq = np.ascontiguousarray(row_qps, np.int32)
+    d = np.ascontiguousarray(T.dct_matrix_int(bs), np.int32)
+    x = np.empty((nbr, nbc, bs, bs), np.int32)
+    art = np.empty((h, w), np.uint8) if want_art else None
+    lib.bvc_x_art(q.ctypes.data, rq.ctypes.data, d.ctypes.data, nbr, nbc,
+                  bs, T.EXACT_SHIFT, T.IDCT_GUARD, x.ctypes.data,
+                  art.ctypes.data if want_art else None)
+    return x, art
+
+
+def host_recon_joint(x: np.ndarray, pred: np.ndarray, states: np.ndarray,
+                     re: np.ndarray, bs: int) -> np.ndarray:
+    """Inter reconstruction: guess from the blocked integer residuals +
+    joint correction codes, fused in one native pass (bvc_recon_joint).
+    NumPy fallback: :func:`joint_recon` over :func:`host_recon_guess_from_x`."""
+    from ..entropy import native
+    from . import transform as T
+
+    lib = native._load()
+    if lib is None:
+        return joint_recon(states, re, host_recon_guess_from_x(x, pred, bs)
+                           .astype(np.int32))
+    nbr, nbc = x.shape[:2]
+    p = np.ascontiguousarray(pred, np.uint8)
+    st = np.ascontiguousarray(states, np.uint8)
+    e8 = np.ascontiguousarray(re, np.uint8)
+    xc = np.ascontiguousarray(x, np.int32)
+    out = np.empty((nbr * bs, nbc * bs), np.uint8)
+    lib.bvc_recon_joint(xc.ctypes.data, p.ctypes.data, st.ctypes.data,
+                        e8.ctypes.data, nbr, nbc, bs, T.EXACT_SHIFT,
+                        J_RP, J_RM, J_RESC, J_BESC, out.ctypes.data)
+    return out
+
+
 def host_rebuild_intra_recon(qdct: np.ndarray, modes: np.ndarray,
                              row_qps: np.ndarray, codes2: np.ndarray,
                              esc: np.ndarray, bs: int,

@@ -106,6 +106,20 @@ def psnr(im_true: np.ndarray, im_test: np.ndarray, data_range: float = 255.0) ->
     frames (encoder/encoder.py:123, decoder.py:76), which is
     ``10*log10(255^2 / mse)`` with the MSE in float64.
     """
+    if (im_true.dtype == np.uint8 and im_test.dtype == np.uint8
+            and im_true.shape == im_test.shape):
+        from ..entropy import native
+
+        lib = native._load()
+        if lib is not None:
+            a = np.ascontiguousarray(im_true)
+            b = np.ascontiguousarray(im_test)
+            # integer SSE / n in float64 is bit-identical to the NumPy mean
+            # (the SSE is exact in float64 far beyond any frame size)
+            err = lib.bvc_sse(a.ctypes.data, b.ctypes.data, a.size) / a.size
+            if err == 0:
+                return float("inf")
+            return float(10.0 * np.log10((data_range ** 2) / err))
     err = np.mean(
         (im_true.astype(np.float64) - im_test.astype(np.float64)) ** 2
     )

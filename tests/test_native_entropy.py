@@ -162,3 +162,53 @@ def test_native_rebuild_helpers_match_numpy(monkeypatch):
     # wrap diff
     prev = rng.integers(0, 256, (h, w)).astype(np.uint8)
     both(_wrap_diff_u8, curr, prev)
+
+
+def test_native_x_art_and_recon_joint_match_numpy(monkeypatch):
+    """bvc_x_art / bvc_recon_joint vs their NumPy twins — including int16
+    extremes that exercise the int32 wrap semantics, and escape codes that
+    must be consumed in raster-pixel order."""
+    import basic_video_codec_tpu.ops.pack as PK
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(11)
+    h, w, bs = 48, 64, 8
+    nbr, nbc = h // bs, w // bs
+
+    def both(fn, *a, **kw):
+        out_native = fn(*a, **kw)
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_tried", True)
+        out_np = fn(*a, **kw)
+        monkeypatch.undo()
+        pairs = (zip(out_native, out_np) if isinstance(out_native, tuple)
+                 else [(out_native, out_np)])
+        for xn, xp in pairs:
+            if xn is None or xp is None:
+                assert xn is xp, fn
+            else:
+                assert np.array_equal(np.asarray(xn), np.asarray(xp)), fn
+        return out_native
+
+    # typical sparse coefficients
+    q = np.zeros((h, w), np.int16)
+    m = rng.random((h, w)) < 0.2
+    q[m] = rng.integers(-40, 41, m.sum())
+    row_qps = rng.integers(0, 8, nbr).astype(np.int32)
+    x, art = both(PK.host_x_art, q, row_qps, bs)
+    x2, none_art = both(PK.host_x_art, q, row_qps, bs, False)
+    assert none_art is None and np.array_equal(np.asarray(x2), np.asarray(x))
+
+    # int16 extremes: int32 products wrap on device; twins must agree anyway
+    qx = rng.integers(-(2 ** 15), 2 ** 15, (h, w)).astype(np.int16)
+    both(PK.host_x_art, qx, np.full(nbr, 10, np.int32), bs)
+
+    # fused recon guess + joint corrections, with escapes at known pixels
+    pred = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    states = np.zeros(h * w, np.uint8)
+    states[rng.choice(h * w, 200, replace=False)] = rng.integers(1, 8, 200)
+    n_esc = int(np.isin(states, (PK.J_RESC, PK.J_BESC)).sum())
+    re = rng.integers(0, 256, max(n_esc, 1)).astype(np.uint8)
+    both(PK.host_recon_joint, np.asarray(x), pred, states, re, bs)
