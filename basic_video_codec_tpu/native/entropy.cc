@@ -383,7 +383,69 @@ void bvc_wrap_diff(const uint8_t* curr, const uint8_t* prev, uint8_t* out,
 // anti-diagonal, 1 on it, 2 above (ops/transform.quant_matrices).
 // d_int: int32 [bs*bs] fixed-point basis; x_out: int32 [nbr*nbc*bs*bs]
 // blocked; art_out: u8 [h*w] raster (may be null).
-void bvc_x_art(const int16_t* qdct, const int32_t* row_qps,
+}  // extern "C" (template cores below need C++ linkage)
+
+namespace {
+
+// Templated core of bvc_x_art: constant trip counts let the compiler fully
+// unroll and vectorize the BSxBS int32 matmuls.
+template <int BS>
+void x_art_bs(const int16_t* qdct, const int32_t* row_qps,
+              const int32_t* d_int, int64_t nbr, int64_t nbc, int64_t shift,
+              int64_t guard, int32_t* x_out, uint8_t* art_out) {
+  const int64_t w = nbc * BS;
+  const int sh1 = int(shift - guard);
+  const uint32_t half1 = uint32_t(1) << (sh1 - 1);
+  const uint32_t halfg = uint32_t(1) << (guard - 1);
+  int32_t y[BS * BS], t1[BS * BS];
+  for (int64_t i = 0; i < nbr; ++i) {
+    const int qp = int(row_qps[i]);
+    for (int64_t j = 0; j < nbc; ++j) {
+      const int16_t* blk = qdct + i * BS * w + j * BS;
+      for (int k = 0; k < BS; ++k)
+        for (int l = 0; l < BS; ++l) {
+          const int e = k + l < BS - 1 ? 0 : (k + l == BS - 1 ? 1 : 2);
+          y[k * BS + l] =
+              int32_t(uint32_t(int32_t(blk[k * w + l])) << (qp + e));
+        }
+      // t1[m][l] = wrap32(sum_k d[k][m] * y[k][l]), then guarded shift-round
+      // (reduction loop outermost so the lane loop auto-vectorizes)
+      for (int m = 0; m < BS; ++m) {
+        uint32_t acc[BS] = {0};
+        for (int k = 0; k < BS; ++k) {
+          const uint32_t dkm = uint32_t(d_int[k * BS + m]);
+          for (int l = 0; l < BS; ++l)
+            acc[l] += dkm * uint32_t(y[k * BS + l]);
+        }
+        for (int l = 0; l < BS; ++l)
+          t1[m * BS + l] = int32_t(acc[l] + half1) >> sh1;
+      }
+      // x[m][n] = wrap32(sum_l t1[m][l] * d[l][n]) >> guard (rounded)
+      int32_t* xb = x_out + (i * nbc + j) * BS * BS;
+      for (int m = 0; m < BS; ++m) {
+        uint32_t acc[BS] = {0};
+        for (int l = 0; l < BS; ++l) {
+          const uint32_t tml = uint32_t(t1[m * BS + l]);
+          for (int n = 0; n < BS; ++n)
+            acc[n] += tml * uint32_t(d_int[l * BS + n]);
+        }
+        uint8_t* arow = art_out ? art_out + (i * BS + m) * w + j * BS
+                                : nullptr;
+        for (int n = 0; n < BS; ++n) {
+          const int32_t x = int32_t(acc[n] + halfg) >> int(guard);
+          xb[m * BS + n] = x;
+          if (arow) {
+            const int32_t t = x >= 0 ? x >> shift : -((-x) >> shift);
+            arow[n] = uint8_t(t & 255);
+          }
+        }
+      }
+    }
+  }
+}
+
+// Generic fallback for unusual block sizes (identical math, runtime bs).
+void x_art_any(const int16_t* qdct, const int32_t* row_qps,
                const int32_t* d_int, int64_t nbr, int64_t nbc, int64_t bs,
                int64_t shift, int64_t guard, int32_t* x_out,
                uint8_t* art_out) {
@@ -391,7 +453,6 @@ void bvc_x_art(const int16_t* qdct, const int32_t* row_qps,
   const int sh1 = int(shift - guard);
   const uint32_t half1 = uint32_t(1) << (sh1 - 1);
   const uint32_t halfg = uint32_t(1) << (guard - 1);
-  // y, t1 scratch for one block
   int32_t y[64 * 64], t1[64 * 64];
   for (int64_t i = 0; i < nbr; ++i) {
     const int qp = int(row_qps[i]);
@@ -403,8 +464,6 @@ void bvc_x_art(const int16_t* qdct, const int32_t* row_qps,
           y[k * bs + l] =
               int32_t(uint32_t(int32_t(blk[k * w + l])) << (qp + e));
         }
-      // t1[m][l] = wrap32(sum_k d[k][m] * y[k][l]), then guarded shift-round
-      // (reduction loop outermost so the lane loop auto-vectorizes)
       for (int64_t m = 0; m < bs; ++m) {
         uint32_t acc[64] = {0};
         for (int64_t k = 0; k < bs; ++k) {
@@ -415,7 +474,6 @@ void bvc_x_art(const int16_t* qdct, const int32_t* row_qps,
         for (int64_t l = 0; l < bs; ++l)
           t1[m * bs + l] = int32_t(acc[l] + half1) >> sh1;
       }
-      // x[m][n] = wrap32(sum_l t1[m][l] * d[l][n]) >> guard (rounded)
       int32_t* xb = x_out + (i * nbc + j) * bs * bs;
       for (int64_t m = 0; m < bs; ++m) {
         uint32_t acc[64] = {0};
@@ -434,6 +492,30 @@ void bvc_x_art(const int16_t* qdct, const int32_t* row_qps,
         }
       }
     }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void bvc_x_art(const int16_t* qdct, const int32_t* row_qps,
+               const int32_t* d_int, int64_t nbr, int64_t nbc, int64_t bs,
+               int64_t shift, int64_t guard, int32_t* x_out,
+               uint8_t* art_out) {
+  switch (bs) {
+    case 4:
+      return x_art_bs<4>(qdct, row_qps, d_int, nbr, nbc, shift, guard,
+                         x_out, art_out);
+    case 8:
+      return x_art_bs<8>(qdct, row_qps, d_int, nbr, nbc, shift, guard,
+                         x_out, art_out);
+    case 16:
+      return x_art_bs<16>(qdct, row_qps, d_int, nbr, nbc, shift, guard,
+                          x_out, art_out);
+    default:
+      return x_art_any(qdct, row_qps, d_int, nbr, nbc, bs, shift, guard,
+                       x_out, art_out);
   }
 }
 
