@@ -106,7 +106,11 @@ def _load():
         lib.bvc_sse.restype = ctypes.c_int64
         lib.bvc_sse.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
-        assert lib.bvc_version() == 6
+        lib.bvc_pack_input.restype = ctypes.c_int64
+        lib.bvc_pack_input.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64]
+        assert lib.bvc_version() == 7
         _lib = lib
     except Exception as e:  # missing compiler, load failure -> NumPy fallback
         logger.warning(f"native entropy codec unavailable ({e}); using NumPy fallback")
@@ -191,6 +195,34 @@ def format_mv_lines(mvs: np.ndarray, bs: int) -> str:
         x = j * bs
         parts.extend(f"{x},{i * bs}:{v[0]},{v[1]}|" for i, v in enumerate(col))
     return "".join(parts) + "\n"
+
+
+def pack_input_frames(frames: np.ndarray, cap: int) -> np.ndarray | None:
+    """[K, H, W] u8 -> ONE uint8 upload buffer (nibble deltas + escape
+    lists, layout consumed by ops/pack.unpack_input_chunk), or None when
+    the native packer is unavailable / any frame's escape count exceeds
+    ``cap`` (the caller then uploads the chunk raw).
+
+    Raw input frames are ~2/3 of the wire bytes on the remote-tunnel
+    critical path; the left-predictor nibble stream halves them on typical
+    content (~1.4% escapes on the bench fixture) for ~0.1 ms/frame of host
+    C time."""
+    lib = _load()
+    if lib is None:
+        return None
+    k, h, w = frames.shape
+    if (h * w) % 2:
+        return None
+    nibs = np.empty((k, h * w // 2), np.uint8)
+    escs = np.zeros((k, cap), np.int16)
+    fr = np.ascontiguousarray(frames, np.uint8)
+    for i in range(k):
+        ne = lib.bvc_pack_input(
+            fr[i].ctypes.data, h, w, nibs[i].ctypes.data,
+            escs[i].ctypes.data, cap)
+        if ne > cap:
+            return None
+    return np.concatenate([nibs.reshape(-1), escs.view(np.uint8).reshape(-1)])
 
 
 def decode_dct_scans(data: bytes, n_blocks: int, scan_len: int, eob: int) -> np.ndarray:

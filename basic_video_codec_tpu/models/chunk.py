@@ -174,9 +174,9 @@ def _meta_i(smalls, nb, nbr):
 
 
 @partial(jax.jit, static_argnames=("bs", "rc1", "exact", "compact", "int8q",
-                                   "q4", "tail"))
+                                   "q4", "tail", "packed_shape"))
 def encode_chunk_intra_only(
-    frames: jnp.ndarray,        # uint8 [K, H, W]
+    frames: jnp.ndarray,        # uint8 [K, H, W] (or packed upload buffer)
     row_qps: jnp.ndarray,       # int32 [nbr]
     budget0: jnp.ndarray,
     tbl_qps: jnp.ndarray,
@@ -189,12 +189,17 @@ def encode_chunk_intra_only(
     int8q: bool = False,
     q4: bool = False,
     tail: bool = False,
+    packed_shape: tuple | None = None,
 ):
     """All-intra chunk (I_Period == 1): every frame clears the reference
     deques, so frames are fully independent — one ``vmap`` instead of a scan.
     Returns stacked ``(recons, arts, qdcts, smalls)``; with ``compact``,
     appends ``(qvals, qlens, qtotals)`` (I-frame res planes are host-derived,
-    ops/pack.py)."""
+    ops/pack.py).  ``packed_shape=(K, H, W)`` marks ``frames`` as a packed
+    nibble-delta upload buffer (ops/pack.unpack_input_chunk)."""
+    if packed_shape is not None:
+        frames = P.unpack_input_chunk(frames, *packed_shape)
+
     def one(frame):
         recon, _, art, qdct, smalls = intra_encode_frame(
             frame, row_qps, budget0, tbl_qps, tbl_bits, initial_qp, bs, rc1,
@@ -235,9 +240,10 @@ def encode_chunk_intra_only(
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
                                    "first_is_intra", "exact", "compact",
-                                   "int8q", "mv8", "q4", "tail"))
+                                   "int8q", "mv8", "q4", "tail",
+                                   "packed_shape"))
 def encode_chunk(
-    frames: jnp.ndarray,        # uint8 [K, H, W]
+    frames: jnp.ndarray,        # uint8 [K, H, W] (or packed upload buffer)
     ref0: jnp.ndarray,          # uint8 [H, W] incoming reference (used iff not first_is_intra)
     hp0: jnp.ndarray,           # uint8 [2H, 2W] its half-pel plane (used iff frac)
     row_qps: jnp.ndarray,       # int32 [nbr]
@@ -257,6 +263,7 @@ def encode_chunk(
     mv8: bool = False,
     q4: bool = False,
     tail: bool = False,
+    packed_shape: tuple | None = None,
 ):
     """Returns ``(intra_out | None, p_out, ref_out, hp_out)`` where
     ``intra_out = (recon, art, qdct, smalls)`` for frames[0] and
@@ -270,6 +277,8 @@ def encode_chunk(
     transfer.  The full art/qdct planes remain device-resident for the
     per-frame overflow fallback.
     """
+    if packed_shape is not None:
+        frames = P.unpack_input_chunk(frames, *packed_shape)
     h, w = frames.shape[1:]
     zeros_hp = jnp.zeros((2 * h, 2 * w), jnp.uint8)
 
@@ -342,9 +351,10 @@ def _push_ref(refs, hps, n_valid, recon, hp, frac):
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
                                    "first_is_intra", "exact", "compact",
-                                   "int8q", "mv8", "q4", "tail"))
+                                   "int8q", "mv8", "q4", "tail",
+                                   "packed_shape"))
 def encode_chunk_multiref(
-    frames: jnp.ndarray,        # uint8 [K, H, W]
+    frames: jnp.ndarray,        # uint8 [K, H, W] (or packed upload buffer)
     refs0: jnp.ndarray,         # uint8 [R, H, W] incoming rolling stack
     hps0: jnp.ndarray,          # uint8 [R, 2H, 2W] (used iff frac)
     n_valid0: jnp.ndarray,      # int32 scalar: populated slots of refs0
@@ -365,6 +375,7 @@ def encode_chunk_multiref(
     mv8: bool = False,
     q4: bool = False,
     tail: bool = False,
+    packed_shape: tuple | None = None,
 ):
     """nRefFrames > 1 GOP chunk: :func:`encode_chunk` with the single
     reference replaced by a rolling stack carried through the scan.  The
@@ -375,6 +386,8 @@ def encode_chunk_multiref(
     Returns ``(intra_out | None, p_out, refs_out, hps_out, n_valid_out
     [, packed])`` with the same per-frame leaves as :func:`encode_chunk`.
     """
+    if packed_shape is not None:
+        frames = P.unpack_input_chunk(frames, *packed_shape)
     k, h, w = frames.shape
     R = refs0.shape[0]
     nbr, nbc = h // bs, w // bs

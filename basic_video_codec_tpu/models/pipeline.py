@@ -555,6 +555,11 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     compact_env = os.environ.get("BVC_COMPACT", "1")
     compact = (compact_env != "0"
                and params.height * params.width * 255 < 2 ** 31)
+    # Compact host->device uploads too (BVC_UPACK=0 restores raw frames):
+    # the raw input planes are the other ~2/3 of the wire bytes, and the
+    # left-predictor nibble pack halves them on typical content.  Chunks
+    # with escape-heavy frames (noise-like content) upload raw instead.
+    upack = os.environ.get("BVC_UPACK", "1") != "0"
     # tail mode: the cap-padded fields travel in a per-chunk compacted pool
     # fetched at (bucket-rounded) USED size — roughly halves the d2h bytes
     # of typical content (ops/pack.pack_tail_pool)
@@ -810,14 +815,25 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 for i in range(n_frames)
             ])
             nbr = frames_np.shape[1] // bs
+            pshape = None
+            fr_dev = None
+            if upack:
+                from ..entropy.native import pack_input_frames
+
+                ubuf = pack_input_frames(frames_np, PK.input_esc_cap(ph, pw))
+                if ubuf is not None:
+                    fr_dev = jnp.asarray(ubuf)
+                    pshape = (n_frames, ph, pw)
+            if fr_dev is None:
+                fr_dev = jnp.asarray(frames_np)
             row_qps = jnp.full(nbr, ec.quantization_factor, jnp.int32)
             if two_pass:
                 dev, ref, hp, nv, prev_avg = encode_chunk_two_pass(
-                    jnp.asarray(frames_np), ref, hp, nv, prev_avg, budget0,
+                    fr_dev, ref, hp, nv, prev_avg, budget0,
                     tbl[0], tbl[1], exp_p_frame, initial_qp,
                     bs, max(ec.search_range, 0), ec.fastME, frac,
                     first_is_intra, exact=exact, compact=compact, int8q=int8q,
-                    mv8=mv8, q4=q4, tail=tail_mode,
+                    mv8=mv8, q4=q4, tail=tail_mode, packed_shape=pshape,
                 )
                 kind = "two_pass"
                 # one bundled buffer per chunk (tail mode: async-copy the
@@ -826,19 +842,19 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             elif intra_only:
                 # every frame clears the references: fully parallel vmap chunk
                 dev = encode_chunk_intra_only(
-                    jnp.asarray(frames_np), row_qps, budget0, tbl[0], tbl[1],
+                    fr_dev, row_qps, budget0, tbl[0], tbl[1],
                     initial_qp, bs, rc1, exact=exact, compact=compact,
-                    int8q=int8q, q4=q4, tail=tail_mode,
+                    int8q=int8q, q4=q4, tail=tail_mode, packed_shape=pshape,
                 )
                 kind = "intra_all"
                 leaves = ((dev[4][0],) if tail_mode else (dev[4],)) if compact else dev
             elif multiref:
                 out = encode_chunk_multiref(
-                    jnp.asarray(frames_np), ref, hp, nv, row_qps, budget0,
+                    fr_dev, ref, hp, nv, row_qps, budget0,
                     tbl[0], tbl[1], initial_qp, bs, max(ec.search_range, 0),
                     rc1, ec.fastME, frac, first_is_intra, exact=exact,
                     compact=compact, int8q=int8q, mv8=mv8, q4=q4,
-                    tail=tail_mode,
+                    tail=tail_mode, packed_shape=pshape,
                 )
                 ref, hp, nv = out[2], out[3], out[4]
                 # normalize to the fetcher's (intra_out, p_out, _, _, packed)
@@ -849,10 +865,10 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                           if compact else dev[:2])
             else:
                 dev = encode_chunk(
-                    jnp.asarray(frames_np), ref, hp, row_qps, budget0, tbl[0], tbl[1],
+                    fr_dev, ref, hp, row_qps, budget0, tbl[0], tbl[1],
                     initial_qp, bs, max(ec.search_range, 0), rc1, ec.fastME, frac,
                     first_is_intra, exact=exact, compact=compact, int8q=int8q,
-                    mv8=mv8, q4=q4, tail=tail_mode,
+                    mv8=mv8, q4=q4, tail=tail_mode, packed_shape=pshape,
                 )
                 ref, hp = dev[2], dev[3]
                 kind = "intra_led" if first_is_intra else "p_only"

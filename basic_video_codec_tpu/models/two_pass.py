@@ -63,9 +63,10 @@ def _row_qps_proportional(row_bits_1, budget_frame, tbl_qps, tbl_bits):
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "fast", "frac",
                                    "first_is_intra", "exact", "compact",
-                                   "int8q", "mv8", "q4", "tail"))
+                                   "int8q", "mv8", "q4", "tail",
+                                   "packed_shape"))
 def encode_chunk_two_pass(
-    frames: jnp.ndarray,       # uint8 [K, H, W]
+    frames: jnp.ndarray,       # uint8 [K, H, W] (or packed upload buffer)
     refs0: jnp.ndarray,        # uint8 [R, H, W] rolling reference stack
     hps0: jnp.ndarray,         # uint8 [R, 2H, 2W] (used iff frac)
     n_valid0: jnp.ndarray,     # int32 scalar: populated slots of refs0
@@ -86,6 +87,7 @@ def encode_chunk_two_pass(
     mv8: bool = False,
     q4: bool = False,
     tail: bool = False,
+    packed_shape: tuple | None = None,
 ):
     """Returns ``(out, refs_out, hps_out, n_valid_out, prev_avg_out)`` with
     ``out = (recons [K,H,W] u8, arts [K,H,W] u8, qdcts [K,H,W] i16,
@@ -103,6 +105,8 @@ def encode_chunk_two_pass(
     nRefFrames > 1 runs the same fused program; scene-change intra frames
     clear it like GOP starts (reference encoder.py:89-98).  R == 1
     reproduces the single-reference search exactly (n_valid masking off)."""
+    if packed_shape is not None:
+        frames = P.unpack_input_chunk(frames, *packed_shape)
     k, h, w = frames.shape
     R = refs0.shape[0]
     multiref = R > 1
@@ -258,18 +262,19 @@ def encode_chunk_two_pass(
         head = None
 
     if p_frames.shape[0] > 0:
-        (refs_out, hps_out, nv_out, avg_out), tail = jax.lax.scan(step, carry, p_frames)
+        (refs_out, hps_out, nv_out, avg_out), scanned = jax.lax.scan(
+            step, carry, p_frames)
     else:
         refs_out, hps_out, nv_out, avg_out = carry
-        tail = (jnp.zeros((0, h, w), jnp.uint8), jnp.zeros((0, h, w), jnp.uint8),
-                jnp.zeros((0, h, w), jnp.int16),
-                jnp.zeros((0, 1 + 5 * nb + 2 * nbr), jnp.int32),
-                ) + ((jnp.zeros((0, h, w), jnp.uint8),) if compact else ())
+        scanned = (jnp.zeros((0, h, w), jnp.uint8), jnp.zeros((0, h, w), jnp.uint8),
+                   jnp.zeros((0, h, w), jnp.int16),
+                   jnp.zeros((0, 1 + 5 * nb + 2 * nbr), jnp.int32),
+                   ) + ((jnp.zeros((0, h, w), jnp.uint8),) if compact else ())
 
     if head is not None:
-        out = tuple(jnp.concatenate([hd, tl]) for hd, tl in zip(head, tail))
+        out = tuple(jnp.concatenate([hd, tl]) for hd, tl in zip(head, scanned))
     else:
-        out = tail
+        out = scanned
     if compact:
         recons, arts, qdcts, smalls_all, preds_all = out
         packed = _pack_two_pass_rows(recons, arts, qdcts, smalls_all,

@@ -563,6 +563,45 @@ int64_t bvc_sse(const uint8_t* a, const uint8_t* b, int64_t n_px) {
   return acc;
 }
 
-int64_t bvc_version() { return 6; }
+// Pack one input frame for host->device upload as left-predictor deltas:
+// nibble codes (two per byte, low nibble = even pixel) with sentinel -8
+// for |delta| > 7, whose true int16 delta goes to esc_out in stream order.
+// The device inverse (ops/pack.unpack_input_chunk) rebuilds pixels with a
+// row cumsum.  Column 0 predicts from 128.  h*w must be even.
+// Returns the total escape count (may exceed cap — caller then uploads the
+// chunk raw; esc_out is only written up to cap).
+int64_t bvc_pack_input(const uint8_t* src, int64_t h, int64_t w,
+                       uint8_t* nib_out, int16_t* esc_out, int64_t cap) {
+  int64_t ne = 0;
+  int64_t half = 0;
+  uint8_t pending = 0;
+  bool have_low = false;
+  for (int64_t i = 0; i < h; ++i) {
+    const uint8_t* row = src + i * w;
+    int prev = 128;
+    for (int64_t j = 0; j < w; ++j) {
+      const int d = int(row[j]) - prev;
+      prev = row[j];
+      uint8_t nib;
+      if (d >= -7 && d <= 7) {
+        nib = uint8_t(d & 15);
+      } else {
+        nib = 8;  // -8 sentinel
+        if (ne < cap) esc_out[ne] = int16_t(d);
+        ++ne;
+      }
+      if (have_low) {
+        nib_out[half++] = uint8_t(pending | (nib << 4));
+        have_low = false;
+      } else {
+        pending = nib;
+        have_low = true;
+      }
+    }
+  }
+  return ne;
+}
+
+int64_t bvc_version() { return 7; }
 
 }  // extern "C"

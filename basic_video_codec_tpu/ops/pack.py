@@ -85,6 +85,49 @@ def qdct_int8_safe(ec) -> bool:
     return round(255 * ec.block_size / 2 ** min_qp) <= 126
 
 
+def input_esc_cap(h: int, w: int) -> int:
+    """Escape capacity of the packed INPUT upload (entries per frame):
+    ~3% of the pixels — ~2x the bench fixture's measured 1.4% rate.  A
+    frame exceeding it makes the whole chunk upload raw (host-side
+    fallback in entropy/native.pack_input_frames), never a wrong result."""
+    return max(h * w // 32, 512)
+
+
+def unpack_input_chunk(buf: jnp.ndarray, k: int, h: int, w: int) -> jnp.ndarray:
+    """Device inverse of the native input packer (bvc_pack_input):
+    u8 [k*(h*w/2 + 2*cap)] -> u8 frames [k, h, w].
+
+    Per frame: expand the nibble stream to int deltas (sentinel -8 =
+    escape), place the int16 escape deltas by two scatters (cumsum ranks ->
+    pixel positions -> values; gathers are pathological on the relay
+    backend, scatters are cheap — PROFILE.md section 5), then rebuild
+    pixels with a row cumsum from the 128 column-0 predictor."""
+    hw = h * w
+    cap = input_esc_cap(h, w)
+    nib_bytes = buf[: k * hw // 2].reshape(k, hw // 2)
+    esc = jax.lax.bitcast_convert_type(
+        buf[k * hw // 2 :].reshape(k, cap, 2), jnp.int16)
+    lo = (nib_bytes & 15).astype(jnp.int32)
+    hi = (nib_bytes >> 4).astype(jnp.int32)
+    nib = jnp.stack([lo, hi], axis=-1).reshape(k, hw)
+    nib = nib - (nib >= 8) * 16  # sign-extend; -8 = escape sentinel
+
+    def one(nibf, escf):
+        is_esc = nibf == -8
+        rank = jnp.cumsum(is_esc) - is_esc
+        # pixel position of escape #r (unused slots -> dump index hw)
+        pos = jnp.full(cap + 1, hw, jnp.int32).at[
+            jnp.where(is_esc, rank, cap)
+        ].set(jnp.arange(hw, dtype=jnp.int32))
+        esc_plane = jnp.zeros(hw + 1, jnp.int32).at[pos[:cap]].set(
+            escf.astype(jnp.int32))[:hw]
+        d = jnp.where(is_esc, esc_plane, nibf)
+        px = 128 + jnp.cumsum(d.reshape(h, w), axis=1)
+        return px.astype(jnp.uint8)
+
+    return jax.vmap(one)(nib, esc)
+
+
 # ---------------------------------------------------------------------------
 # Device side (traced; called inside the chunk jits, vmapped over frames)
 # ---------------------------------------------------------------------------
