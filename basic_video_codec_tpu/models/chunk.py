@@ -120,7 +120,7 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
     if not tail:
         return heads
     if not tails:
-        return heads, jnp.zeros(0, jnp.uint8)
+        return jnp.concatenate([heads.reshape(-1), jnp.zeros(0, jnp.uint8)])
     jks = jnp.concatenate([t[0] for t in tails])
     qvs = jnp.concatenate([t[1] for t in tails])
     qes = jnp.concatenate([t[2] for t in tails]) if q4 else None
@@ -130,7 +130,11 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
     jbzs = jnp.concatenate([t[6] for t in tails])
     jbns = jnp.concatenate([jnp.atleast_1d(t[7]) for t in tails])
     pool = P.pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs, jbns)
-    return heads, pool
+    # ONE fused buffer [K*headB + pool]: the host fetches a single
+    # predictively-sized prefix per chunk (heads + used tail bytes) — one
+    # d2h wait instead of two, and round-trip spikes through the relay hit
+    # once per chunk (models/pipeline.tail_prefetch)
+    return jnp.concatenate([heads.reshape(-1), pool])
 
 
 def _pack_intra_recon(recon, qdct, smalls, bs, nb, nbr, nbc, cap,
@@ -234,7 +238,7 @@ def encode_chunk_intra_only(
         qns = qp[4] if q4 else jnp.zeros(qt.shape[0], jnp.int32)
         pool = P.pack_tail_pool(layout, None, qv, qp[3] if q4 else None,
                                 jnp.zeros(qt.shape[0], jnp.int32), qt, qns)
-        packed = (packed, pool)
+        packed = jnp.concatenate([packed.reshape(-1), pool])
     return recons, arts, qdcts, smalls, packed
 
 

@@ -67,6 +67,14 @@ def _stage(name):
     return STAGE_TIMER(name) if STAGE_TIMER is not None else contextlib.nullcontext()
 
 
+def _acct(name, nbytes):
+    """Wire-byte accounting under BVC_PROFILE: the 'total' column of rows
+    named '... MB' is megabytes, not seconds."""
+    if STAGE_TIMER is not None and nbytes:
+        STAGE_TIMER.totals[name] += nbytes / 1e6
+        STAGE_TIMER.counts[name] += 1
+
+
 
 def _table_arrays(ec):
     """RC lookup as device arrays (ascending QP; always the 'I' column — the
@@ -616,65 +624,75 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         futures.append(fin_pool.submit(
             _finalize_compact, idx, curr, f, ec, reb, a_full))
 
-    # chunks whose heads are parsed and whose tail-pool slice copy is in
-    # flight; lagging the tail fetch one chunk hides its round-trip
-    tail_ctx: deque = deque()
     # recent per-frame tail byte totals per chunk kind, for the predictive
     # prefetch: the device executes programs strictly in dispatch order, so
     # a pool slice dispatched at FETCH time queues behind every later
-    # chunk's compute (~60 ms) — instead a slice sized from recent totals
-    # (25% margin) is dispatched right after its own chunk program, and the
-    # late exactly-sized fetch only happens on a content jump (rare)
+    # chunk's compute (~60 ms) — instead a fused heads+tail prefix sized
+    # from recent totals (15% margin) is dispatched right after its own
+    # chunk program, and a late exactly-sized fetch only happens on a
+    # content jump (rare).  The fused buffer makes this ONE d2h wait per
+    # chunk, so relay round-trip spikes hit once, not twice.
     tail_stats: dict = {}
 
     def tail_prefetch(kind, dev, n_frames):
         if not tail_mode:
             return None
-        pool_dev = dev[4][1]
-        cap = pool_dev.shape[0]
+        fused = dev[4]
+        lay = layouts[kind]
+        base = n_frames * lay.total
         hist = tail_stats.get(kind)
         if hist:
             # 15% margin + 4 KB over the recent worst: a shortfall only
             # costs one late exactly-sized fetch (queued behind in-flight
             # chunks), so the margin stays tight
-            n = min(cap, _bucket(int(max(hist) * n_frames * 1.15) + 4096))
+            est = int(max(hist) * n_frames * 1.15) + 4096
         else:
-            n = cap  # first chunk of this kind: no estimate yet
-        sl = pool_dev[:n]
+            # first chunk of this kind: no estimate yet — a third of the
+            # cap covers the measured 20-35% typical pool occupancy, and a
+            # shortfall only costs one late fetch (a cap-sized prefetch
+            # would move ~0.5 MB/chunk through the ~20 MB/s d2h tunnel)
+            est = n_frames * PK.tail_pool_cap(lay) // 3
+        n = min(fused.shape[0], base + _bucket(est))
+        sl = fused[:n]
         sl.copy_to_host_async()
         return sl
 
     def parse_compact(indices, currs, kind, dev, pre):
-        """Tail stage A: fetch the head rows, derive the pool offsets from
-        the head counts, and locate the pool bytes — normally the
-        prefetched slice ``pre``; on prediction shortfall a late
-        exactly-sized slice."""
+        """Tail stage A: ONE d2h wait on the prefetched fused prefix; split
+        heads from it, derive the pool offsets from the head counts, and
+        slice the pool bytes — on prediction shortfall only, a late
+        exactly-sized fetch."""
         lay = layouts[kind]
+        if not tail_mode:
+            with _stage("fetch (device_get)"):
+                heads = jax.device_get(dev[4])
+            _acct("d2h MB", heads.nbytes)
+            return (indices, currs, kind, dev, heads, None, None)
+        k = len(indices)
+        base = k * lay.total
         with _stage("fetch (device_get)"):
-            heads = jax.device_get(dev[4][0] if tail_mode else dev[4])
-        segs = sl = None
-        if tail_mode:
-            sizes = [sum(lay.tail_sizes(*lay.head_counts(heads[k])))
-                     for k in range(heads.shape[0])]
-            segs = np.cumsum([0] + sizes)
-            total = int(segs[-1])
-            tail_stats.setdefault(kind, deque(maxlen=4)).append(
-                total / max(len(indices), 1))
-            if total:
-                if pre is not None and pre.shape[0] >= total:
-                    sl = pre
-                else:
-                    pool_dev = dev[4][1]
-                    sl = pool_dev[: min(_bucket(total), pool_dev.shape[0])]
-                    sl.copy_to_host_async()
-        return (indices, currs, kind, dev, heads, segs, sl)
+            buf = jax.device_get(pre)
+        _acct("d2h MB", buf.nbytes)
+        heads = buf[:base].reshape(k, lay.total)
+        sizes = [sum(lay.tail_sizes(*lay.head_counts(heads[i])))
+                 for i in range(k)]
+        segs = np.cumsum([0] + sizes)
+        total = int(segs[-1])
+        tail_stats.setdefault(kind, deque(maxlen=4)).append(total / max(k, 1))
+        tail_np = buf[base : base + total]
+        if tail_np.size < total:
+            fused = dev[4]
+            sl = fused[: min(base + _bucket(total), fused.shape[0])]
+            with _stage("fetch (late top-up)"):
+                late = jax.device_get(sl)
+            _acct("d2h MB", late.nbytes)
+            tail_np = late[base : base + total]
+        return (indices, currs, kind, dev, heads, segs, tail_np)
 
     def finish_compact(ctx):
-        """Tail stage B: collect the pool bytes; chain per-frame rebuilds
-        (serial worker) and submit per-frame finalize jobs (parallel pool)."""
-        indices, currs, kind, dev, heads, segs, sl = ctx
-        with _stage("fetch (device_get)"):
-            tail_np = jax.device_get(sl) if sl is not None else None
+        """Tail stage B (host-only now): chain per-frame rebuilds (serial
+        worker) and submit per-frame finalize jobs (parallel pool)."""
+        indices, currs, kind, dev, heads, segs, tail_np = ctx
         lay = layouts[kind]
         if kind in ("intra_all", "two_pass"):
             d_recons, d_arts, d_qdcts, pos = dev[0], dev[1], dev[2], 0
@@ -698,19 +716,13 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                                d_qdcts, d_arts, d_recons, k - pos)
         return futures
 
-    def drain_tails(keep: int):
-        while len(tail_ctx) > keep:
-            ctx, dt = tail_ctx.popleft()
-            pending_fin.append((finish_compact(ctx), dt))
-
     def fetch_chunk():
         indices, currs, kind, dev, dispatch_dt, pre = pending_dev.popleft()
         per_frame_dt = dispatch_dt / max(len(indices), 1)
         nonlocal last_recon
         if compact:
-            tail_ctx.append((parse_compact(indices, currs, kind, dev, pre),
-                             per_frame_dt))
-            drain_tails(1 if tail_mode else 0)
+            ctx = parse_compact(indices, currs, kind, dev, pre)
+            pending_fin.append((finish_compact(ctx), per_frame_dt))
             return
         futures = []
         if kind == "two_pass":
@@ -720,6 +732,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             hw = ph * pw
             with _stage("fetch (device_get)"):
                 bundle = jax.device_get(dev[4])  # [K, NB] uint8
+            _acct("d2h MB", bundle.nbytes)
             recons = []
             for k in range(bundle.shape[0]):
                 buf = bundle[k]
@@ -808,24 +821,29 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             if n_frames == 0:
                 break
             t_disp = time.time()
-            frames_np = np.stack([
-                pad_frame(np.frombuffer(
-                    raw[i * y_size : (i + 1) * y_size], dtype=np.uint8
-                ).reshape(params.height, params.width), bs)
-                for i in range(n_frames)
-            ])
+            with _stage("dispatch: pad+stack"):
+                frames_np = np.stack([
+                    pad_frame(np.frombuffer(
+                        raw[i * y_size : (i + 1) * y_size], dtype=np.uint8
+                    ).reshape(params.height, params.width), bs)
+                    for i in range(n_frames)
+                ])
             nbr = frames_np.shape[1] // bs
             pshape = None
             fr_dev = None
             if upack:
                 from ..entropy.native import pack_input_frames
 
-                ubuf = pack_input_frames(frames_np, PK.input_esc_cap(ph, pw))
+                with _stage("dispatch: input pack"):
+                    ubuf = pack_input_frames(frames_np, PK.input_esc_cap(ph, pw))
                 if ubuf is not None:
-                    fr_dev = jnp.asarray(ubuf)
+                    with _stage("dispatch: h2d asarray"):
+                        fr_dev = jnp.asarray(ubuf)
                     pshape = (n_frames, ph, pw)
             if fr_dev is None:
-                fr_dev = jnp.asarray(frames_np)
+                with _stage("dispatch: h2d asarray"):
+                    fr_dev = jnp.asarray(frames_np)
+            _acct("h2d MB", fr_dev.nbytes)
             row_qps = jnp.full(nbr, ec.quantization_factor, jnp.int32)
             if two_pass:
                 dev, ref, hp, nv, prev_avg = encode_chunk_two_pass(
@@ -836,9 +854,9 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     mv8=mv8, q4=q4, tail=tail_mode, packed_shape=pshape,
                 )
                 kind = "two_pass"
-                # one bundled buffer per chunk (tail mode: async-copy the
-                # heads only; the pool travels sliced at fetch time)
-                leaves = (dev[4][0],) if tail_mode else (dev[4],)
+                # one bundled buffer per chunk (tail mode: the prefetched
+                # fused prefix is the only copy in flight)
+                leaves = () if tail_mode else (dev[4],)
             elif intra_only:
                 # every frame clears the references: fully parallel vmap chunk
                 dev = encode_chunk_intra_only(
@@ -847,7 +865,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     int8q=int8q, q4=q4, tail=tail_mode, packed_shape=pshape,
                 )
                 kind = "intra_all"
-                leaves = ((dev[4][0],) if tail_mode else (dev[4],)) if compact else dev
+                leaves = (() if tail_mode else (dev[4],)) if compact else dev
             elif multiref:
                 out = encode_chunk_multiref(
                     fr_dev, ref, hp, nv, row_qps, budget0,
@@ -861,7 +879,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 dev = ((out[0], out[1], None, None, out[5]) if compact
                        else (out[0], out[1]))
                 kind = "intra_led" if first_is_intra else "p_only"
-                leaves = (((dev[4][0],) if tail_mode else (dev[4],))
+                leaves = ((() if tail_mode else (dev[4],))
                           if compact else dev[:2])
             else:
                 dev = encode_chunk(
@@ -872,11 +890,12 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 )
                 ref, hp = dev[2], dev[3]
                 kind = "intra_led" if first_is_intra else "p_only"
-                leaves = (((dev[4][0],) if tail_mode else (dev[4],))
+                leaves = ((() if tail_mode else (dev[4],))
                           if compact else dev[:2])
-            for leaf in jax.tree_util.tree_leaves(leaves):
-                leaf.copy_to_host_async()
-            pre = tail_prefetch(kind, dev, n_frames) if compact else None
+            with _stage("dispatch: async-copy+prefetch"):
+                for leaf in jax.tree_util.tree_leaves(leaves):
+                    leaf.copy_to_host_async()
+                pre = tail_prefetch(kind, dev, n_frames) if compact else None
             indices = list(range(n_read + 1, n_read + n_frames + 1))  # 1-based
             pending_dev.append((indices, frames_np, kind, dev,
                                 time.time() - t_disp, pre))
@@ -892,7 +911,6 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 write_chunk()
         while pending_dev:
             fetch_chunk()
-        drain_tails(0)
         while pending_fin:
             write_chunk()
         if truncated_tail:

@@ -347,4 +347,6 @@ def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, mv8,
                            False, tail=True, mvk=mvk)
     pool = P.pack_tail_pool(layout, jks, qvs, qes if q4 else None,
                             jns, qts, qns, jbzs, jbns)
-    return heads, pool
+    # fused [K*headB + pool] buffer: one predictively-sized fetch per chunk
+    # (models/chunk._pack_chunk_rows has the rationale)
+    return jnp.concatenate([heads.reshape(-1), pool])
