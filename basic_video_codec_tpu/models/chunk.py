@@ -335,6 +335,167 @@ def encode_chunk(
     return intra_out, p_out[:4], ref_out, hp_out, packed
 
 
+def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
+                            mv8, q4, h, w, tail=False, mvk=3):
+    """Compact-transfer rows for chunks whose per-frame mode is a RUNTIME
+    value (the fused two-pass chunk's scene changes, the mixed multi-GOP
+    chunk's position-scheduled intra frames), in the same ops/pack.py
+    FrameLayout as :func:`_pack_chunk_rows` — the meta/mv/modes fields are
+    selected per frame with ``where``.  With ``tail``, returns the fused
+    [K*headB + pool] buffer like the chunk packer."""
+    nbr, nbc = h // bs, w // bs
+    nb = nbr * nbc
+    vdtype = jnp.int8 if int8q else jnp.int16
+    capq = P.qdct_caps(nb, bs)
+    cap = P.esc_cap(h, w)
+
+    def row(recon, art, qdct, sm, pred_u8):
+        is_i = sm[0] == 1
+        payload = sm[1 : 1 + 5 * nb]
+        rq = sm[1 + 5 * nb : 1 + 5 * nb + nbr]
+        rb = sm[1 + 5 * nb + nbr :]
+        meta_i = jnp.stack([jnp.int32(1), payload[nb : 2 * nb].sum(),
+                            jnp.int32(2 * nb)])
+        meta_p = jnp.stack([jnp.int32(0), payload[3 * nb : 4 * nb].sum(),
+                            payload[4 * nb : 5 * nb].sum()])
+        meta = jnp.concatenate([jnp.where(is_i, meta_i, meta_p), rq, rb])
+        mv = jnp.where(is_i, 0, payload[: 3 * nb])
+        if mvk == 2:
+            mv = mv.reshape(-1, 3)[:, :2].reshape(-1)
+        modes = jnp.where(is_i, payload[:nb], 0).astype(jnp.uint8)
+        pred = pred_u8.astype(jnp.int32)
+        x = P.exact_x_blocks(qdct, rq, bs)
+        guess = P.recon_guess_from_x(x, pred, bs)
+        # art half zeroed on intra rows (their res planes are host-derived)
+        jb, jk, jn, re, rn, ae, an = P.pack_joint(
+            recon, guess, art, P.art_guess_from_x(x), cap, art_valid=~is_i)
+        qp_ = P.pack_qdct(qdct, bs, capq, vdtype, q4)
+        if tail:
+            j1, jbz, jbn = P.split_bitmap(jb)
+            codes = (j1, jbn, jn)
+        else:
+            jbz, jbn = jnp.zeros(0, jnp.uint8), jnp.int32(0)
+            codes = (jb, jk, jn)
+        head = P.pack_row(codes, re, rn, meta, mv, modes,
+                          qp_[0], qp_[1], qp_[2], ae, an, bs=bs, mv8=mv8,
+                          qe=qp_[3] if q4 else None,
+                          qn=qp_[4] if q4 else None, tail=tail)
+        qe_ = qp_[3] if q4 else jnp.zeros(0, jnp.int16)
+        qn_ = qp_[4] if q4 else jnp.int32(0)
+        return head, jk, qp_[0], qe_, jn, qp_[2], qn_, jbz, jbn
+
+    heads, jks, qvs, qes, jns, qts, qns, jbzs, jbns = jax.vmap(row)(
+        recons, arts, qdcts, smalls, preds)
+    if not tail:
+        return heads
+    layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
+                           False, tail=True, mvk=mvk)
+    pool = P.pack_tail_pool(layout, jks, qvs, qes if q4 else None,
+                            jns, qts, qns, jbzs, jbns)
+    # fused [K*headB + pool] buffer: one predictively-sized fetch per chunk
+    # (:func:`_pack_chunk_rows` has the rationale)
+    return jnp.concatenate([heads.reshape(-1), pool])
+
+
+@partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast",
+                                   "frac", "exact", "compact", "int8q",
+                                   "mv8", "q4", "tail", "packed_shape"))
+def encode_chunk_mixed(
+    frames: jnp.ndarray,        # uint8 [K, H, W] (or packed upload buffer)
+    ref0: jnp.ndarray,          # uint8 [H, W] incoming reference
+    hp0: jnp.ndarray,           # uint8 [2H, 2W] its half-pel plane (iff frac)
+    is_intra: jnp.ndarray,      # bool [K]: per-frame mode by GOP position
+    row_qps: jnp.ndarray,       # int32 [nbr]
+    budget0: jnp.ndarray,
+    tbl_qps: jnp.ndarray,
+    tbl_bits: jnp.ndarray,
+    initial_qp: jnp.ndarray,
+    bs: int,
+    search_range: int,
+    rc1: bool,
+    fast: bool,
+    frac: bool,
+    exact: bool = False,
+    compact: bool = False,
+    int8q: bool = False,
+    mv8: bool = False,
+    q4: bool = False,
+    tail: bool = False,
+    packed_shape: tuple | None = None,
+):
+    """Multi-GOP chunk (single reference, RC 0/1): a ``lax.scan`` whose step
+    ``lax.cond``s into the intra or P encode by the frame's GOP position, so
+    one dispatched program (and ONE d2h fetch) spans I-frame boundaries —
+    :func:`encode_chunk` caps chunks at ``I_Period`` frames, which leaves
+    2-10-frame chunks paying a relay round-trip each on short-GOP configs
+    (the reference's own benchmark configs run I_Period 1-21,
+    /root/reference/assign1/ex4_plots.py, assign3/Deliverable.py).
+
+    The per-frame mode is a TRACED array, so every chunk composition reuses
+    one compiled program per chunk length.  Returns
+    ``((recons, arts, qdcts, smalls, packed), ref_out, hp_out)`` with the
+    runtime-mode smalls layout of models/two_pass.py (mode-led, mvk=2)."""
+    if packed_shape is not None:
+        frames = P.unpack_input_chunk(frames, *packed_shape)
+    k, h, w = frames.shape
+    nbr, nbc = h // bs, w // bs
+    nb = nbr * nbc
+    zeros_hp = jnp.zeros((2 * h, 2 * w), jnp.uint8)
+
+    def step(carry, x):
+        ref, hp = carry
+        curr, is_i = x
+
+        def as_intra(_):
+            recon, hp2, art, qdct, smalls = intra_encode_frame(
+                curr, row_qps, budget0, tbl_qps, tbl_bits, initial_qp, bs,
+                rc1, emit_halfpel=frac, exact=exact,
+            )
+            modes = smalls[:nb]
+            sm = jnp.concatenate([
+                jnp.ones(1, jnp.int32), smalls[: 2 * nb],
+                jnp.zeros(3 * nb, jnp.int32), smalls[2 * nb :],
+            ])
+            out = (recon, hp2 if frac else hp, art, qdct, sm)
+            if compact:
+                pred = P.intra_pred_plane(recon, modes.reshape(nbr, nbc), bs)
+                out = out + (pred.astype(jnp.uint8),)
+            return out
+
+        def as_p(_):
+            out_p = pframe_encode(
+                curr, (ref,), (hp,) if frac else (), row_qps, budget0,
+                tbl_qps, tbl_bits, initial_qp, bs, search_range, rc1, fast,
+                frac, False, emit_halfpel=frac, exact=exact,
+                emit_pred=compact,
+            )
+            recon, hp2, art, qdct, smalls = out_p[:5]
+            sm = jnp.concatenate([jnp.zeros(1, jnp.int32), smalls])
+            out = (recon, hp2 if frac else hp, art, qdct, sm)
+            if compact:
+                out = out + (out_p[5],)
+            return out
+
+        res = jax.lax.cond(is_i, as_intra, as_p, None)
+        recon, hp2 = res[0], res[1]
+        return (recon, hp2), (recon,) + res[2:]
+
+    carry = (ref0, hp0 if frac else zeros_hp)
+    (ref_out, hp_out), scanned = jax.lax.scan(step, carry, (frames, is_intra))
+    recons, arts, qdcts, smalls = scanned[:4]
+    if compact:
+        packed = _pack_runtime_mode_rows(recons, arts, qdcts, smalls,
+                                         scanned[4], bs, int8q, mv8, q4,
+                                         h, w, tail=tail, mvk=2)
+    else:
+        # bundle the full planes into one buffer per chunk (the two_pass
+        # non-compact transport: bitcast+concat, one transfer per chunk)
+        packed = jax.vmap(
+            lambda r, a, q, sm: P.concat_bytes(r, a, q, sm)
+        )(recons, arts, qdcts, smalls)
+    return (recons, arts, qdcts, smalls, packed), ref_out, hp_out
+
+
 def _push_ref(refs, hps, n_valid, recon, hp, frac):
     """Append to a fixed-shape rolling reference stack (deque semantics:
     slot 0 = oldest, reference encoder.py:33/PFrame.py:103).  While warming

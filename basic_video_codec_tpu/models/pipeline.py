@@ -498,7 +498,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    from .chunk import encode_chunk, encode_chunk_intra_only, encode_chunk_multiref
+    from .chunk import (encode_chunk, encode_chunk_intra_only,
+                        encode_chunk_mixed, encode_chunk_multiref)
     from .two_pass import encode_chunk_two_pass
 
     bs = ec.block_size
@@ -528,6 +529,18 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         (2 * params.height, 2 * params.width), jnp.uint8)
     multiref = ec.nRefFrames > 1
     R = ec.nRefFrames
+    intra_only_cfg = ec.I_Period == 1 and not two_pass
+    # BVC_MIXED=1: multi-GOP "mixed" chunks (single reference, RC 0/1) —
+    # the per-frame mode is a traced array, so one program (and ONE d2h
+    # fetch) spans I-frame boundaries and chunk length stops being capped
+    # at the GOP.  Fewer round-trips per frame, but the per-step lax.cond
+    # (intra vs P) costs ~1-2 ms/frame of device time, so at typical
+    # tunnel weather the per-GOP default measures equal-or-faster
+    # (PROFILE.md section 7); the mixed path is the insurance knob for
+    # round-trip-spike weather.  Artifacts are byte-identical either way
+    # (asserted in tests/test_tpu_pipeline.py and on real hardware).
+    mixed_path = (not two_pass and not multiref and not intra_only_cfg
+                  and os.environ.get("BVC_MIXED", "0") != "0")
     if multiref or two_pass:
         # rolling reference stack, deque semantics: slot 0 = oldest; the
         # reference seeds the deque with one gray frame (encoder.py:33).
@@ -592,10 +605,13 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                                     jt, tail=tail_mode, mvk=mvk),
         "p_only": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
                                  jt, tail=tail_mode, mvk=mvk),
-        # mode is a runtime value per frame (scene changes), so every row
-        # carries both mv and art fields; intra rows zero the unused ones
+        # mode is a runtime value per frame (scene changes / GOP-position
+        # intra), so every row carries both mv and art fields; intra rows
+        # zero the unused ones
         "two_pass": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
                                    False, tail=tail_mode, mvk=mvk),
+        "mixed": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
+                                False, tail=tail_mode, mvk=mvk),
     }
 
     rebuilder = _ReconRebuilder(ec, ph, pw, fin_pool) if compact else None
@@ -694,7 +710,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         worker) and submit per-frame finalize jobs (parallel pool)."""
         indices, currs, kind, dev, heads, segs, tail_np = ctx
         lay = layouts[kind]
-        if kind in ("intra_all", "two_pass"):
+        if kind in ("intra_all", "two_pass", "mixed"):
             d_recons, d_arts, d_qdcts, pos = dev[0], dev[1], dev[2], 0
             intra_head = None
         else:
@@ -725,9 +741,9 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             pending_fin.append((finish_compact(ctx), per_frame_dt))
             return
         futures = []
-        if kind == "two_pass":
+        if kind in ("two_pass", "mixed"):
             # one bundled buffer per chunk (bitcast-concat of the full
-            # planes, two_pass.py) -> split into per-frame views here
+            # planes, two_pass.py / chunk.py) -> split into per-frame views
             nb = nb_pad  # smalls are laid out over PADDED block counts
             hw = ph * pw
             with _stage("fetch (device_get)"):
@@ -805,10 +821,11 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         while True:
             if n_read >= params.frames_to_process:
                 break
-            intra_only = ec.I_Period == 1 and not two_pass
+            intra_only = intra_only_cfg
             pos_in_gop = n_read % ec.I_Period
             first_is_intra = pos_in_gop == 0
-            k = (min(MAX_CHUNK, params.frames_to_process - n_read) if intra_only
+            k = (min(MAX_CHUNK, params.frames_to_process - n_read)
+                 if intra_only or mixed_path
                  else min(MAX_CHUNK, ec.I_Period - pos_in_gop,
                           params.frames_to_process - n_read))
             raw = f_in.read(y_size * k)
@@ -866,6 +883,18 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 )
                 kind = "intra_all"
                 leaves = (() if tail_mode else (dev[4],)) if compact else dev
+            elif mixed_path:
+                is_i = jnp.asarray(np.fromiter(
+                    ((n_read + i) % ec.I_Period == 0 for i in range(n_frames)),
+                    dtype=bool, count=n_frames))
+                dev, ref, hp = encode_chunk_mixed(
+                    fr_dev, ref, hp, is_i, row_qps, budget0, tbl[0], tbl[1],
+                    initial_qp, bs, max(ec.search_range, 0), rc1, ec.fastME,
+                    frac, exact=exact, compact=compact, int8q=int8q, mv8=mv8,
+                    q4=q4, tail=tail_mode, packed_shape=pshape,
+                )
+                kind = "mixed"
+                leaves = () if tail_mode else (dev[4],)
             elif multiref:
                 out = encode_chunk_multiref(
                     fr_dev, ref, hp, nv, row_qps, budget0,

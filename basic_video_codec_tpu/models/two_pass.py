@@ -37,7 +37,7 @@ from ..ops import transform as T
 from ..ops.fastme import fast_search_frame
 from ..ops.intra import intra_encode_frame
 from ..ops.me import full_search, gather_pred_blocks
-from .chunk import _push_ref
+from .chunk import _pack_runtime_mode_rows, _push_ref
 from .pframe import _wrap_int8_bits
 
 SCENE_CHANGE_THRESHOLD = 1.3  # reference encoder.py:30
@@ -277,9 +277,9 @@ def encode_chunk_two_pass(
         out = scanned
     if compact:
         recons, arts, qdcts, smalls_all, preds_all = out
-        packed = _pack_two_pass_rows(recons, arts, qdcts, smalls_all,
-                                     preds_all, bs, int8q, mv8, q4, h, w,
-                                     tail=tail, mvk=2 if R == 1 else 3)
+        packed = _pack_runtime_mode_rows(recons, arts, qdcts, smalls_all,
+                                         preds_all, bs, int8q, mv8, q4, h, w,
+                                         tail=tail, mvk=2 if R == 1 else 3)
         out = out[:4]
     else:
         # bundle the FULL planes into one buffer per chunk: pure
@@ -291,62 +291,3 @@ def encode_chunk_two_pass(
     return out + (packed,), refs_out, hps_out, nv_out, avg_out
 
 
-def _pack_two_pass_rows(recons, arts, qdcts, smalls, preds, bs, int8q, mv8,
-                        q4, h, w, tail=False, mvk=3):
-    """Compact-transfer rows for the fused two-pass chunk, in the same
-    ops/pack.py FrameLayout as models/chunk.py._pack_chunk_rows — the frame
-    mode (I on GOP starts and scene changes, else P) is a runtime value, so
-    the meta/mv/modes fields are selected per frame with ``where``.  With
-    ``tail``, returns ``(heads, pool)`` like the chunk packer."""
-    nbr, nbc = h // bs, w // bs
-    nb = nbr * nbc
-    vdtype = jnp.int8 if int8q else jnp.int16
-    capq = P.qdct_caps(nb, bs)
-    cap = P.esc_cap(h, w)
-
-    def row(recon, art, qdct, sm, pred_u8):
-        is_i = sm[0] == 1
-        payload = sm[1 : 1 + 5 * nb]
-        rq = sm[1 + 5 * nb : 1 + 5 * nb + nbr]
-        rb = sm[1 + 5 * nb + nbr :]
-        meta_i = jnp.stack([jnp.int32(1), payload[nb : 2 * nb].sum(),
-                            jnp.int32(2 * nb)])
-        meta_p = jnp.stack([jnp.int32(0), payload[3 * nb : 4 * nb].sum(),
-                            payload[4 * nb : 5 * nb].sum()])
-        meta = jnp.concatenate([jnp.where(is_i, meta_i, meta_p), rq, rb])
-        mv = jnp.where(is_i, 0, payload[: 3 * nb])
-        if mvk == 2:
-            mv = mv.reshape(-1, 3)[:, :2].reshape(-1)
-        modes = jnp.where(is_i, payload[:nb], 0).astype(jnp.uint8)
-        pred = pred_u8.astype(jnp.int32)
-        x = P.exact_x_blocks(qdct, rq, bs)
-        guess = P.recon_guess_from_x(x, pred, bs)
-        # art half zeroed on intra rows (their res planes are host-derived)
-        jb, jk, jn, re, rn, ae, an = P.pack_joint(
-            recon, guess, art, P.art_guess_from_x(x), cap, art_valid=~is_i)
-        qp_ = P.pack_qdct(qdct, bs, capq, vdtype, q4)
-        if tail:
-            j1, jbz, jbn = P.split_bitmap(jb)
-            codes = (j1, jbn, jn)
-        else:
-            jbz, jbn = jnp.zeros(0, jnp.uint8), jnp.int32(0)
-            codes = (jb, jk, jn)
-        head = P.pack_row(codes, re, rn, meta, mv, modes,
-                          qp_[0], qp_[1], qp_[2], ae, an, bs=bs, mv8=mv8,
-                          qe=qp_[3] if q4 else None,
-                          qn=qp_[4] if q4 else None, tail=tail)
-        qe_ = qp_[3] if q4 else jnp.zeros(0, jnp.int16)
-        qn_ = qp_[4] if q4 else jnp.int32(0)
-        return head, jk, qp_[0], qe_, jn, qp_[2], qn_, jbz, jbn
-
-    heads, jks, qvs, qes, jns, qts, qns, jbzs, jbns = jax.vmap(row)(
-        recons, arts, qdcts, smalls, preds)
-    if not tail:
-        return heads
-    layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
-                           False, tail=True, mvk=mvk)
-    pool = P.pack_tail_pool(layout, jks, qvs, qes if q4 else None,
-                            jns, qts, qns, jbzs, jbns)
-    # fused [K*headB + pool] buffer: one predictively-sized fetch per chunk
-    # (models/chunk._pack_chunk_rows has the rationale)
-    return jnp.concatenate([heads.reshape(-1), pool])

@@ -274,6 +274,37 @@ def test_nref4_chunked_multi_gop(tmp_path):
     assert np.array_equal(rt, dt)
 
 
+@pytest.mark.parametrize("cfg", [
+    dict(),
+    dict(fastME=True, fracMeEnabled=True),
+    dict(RCflag=1, targetBR=600_000, W=176, H=144, resolution=(176, 144),
+         N=9),
+], ids=["fullsearch", "fastme_frac", "rc1"])
+def test_mixed_multi_gop_chunks(tmp_path, cfg, monkeypatch):
+    """BVC_MIXED=1 routes single-reference RC<=1 configs through the
+    multi-GOP mixed chunk program (runtime per-frame mode, chunks spanning
+    I-frame boundaries); every artifact must be byte-identical to the
+    per-GOP default, and the self-consistency invariant must hold."""
+    cfg = dict(cfg)
+    dims = {k: cfg.pop(k) for k in ("W", "H", "N") if k in cfg}
+    import basic_video_codec_tpu.models.pipeline as P
+
+    monkeypatch.setattr(P, "MAX_CHUNK", 6)  # force chunks across GOPs
+    monkeypatch.setenv("BVC_MIXED", "1")
+    _, io_m = _run_both(tmp_path, "mixed", I_Period=3, **dims, **cfg)
+    monkeypatch.setenv("BVC_MIXED", "0")
+    _, io_g = _run_both(tmp_path, "pergop", I_Period=3, **dims, **cfg)
+    for get in ("get_encoded_file_name", "get_mc_reconstructed_file_name",
+                "get_quant_dct_coff_fh_file_name",
+                "get_residual_w_mc_file_name",
+                "get_residual_wo_mc_file_name", "get_mv_file_name"):
+        assert filecmp.cmp(getattr(io_m, get)(), getattr(io_g, get)(),
+                           shallow=False), get
+    rt = np.fromfile(io_m.get_mc_reconstructed_file_name(), np.uint8)
+    dt = np.fromfile(io_m.get_mc_decoded_file_name(), np.uint8)
+    assert np.array_equal(rt, dt)
+
+
 # synthetic calibration table for resolutions without shipped CSVs
 # (bits-per-block-row magnitudes scaled for a 112x64 padded plane)
 _ODD_RC_TABLE = {
