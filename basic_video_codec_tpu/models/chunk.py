@@ -611,7 +611,19 @@ def encode_chunk_multiref(
     return intra_out, p_out[:4], refs_out, hps_out, nv_out, packed
 
 
-@partial(jax.jit, static_argnames=("bs", "frac", "exact"))
+def _decode_codes_row(dec, qdct, row_qps, pred_u8, bs, cap):
+    """Compact decode transfer: one frame's 2-bit correction codes vs the
+    integer-exact reconstruction guess the host recomputes from the parsed
+    stream (qdct + prediction), concat'd with the escape list and count —
+    ~HW/4 bytes instead of the HW decoded plane (the d2h tunnel is the
+    decode bottleneck too, PROFILE.md)."""
+    x = P.exact_x_blocks(qdct, row_qps, bs)
+    guess = P.recon_guess_from_x(x, pred_u8.astype(jnp.int32), bs)
+    codes2, esc, rn = P.pack_vs_base(dec, guess, cap)
+    return P.concat_bytes(codes2, esc, rn)
+
+
+@partial(jax.jit, static_argnames=("bs", "frac", "exact", "compact"))
 def decode_chunk_intra_only(
     qdcts: jnp.ndarray,     # int32 [K, H, W]
     modes: jnp.ndarray,     # int32 [K, nbr, nbc]
@@ -619,25 +631,36 @@ def decode_chunk_intra_only(
     bs: int,
     frac: bool,
     exact: bool = False,
+    compact: bool = False,
 ):
     """All-intra decode chunk: frames are independent -> vmap.
-    Returns ``(decoded [K, H, W], ref_out, hp_out)``."""
-    decoded = jax.vmap(
-        lambda q, m, r: intra_decode_frame(q, m, r, bs, emit_halfpel=False,
-                                           exact=exact)[0]
-    )(qdcts, modes, row_qps)
+    Returns ``(decoded [K, H, W], ref_out, hp_out[, packed])``."""
+    h, w = qdcts.shape[1:]
+    cap = P.esc_cap(h, w)
+
+    def one(q, m, r):
+        dec = intra_decode_frame(q, m, r, bs, emit_halfpel=False,
+                                 exact=exact)[0]
+        if not compact:
+            return dec, jnp.zeros(0, jnp.uint8)
+        pred = P.intra_pred_plane(dec, m, bs).astype(jnp.uint8)
+        return dec, _decode_codes_row(dec, q, r, pred, bs, cap)
+
+    decoded, packed = jax.vmap(one)(qdcts, modes, row_qps)
     ref_out = decoded[-1]
     if frac:
         from ..ops.interp import build_half_pel
 
         hp_out = build_half_pel(ref_out)
     else:
-        h, w = qdcts.shape[1:]
         hp_out = jnp.zeros((2 * h, 2 * w), jnp.uint8)
+    if compact:
+        return decoded, ref_out, hp_out, packed
     return decoded, ref_out, hp_out
 
 
-@partial(jax.jit, static_argnames=("bs", "frac", "first_is_intra", "exact"))
+@partial(jax.jit, static_argnames=("bs", "frac", "first_is_intra", "exact",
+                                   "compact"))
 def decode_chunk(
     qdcts: jnp.ndarray,     # int32 [K, H, W]
     mvs: jnp.ndarray,       # int32 [K, nbr, nbc, 3] (row 0 ignored if intra)
@@ -649,14 +672,21 @@ def decode_chunk(
     frac: bool,
     first_is_intra: bool,
     exact: bool = False,
+    compact: bool = False,
 ):
     """Decode one GOP segment in a single program (the decode mirror of
-    :func:`encode_chunk`).  Returns ``(decoded [K, H, W], ref_out, hp_out)``."""
+    :func:`encode_chunk`).  Returns ``(decoded [K, H, W], ref_out,
+    hp_out[, packed [K, rowB]])``."""
     k, h, w = qdcts.shape
+    cap = P.esc_cap(h, w)
 
     if first_is_intra:
         dec0, hp_i = intra_decode_frame(qdcts[0], modes0, row_qps[0], bs,
                                         emit_halfpel=frac, exact=exact)
+        if compact:
+            pred0 = P.intra_pred_plane(dec0, modes0, bs).astype(jnp.uint8)
+            row0 = _decode_codes_row(dec0, qdcts[0], row_qps[0], pred0, bs,
+                                     cap)
         carry = (dec0, hp_i if frac else hp0)
         p_qdcts, p_mvs, p_qps = qdcts[1:], mvs[1:], row_qps[1:]
     else:
@@ -666,25 +696,37 @@ def decode_chunk(
     def step(carry, inp):
         ref, hp = carry
         qdct, mv, qps = inp
-        dec, hp2 = pframe_decode(qdct, mv, qps, (ref,), (hp,) if frac else (),
-                                 bs, frac, emit_halfpel=frac, exact=exact)
+        out = pframe_decode(qdct, mv, qps, (ref,), (hp,) if frac else (),
+                            bs, frac, emit_halfpel=frac, exact=exact,
+                            emit_pred=compact)
+        dec, hp2 = out[0], out[1]
         if not frac:
             hp2 = hp
-        return (dec, hp2), dec
+        ys = ((dec, _decode_codes_row(dec, qdct, qps, out[2], bs, cap))
+              if compact else dec)
+        return (dec, hp2), ys
 
     if p_qdcts.shape[0] > 0:
-        (ref_out, hp_out), decs = jax.lax.scan(step, carry, (p_qdcts, p_mvs, p_qps))
+        (ref_out, hp_out), scanned = jax.lax.scan(
+            step, carry, (p_qdcts, p_mvs, p_qps))
+        decs, rows = scanned if compact else (scanned, None)
     else:
         ref_out, hp_out = carry
         decs = jnp.zeros((0, h, w), jnp.uint8)
+        rows = jnp.zeros((0, h * w // 4 + cap + 4), jnp.uint8)
     if first_is_intra:
         decoded = jnp.concatenate([dec0[None], decs])
+        if compact:
+            rows = jnp.concatenate([row0[None], rows])
     else:
         decoded = decs
+    if compact:
+        return decoded, ref_out, hp_out, rows
     return decoded, ref_out, hp_out
 
 
-@partial(jax.jit, static_argnames=("bs", "frac", "first_is_intra", "exact"))
+@partial(jax.jit, static_argnames=("bs", "frac", "first_is_intra", "exact",
+                                   "compact"))
 def decode_chunk_multiref(
     qdcts: jnp.ndarray,     # int32 [K, H, W]
     mvs: jnp.ndarray,       # int32 [K, nbr, nbc, 3] (row 0 ignored if intra)
@@ -697,17 +739,24 @@ def decode_chunk_multiref(
     frac: bool,
     first_is_intra: bool,
     exact: bool = False,
+    compact: bool = False,
 ):
     """nRefFrames > 1 decode chunk: :func:`decode_chunk` with a rolling
     reference stack (encoder-produced MV ref indices are always < the
     populated slot count, so no candidate masking is needed here).
-    Returns ``(decoded [K, H, W], refs_out, hps_out, n_valid_out)``."""
+    Returns ``(decoded [K, H, W], refs_out, hps_out, n_valid_out
+    [, packed])``."""
     k, h, w = qdcts.shape
     R = refs0.shape[0]
+    cap = P.esc_cap(h, w)
 
     if first_is_intra:
         dec0, hp_i = intra_decode_frame(qdcts[0], modes0, row_qps[0], bs,
                                         emit_halfpel=frac, exact=exact)
+        if compact:
+            pred0 = P.intra_pred_plane(dec0, modes0, bs).astype(jnp.uint8)
+            row0 = _decode_codes_row(dec0, qdcts[0], row_qps[0], pred0, bs,
+                                     cap)
         refs_c = jnp.zeros((R, h, w), jnp.uint8)
         hps_c = jnp.zeros((R, 2 * h, 2 * w), jnp.uint8)
         refs_c, hps_c, nv = _push_ref(
@@ -722,21 +771,31 @@ def decode_chunk_multiref(
     def step(carry, inp):
         refs, hps, nv = carry
         qdct, mv, qps = inp
-        dec, hp2 = pframe_decode(qdct, mv, qps, refs, hps if frac else (),
-                                 bs, frac, emit_halfpel=frac, exact=exact)
+        out = pframe_decode(qdct, mv, qps, refs, hps if frac else (),
+                            bs, frac, emit_halfpel=frac, exact=exact,
+                            emit_pred=compact)
+        dec, hp2 = out[0], out[1]
         refs, hps, nv = _push_ref(
             refs, hps, nv, dec,
             hp2 if frac else jnp.zeros((2 * h, 2 * w), jnp.uint8), frac)
-        return (refs, hps, nv), dec
+        ys = ((dec, _decode_codes_row(dec, qdct, qps, out[2], bs, cap))
+              if compact else dec)
+        return (refs, hps, nv), ys
 
     if p_qdcts.shape[0] > 0:
-        (refs_out, hps_out, nv_out), decs = jax.lax.scan(
+        (refs_out, hps_out, nv_out), scanned = jax.lax.scan(
             step, carry, (p_qdcts, p_mvs, p_qps))
+        decs, rows = scanned if compact else (scanned, None)
     else:
         refs_out, hps_out, nv_out = carry
         decs = jnp.zeros((0, h, w), jnp.uint8)
+        rows = jnp.zeros((0, h * w // 4 + cap + 4), jnp.uint8)
     if first_is_intra:
         decoded = jnp.concatenate([dec0[None], decs])
+        if compact:
+            rows = jnp.concatenate([row0[None], rows])
     else:
         decoded = decs
+    if compact:
+        return decoded, refs_out, hps_out, nv_out, rows
     return decoded, refs_out, hps_out, nv_out

@@ -180,7 +180,8 @@ def pframe_encode(
     return out
 
 
-@partial(jax.jit, static_argnames=("bs", "frac", "emit_halfpel", "exact"))
+@partial(jax.jit, static_argnames=("bs", "frac", "emit_halfpel", "exact",
+                                   "emit_pred"))
 def pframe_decode(
     qdct: jnp.ndarray,         # int16/int32 [H, W]
     mvs: jnp.ndarray,          # int32 [nbr, nbc, 3]
@@ -191,8 +192,10 @@ def pframe_decode(
     frac: bool,
     emit_halfpel: bool = False,
     exact: bool = False,
+    emit_pred: bool = False,   # append the MC prediction plane (uint8 [H, W])
 ):
-    """Reference construct_frame_from_dct_and_mv (PFrame.py:252-317), batched."""
+    """Reference construct_frame_from_dct_and_mv (PFrame.py:252-317), batched.
+    ``emit_pred`` feeds the decode pipeline's compact-transfer packer."""
     h, w = qdct.shape
     nbr, nbc = h // bs, w // bs
     d = jnp.asarray(T.dct_matrix(bs))
@@ -214,5 +217,10 @@ def pframe_decode(
     if emit_halfpel:
         from ..ops.interp import build_half_pel
 
-        return decoded, build_half_pel(decoded)
-    return decoded, None
+        out = (decoded, build_half_pel(decoded))
+    else:
+        out = (decoded, None)
+    if emit_pred:
+        out = out + (preds.transpose(0, 2, 1, 3).reshape(h, w)
+                     .astype(jnp.uint8),)
+    return out

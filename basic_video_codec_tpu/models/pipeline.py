@@ -1199,38 +1199,102 @@ def decode_video(params: InputParameters):
     """Pipelined decode: host entropy parsing (native codec) feeds async
     device dispatches.  The decode mirrors the encoder's GOP chunking — one
     program per [I P..P] / all-intra segment, with a rolling reference stack
-    for nRefFrames > 1 — and decoded planes are fetched and written with a
-    lag so the device chain never waits."""
+    for nRefFrames > 1.
+
+    By default (BVC_DCOMPACT=1) decoded frames travel as 2-bit correction
+    codes against the integer-exact reconstruction guess the host rebuilds
+    from the parsed stream (qdct + MC/intra prediction — the same
+    ops/pack.py machinery the encoder uses), ~HW/4 bytes instead of the HW
+    plane: the d2h tunnel is the decode bottleneck too (PROFILE.md).
+    Escape-overflow frames fall back to fetching the full decoded plane."""
     ec = params.encoder_config
     file_io = FileIOHelper(params)
     bs = ec.block_size
     width, height = padded_dims(params.width, params.height, bs)
     frac = ec.fracMeEnabled
+    compact = os.environ.get("BVC_DCOMPACT", "1") != "0"
+    cape = None
+    from ..ops import pack as PK
+
+    if compact:
+        cape = PK.esc_cap(height, width)
+    hw = height * width
 
     with open(file_io.get_mc_reconstructed_file_name(), "rb") as recon_fh, \
          open(file_io.get_encoded_file_name(), "rb") as encoded_fh, \
          open(file_io.get_mc_decoded_file_name(), "wb") as decoded_fh:
 
         pending: deque = deque()
+        # host mirror of the decoder's reference deque (gray-seeded,
+        # reference decoder.py:34-38) for the compact-path rebuild
+        hist: deque = deque([np.full((height, width), 128, np.uint8)],
+                            maxlen=ec.nRefFrames)
+
+        def rebuild(meta, row, dev_decoded, k):
+            """One frame's decoded plane from its correction-code row +
+            the parsed stream fields (host twin of _decode_codes_row)."""
+            _, mode, row_qps, modes, mvs, qdct = meta
+            codes2 = row[: hw // 4]
+            esc = row[hw // 4 : hw // 4 + cape]
+            rn = int(row[hw // 4 + cape :].view(np.int32)[0])
+            if rn > cape:  # escape overflow: fetch the full plane (rare)
+                dec = np.asarray(dev_decoded[k])
+                if mode == INTRA:
+                    hist.clear()
+                hist.append(dec)
+                return dec
+            x, _ = PK.host_x_art(np.asarray(qdct, np.int16), row_qps, bs,
+                                 want_art=False)
+            if mode == INTRA:
+                hist.clear()
+                dec = PK.host_rebuild_intra_recon(
+                    qdct, modes.astype(np.int32), row_qps, codes2, esc, bs,
+                    x=x)
+            else:
+                refs = np.stack(hist)
+                hps = (np.stack([_host_halfpel(r) for r in hist])
+                       if frac else None)
+                pred = PK.host_pred_inter(refs, mvs, bs, frac, hps)
+                dec = PK.unpack_vs_base(
+                    codes2, esc, PK.host_recon_guess_from_x(x, pred, bs))
+            hist.append(dec)
+            return dec
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        # one ordered worker: the rebuild chain is reference-serial (frame
+        # k's plane predicts k+1), but it overlaps the main thread's
+        # psnr/write work (the native kernels release the GIL)
+        rebuild_pool = ThreadPoolExecutor(max_workers=1)
 
         def drain_one():
-            indices, dev = pending.popleft()
-            planes = np.asarray(dev)
-            if planes.ndim == 2:
-                planes = planes[None]
+            indices, dev, packed, metas = pending.popleft()
+            if compact:
+                rows = jax.device_get(packed)
+                planes = [rebuild_pool.submit(rebuild, metas[k], rows[k],
+                                              dev, k)
+                          for k in range(len(indices))]
+            else:
+                arr = np.asarray(dev)
+                planes = arr[None] if arr.ndim == 2 else arr
             for idx, decoded_np in zip(indices, planes):
+                if hasattr(decoded_np, "result"):
+                    decoded_np = decoded_np.result()
                 ref_plane = np.frombuffer(recon_fh.read(width * height), dtype=np.uint8)
                 frame_psnr = psnr(decoded_np, ref_plane.reshape(height, width))
                 logger.info(f"{idx:2}: psnr [{round(frame_psnr, 2):6.2f}]")
                 write_y_only_frame(decoded_fh, decoded_np)
 
-        _decode_chunked(params, ec, encoded_fh, pending, drain_one)
-        while pending:
-            drain_one()
+        try:
+            _decode_chunked(params, ec, encoded_fh, pending, drain_one, compact)
+            while pending:
+                drain_one()
+        finally:
+            rebuild_pool.shutdown(wait=True)
     logger.info("End decoding")
 
 
-def _decode_chunked(params, ec, encoded_fh, pending, drain_one):
+def _decode_chunked(params, ec, encoded_fh, pending, drain_one, compact=False):
     from .chunk import decode_chunk, decode_chunk_intra_only, decode_chunk_multiref
 
     bs = ec.block_size
@@ -1262,10 +1326,14 @@ def _decode_chunked(params, ec, encoded_fh, pending, drain_one):
         qdcts = jnp.asarray(np.stack([b[5] for b in buf]))
         qps = jnp.asarray(np.stack([b[2] for b in buf]))
         all_intra = all(b[1] == INTRA for b in buf)
+        packed = None
         if all_intra and len(buf) > 1 and not multiref:
             modes = jnp.asarray(np.stack([b[3] for b in buf]))
-            decoded, ref, hp = decode_chunk_intra_only(qdcts, modes, qps, bs, frac,
-                                                       exact=exact)
+            out = decode_chunk_intra_only(qdcts, modes, qps, bs, frac,
+                                          exact=exact, compact=compact)
+            decoded, ref, hp = out[:3]
+            if compact:
+                packed = out[3]
         else:
             first_is_intra = buf[0][1] == INTRA
             mvs = np.stack([
@@ -1275,17 +1343,23 @@ def _decode_chunked(params, ec, encoded_fh, pending, drain_one):
             modes0 = jnp.asarray(
                 buf[0][3] if first_is_intra else np.zeros((nbr, nbc), np.int32))
             if multiref:
-                decoded, ref, hp, nv = decode_chunk_multiref(
+                out = decode_chunk_multiref(
                     qdcts, jnp.asarray(mvs), qps, modes0, ref, hp, nv,
-                    bs, frac, first_is_intra, exact=exact,
+                    bs, frac, first_is_intra, exact=exact, compact=compact,
                 )
+                decoded, ref, hp, nv = out[:4]
+                if compact:
+                    packed = out[4]
             else:
-                decoded, ref, hp = decode_chunk(
+                out = decode_chunk(
                     qdcts, jnp.asarray(mvs), qps, modes0, ref, hp,
-                    bs, frac, first_is_intra, exact=exact,
+                    bs, frac, first_is_intra, exact=exact, compact=compact,
                 )
-        decoded.copy_to_host_async()
-        pending.append((indices, decoded))
+                decoded, ref, hp = out[:3]
+                if compact:
+                    packed = out[3]
+        (packed if compact else decoded).copy_to_host_async()
+        pending.append((indices, decoded, packed, list(buf)))
         buf = []
 
     for rec in _parse_frames(encoded_fh, ec, params):

@@ -305,6 +305,80 @@ def test_mixed_multi_gop_chunks(tmp_path, cfg, monkeypatch):
     assert np.array_equal(rt, dt)
 
 
+@pytest.mark.parametrize("cfg", [
+    dict(),
+    dict(I_Period=1, quantization_factor=2),
+    dict(nRefFrames=3, fracMeEnabled=True, block_size=16,
+         quantization_factor=4),
+], ids=["fullsearch", "intra_only", "nref3_frac"])
+def test_decode_compact_transfers(tmp_path, cfg, monkeypatch):
+    """BVC_DCOMPACT=1 (default) ships decoded frames as correction codes
+    against the host-rebuilt integer-exact guess; the decoded file must be
+    byte-identical to the full-plane path AND to the encoder
+    reconstruction (the codec invariant)."""
+    import hashlib
+
+    from basic_video_codec_tpu.models.pipeline import decode_video
+
+    base = dict(block_size=8, search_range=2, I_Period=4,
+                quantization_factor=5, resolution=(W, H))
+    base.update(cfg)
+    y = ygen.moving_sequence(W, H, N, seed=11)
+    d = tmp_path / "dc"
+    d.mkdir()
+    ygen.write_y_file(str(d / "t.y"), y)
+    params = InputParameters(str(d / "t.y"), W, H, EncoderConfig(**base),
+                             frames_to_process=N)
+    tpu_encode(params, results_csv_path=None)
+    io = FileIOHelper(params, create_dirs=False)
+    got = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("BVC_DCOMPACT", mode)
+        decode_video(params)
+        got[mode] = hashlib.md5(
+            open(io.get_mc_decoded_file_name(), "rb").read()).hexdigest()
+    rec = hashlib.md5(
+        open(io.get_mc_reconstructed_file_name(), "rb").read()).hexdigest()
+    assert got["1"] == got["0"] == rec
+
+
+def test_decode_compact_overflow_fallback(tmp_path, monkeypatch):
+    """When the escape count blows the cap the pipeline must fall back to
+    fetching the full decoded plane.  Forced here by sabotaging the
+    device-side guess (every pixel escapes -> rn >> cap); the decoded
+    output must still be byte-identical to the encoder reconstruction."""
+    import hashlib
+
+    import jax.numpy as jnp
+
+    from basic_video_codec_tpu.models import chunk as chunk_mod
+    from basic_video_codec_tpu.models.pipeline import decode_video
+
+    y = ygen.moving_sequence(W, H, N, seed=11)
+    d = tmp_path / "ovf"
+    d.mkdir()
+    ygen.write_y_file(str(d / "t.y"), y)
+    ec = EncoderConfig(8, 2, 4, 5, resolution=(W, H))
+    params = InputParameters(str(d / "t.y"), W, H, ec, frames_to_process=N)
+    tpu_encode(params, results_csv_path=None)
+    io = FileIOHelper(params, create_dirs=False)
+    rec = hashlib.md5(
+        open(io.get_mc_reconstructed_file_name(), "rb").read()).hexdigest()
+    monkeypatch.setenv("BVC_DCOMPACT", "1")
+    chunk_mod.decode_chunk.clear_cache()
+    # a garbage guess makes every pixel of every frame an escape
+    monkeypatch.setattr(
+        chunk_mod.P, "recon_guess_from_x",
+        lambda x, pred, bs: jnp.zeros(pred.shape, jnp.uint8) + 7)
+    try:
+        decode_video(params)
+        got = hashlib.md5(
+            open(io.get_mc_decoded_file_name(), "rb").read()).hexdigest()
+    finally:
+        chunk_mod.decode_chunk.clear_cache()
+    assert got == rec
+
+
 # synthetic calibration table for resolutions without shipped CSVs
 # (bits-per-block-row magnitudes scaled for a 112x64 padded plane)
 _ODD_RC_TABLE = {
