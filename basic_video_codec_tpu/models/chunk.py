@@ -30,7 +30,7 @@ def _pack_qdct_stack(qdcts, bs, vdtype, q4):
 
 
 def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
-                     jt, tail=False, mvk=3):
+                     jt, tail=False, mvk=3, mvn=False):
     """Shared compact-transfer epilogue: ONE packed uint8 row per frame in
     ops/pack.py FrameLayout order.  ``intra_parts`` is the chunk head's
     (recon, qdct, smalls) or None; ``p_parts`` the stacked P-frame
@@ -46,7 +46,7 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
     nb = nbr * nbc
     vdtype = jnp.int8 if int8q else jnp.int16
     layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
-                           jt, tail=tail, mvk=mvk)
+                           jt, tail=tail, mvk=mvk, mvn=mvn)
     cap = P.esc_cap(h, w)
     rows = []
     tails = []  # per-segment (jk, qv, qe, jn, qt, qn) stacks, frame order
@@ -68,7 +68,7 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
             codes_i = (jb_i, jk_i, jn_i)
         rows.append(P.pack_row(
             codes_i, re_i, rn_i, meta_i, mv_z, modes_i,
-            qv_i, ql_i, qt_i, ae_i, an_i, bs=bs, mv8=mv8,
+            qv_i, ql_i, qt_i, ae_i, an_i, bs=bs, mv8=mv8, mvn=mvn,
             qe=qp_i[3] if q4 else None, qn=qp_i[4] if q4 else None,
             tail=tail)[None])
         tails.append((jk_i[None], qv_i[None],
@@ -104,7 +104,7 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
             if mvk == 2:
                 mv = mv.reshape(-1, 3)[:, :2].reshape(-1)
             return P.pack_row((b1, b2, b3), r2, r3, meta, mv, modes, v, l, t,
-                              e, n, bs=bs, mv8=mv8,
+                              e, n, bs=bs, mv8=mv8, mvn=mvn,
                               qe=qen[0] if qen else None,
                               qn=qen[1] if qen else None, tail=tail)
 
@@ -328,15 +328,17 @@ def encode_chunk(
     if not compact:
         return intra_out, p_out, ref_out, hp_out
 
+    # device twin of ops/pack.mv_nibble_safe (mvk == 2 here: single ref)
+    mvn = not fast and search_range * (2 if frac else 1) <= 7
     packed = _pack_chunk_rows(
         (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
         p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4, q4 and not rc1,
-        tail=tail, mvk=2)
+        tail=tail, mvk=2, mvn=mvn)
     return intra_out, p_out[:4], ref_out, hp_out, packed
 
 
 def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
-                            mv8, q4, h, w, tail=False, mvk=3):
+                            mv8, q4, h, w, tail=False, mvk=3, mvn=False):
     """Compact-transfer rows for chunks whose per-frame mode is a RUNTIME
     value (the fused two-pass chunk's scene changes, the mixed multi-GOP
     chunk's position-scheduled intra frames), in the same ops/pack.py
@@ -378,7 +380,7 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
             codes = (jb, jk, jn)
         head = P.pack_row(codes, re, rn, meta, mv, modes,
                           qp_[0], qp_[1], qp_[2], ae, an, bs=bs, mv8=mv8,
-                          qe=qp_[3] if q4 else None,
+                          mvn=mvn, qe=qp_[3] if q4 else None,
                           qn=qp_[4] if q4 else None, tail=tail)
         qe_ = qp_[3] if q4 else jnp.zeros(0, jnp.int16)
         qn_ = qp_[4] if q4 else jnp.int32(0)
@@ -389,7 +391,7 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
     if not tail:
         return heads
     layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
-                           False, tail=True, mvk=mvk)
+                           False, tail=True, mvk=mvk, mvn=mvn)
     pool = P.pack_tail_pool(layout, jks, qvs, qes if q4 else None,
                             jns, qts, qns, jbzs, jbns)
     # fused [K*headB + pool] buffer: one predictively-sized fetch per chunk
@@ -484,9 +486,11 @@ def encode_chunk_mixed(
     (ref_out, hp_out), scanned = jax.lax.scan(step, carry, (frames, is_intra))
     recons, arts, qdcts, smalls = scanned[:4]
     if compact:
+        # device twin of ops/pack.mv_nibble_safe (single reference here)
+        mvn = not fast and search_range * (2 if frac else 1) <= 7
         packed = _pack_runtime_mode_rows(recons, arts, qdcts, smalls,
                                          scanned[4], bs, int8q, mv8, q4,
-                                         h, w, tail=tail, mvk=2)
+                                         h, w, tail=tail, mvk=2, mvn=mvn)
     else:
         # bundle the full planes into one buffer per chunk (the two_pass
         # non-compact transport: bitcast+concat, one transfer per chunk)

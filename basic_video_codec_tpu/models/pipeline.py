@@ -598,20 +598,21 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
 
     vbytes = 1 if int8q else 2
     mvk = 3 if ec.nRefFrames > 1 else 2  # single-ref layouts drop the ref idx
+    mvn = PK.mv_nibble_safe(ec)
     layouts = {
         "intra_all": PK.FrameLayout(ph, pw, bs, vbytes, False, False,
                                     q4=q4, tail=tail_mode),
         "intra_led": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
-                                    jt, tail=tail_mode, mvk=mvk),
+                                    jt, tail=tail_mode, mvk=mvk, mvn=mvn),
         "p_only": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
-                                 jt, tail=tail_mode, mvk=mvk),
+                                 jt, tail=tail_mode, mvk=mvk, mvn=mvn),
         # mode is a runtime value per frame (scene changes / GOP-position
         # intra), so every row carries both mv and art fields; intra rows
         # zero the unused ones
         "two_pass": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
-                                   False, tail=tail_mode, mvk=mvk),
+                                   False, tail=tail_mode, mvk=mvk, mvn=mvn),
         "mixed": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
-                                False, tail=tail_mode, mvk=mvk),
+                                False, tail=tail_mode, mvk=mvk, mvn=mvn),
     }
 
     rebuilder = _ReconRebuilder(ec, ph, pw, fin_pool) if compact else None
@@ -999,7 +1000,8 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
     layout = (PK.FrameLayout(ph, pw, bs, vbytes, False, False, q4=q4)
               if intra_only
               else PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
-                                  jt, mvk=3 if ec.nRefFrames > 1 else 2))
+                                  jt, mvk=3 if ec.nRefFrames > 1 else 2,
+                                  mvn=PK.mv_nibble_safe(ec)))
 
     data = max(1, min(len(jax.devices()), ec.parallel_gops))
     mesh = make_mesh(data, data=data, space=1)

@@ -277,9 +277,13 @@ def encode_chunk_two_pass(
         out = scanned
     if compact:
         recons, arts, qdcts, smalls_all, preds_all = out
+        # device twin of ops/pack.mv_nibble_safe
+        mvn = (not fast and R == 1
+               and search_range * (2 if frac else 1) <= 7)
         packed = _pack_runtime_mode_rows(recons, arts, qdcts, smalls_all,
                                          preds_all, bs, int8q, mv8, q4, h, w,
-                                         tail=tail, mvk=2 if R == 1 else 3)
+                                         tail=tail, mvk=2 if R == 1 else 3,
+                                         mvn=mvn)
         out = out[:4]
     else:
         # bundle the FULL planes into one buffer per chunk: pure

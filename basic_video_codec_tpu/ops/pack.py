@@ -75,6 +75,16 @@ def mv_int8_safe(ec) -> bool:
     return not ec.fastME and r2 <= 127 and ec.nRefFrames <= 127
 
 
+def mv_nibble_safe(ec) -> bool:
+    """True when a block's (dx, dy) fits ONE byte (two signed nibbles):
+    single-reference full search with half-pel-doubled range <= 7 — the
+    common small-range configs, e.g. the r=2 benchmark.  Device twin: the
+    chunk programs derive the same predicate from (fast, frac,
+    search_range, mvk) — keep both formulas in sync."""
+    r2 = max(ec.search_range, 0) * (2 if ec.fracMeEnabled else 1)
+    return not ec.fastME and ec.nRefFrames == 1 and r2 <= 7
+
+
 def qdct_int8_safe(ec) -> bool:
     """True when every possible quantized coefficient fits int8: the max
     |coefficient| of an orthonormal 2D DCT over a [-255, 255] residual is
@@ -473,7 +483,8 @@ def _as_bytes2d(a):
 
 
 def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
-             an=None, *, bs, mv8=False, qe=None, qn=None, tail=False):
+             an=None, *, bs, mv8=False, mvn=False, qe=None, qn=None,
+             tail=False):
     """One frame's transfer row in :class:`FrameLayout` field order (device).
 
     ``codes`` is the joint state tuple ``(jb, jk, jn)`` (:func:`pack_joint`,
@@ -496,7 +507,12 @@ def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
     cparts = codes if isinstance(codes, tuple) else (codes,)
     parts = [*cparts, re, rn, meta]
     if mv is not None:
-        parts.append(mv.astype(jnp.int8 if mv8 else jnp.int16))
+        if mvn:
+            pairs = mv.reshape(-1, 2)
+            parts.append(((pairs[:, 0] & 15) | ((pairs[:, 1] & 15) << 4))
+                         .astype(jnp.uint8))
+        else:
+            parts.append(mv.astype(jnp.int8 if mv8 else jnp.int16))
     parts += [mbits] + ([] if tail else [qv]) + [
         ql.astype(jnp.uint8 if bs * bs <= 255 else jnp.int16), qt]
     if qe is not None:
@@ -543,7 +559,7 @@ class FrameLayout:
     """
 
     def __init__(self, h, w, bs, vbytes, with_mv, with_art, mv8=False,
-                 q4=False, jt=None, tail=False, mvk=3):
+                 q4=False, jt=None, tail=False, mvk=3, mvn=False):
         nbr = h // bs
         nb = nbr * (w // bs)
         self.h, self.w, self.nb, self.nbr = h, w, nb, nbr
@@ -554,8 +570,10 @@ class FrameLayout:
         self.q4 = q4
         self.tail = tail
         # MV components per block: single-reference configs drop the
-        # always-zero reference index (2), multi-reference keep it (3)
+        # always-zero reference index (2), multi-reference keep it (3);
+        # ``mvn`` (mv_nibble_safe) packs (dx, dy) into one byte
         self.mvk = mvk
+        self.mvn = mvn
         self.qlbytes = 1 if bs * bs <= 255 else 2
         self.capq = qdct_caps(nb, bs)
         self.cape = esc_cap(h, w)
@@ -583,7 +601,8 @@ class FrameLayout:
         sizes += [("re", self.cape), ("rn", 4),
                   ("meta", (3 + 2 * nbr) * 4)]
         if with_mv:
-            sizes.append(("mv", mvk * nb * (1 if mv8 else 2)))
+            sizes.append(("mv", nb if mvn
+                          else mvk * nb * (1 if mv8 else 2)))
         sizes += ([("modes", nbm2)]
                   + ([] if tail else
                      [("qv", self.capq // 2 if q4 else self.capq * vbytes)])
@@ -638,7 +657,15 @@ class FrameLayout:
 
     def _mv(self, buf):
         """MV field as a flat [(x, y, ref) * nb] int array — re-inserts the
-        zero reference column for 2-component (single-reference) layouts."""
+        zero reference column for 2-component (single-reference) layouts
+        and expands the nibble-pair packing (``mvn``)."""
+        if self.mvn:
+            b = self._f(buf, "mv", np.uint8).astype(np.int16)
+            out = np.zeros((b.shape[0], 3), np.int16)
+            out[:, 0] = (b & 15) - ((b & 8) << 1)          # sign-extend dx
+            hi = b >> 4
+            out[:, 1] = hi - ((hi & 8) << 1)               # sign-extend dy
+            return out.reshape(-1)
         m = self._f(buf, "mv", np.int8 if self.mv8 else np.int16)
         if self.mvk == 3:
             return m

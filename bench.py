@@ -28,8 +28,8 @@ BENCH_FRAMES = 80
 # varies 2-3x in multi-minute weather patterns, so sample long enough to
 # catch a representative window rather than a fixed (possibly all-bad) N
 MIN_REPS = 6
-MAX_REPS = 24
-SAMPLE_SECONDS = 75
+MAX_REPS = 60
+SAMPLE_SECONDS = 150  # weather patterns are multi-minute; sample across them
 
 
 def main():

@@ -30,6 +30,18 @@ import pytest
 from basic_video_codec_tpu.tools import ygen
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """The full suite compiles hundreds of program variants in one process;
+    with a large in-process LLVM JIT history the CPU backend occasionally
+    SEGFAULTS compiling the biggest programs (reproduced twice ~30 min in,
+    on the cond-heavy mixed chunk; never in isolation).  Clearing the
+    compile caches between modules keeps the JIT footprint bounded — worth
+    the recompiles."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def small_moving_y(tmp_path_factory):
     """A 64x48, 6-frame synthetic sequence with known motion, as a .y file."""

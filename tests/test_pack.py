@@ -340,6 +340,50 @@ def test_intra_recon_rebuild_matches_device():
     assert np.array_equal(out, np.asarray(recon))
 
 
+def test_mv_nibble_roundtrip():
+    """mvn layouts pack (dx, dy) as one signed-nibble pair per block; the
+    host expansion must reproduce every component in [-7, 7] exactly."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    lay = PK.FrameLayout(16, 16, 4, 1, True, True, mv8=True, mvk=2, mvn=True)
+    nb = lay.nb
+    mv = np.zeros((nb, 3), np.int32)
+    mv[:, :2] = rng.integers(-7, 8, size=(nb, 2))
+    mv[0, :2] = (-7, 7)
+    mv[1, :2] = (7, -7)
+    pairs = jnp.asarray(mv[:, :2].reshape(-1, 2))
+    packed = np.asarray(((pairs[:, 0] & 15) | ((pairs[:, 1] & 15) << 4))
+                        .astype(jnp.uint8))
+    # splice the packed field into a zeroed head row and read it back
+    buf = np.zeros(lay.total, np.uint8)
+    s, e = lay.offsets["mv"]
+    assert e - s == nb
+    buf[s:e] = packed
+    out = lay._mv(buf).reshape(-1, 3)
+    np.testing.assert_array_equal(out[:, :2], mv[:, :2])
+    assert (out[:, 2] == 0).all()
+
+
+def test_mv_nibble_safe_predicate():
+    """The host predicate must match the device twin's formula
+    (models/chunk.py: not fast and r2 <= 7, single reference)."""
+    from basic_video_codec_tpu.config import EncoderConfig
+
+    def ec(**kw):
+        base = dict(block_size=8, search_range=2, I_Period=4,
+                    quantization_factor=5, resolution=(64, 48))
+        base.update(kw)
+        return EncoderConfig(**base)
+
+    assert PK.mv_nibble_safe(ec())
+    assert PK.mv_nibble_safe(ec(search_range=3, fracMeEnabled=True))  # r2=6
+    assert not PK.mv_nibble_safe(ec(search_range=4, fracMeEnabled=True))
+    assert not PK.mv_nibble_safe(ec(search_range=8))
+    assert not PK.mv_nibble_safe(ec(fastME=True))
+    assert not PK.mv_nibble_safe(ec(nRefFrames=2))
+
+
 def test_pipeline_overflow_fallback(tmp_path, monkeypatch):
     """Force tiny caps so every frame overflows: the pipeline must fall back
     to full-plane fetches and still produce byte-identical artifacts."""

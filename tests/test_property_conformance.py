@@ -81,9 +81,15 @@ def test_table_qp_beyond_block_range_rejected(tmp_path):
 
 
 @pytest.mark.parametrize("case", range(N_CASES))
-def test_random_config_byte_parity(tmp_path, case):
+def test_random_config_byte_parity(tmp_path, case, monkeypatch):
     rng = np.random.default_rng(6000 + case)
     cfg, w, h, n = _draw(rng)
+    # transport knobs are conformance-neutral by design — draw the
+    # non-default combinations too (mixed multi-GOP chunks, raw uploads,
+    # full-plane decode fetches, non-tail rows)
+    for var, p_on in (("BVC_MIXED", 0.33), ("BVC_UPACK", 0.75),
+                      ("BVC_DCOMPACT", 0.75), ("BVC_TAIL", 0.85)):
+        monkeypatch.setenv(var, str(int(rng.random() < p_on)))
     y = ygen.moving_sequence(w, h, n, seed=int(rng.integers(0, 1 << 30)))
     ios = {}
     for sub, enc, dec in (("g", golden_encode, golden_decode),
