@@ -328,8 +328,7 @@ def encode_chunk(
     if not compact:
         return intra_out, p_out, ref_out, hp_out
 
-    # device twin of ops/pack.mv_nibble_safe (mvk == 2 here: single ref)
-    mvn = not fast and search_range * (2 if frac else 1) <= 7
+    mvn = P.mv_nibble_static(fast, frac, search_range, 1)
     packed = _pack_chunk_rows(
         (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
         p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4, q4 and not rc1,
@@ -486,8 +485,7 @@ def encode_chunk_mixed(
     (ref_out, hp_out), scanned = jax.lax.scan(step, carry, (frames, is_intra))
     recons, arts, qdcts, smalls = scanned[:4]
     if compact:
-        # device twin of ops/pack.mv_nibble_safe (single reference here)
-        mvn = not fast and search_range * (2 if frac else 1) <= 7
+        mvn = P.mv_nibble_static(fast, frac, search_range, 1)
         packed = _pack_runtime_mode_rows(recons, arts, qdcts, smalls,
                                          scanned[4], bs, int8q, mv8, q4,
                                          h, w, tail=tail, mvk=2, mvn=mvn)
@@ -615,6 +613,14 @@ def encode_chunk_multiref(
     return intra_out, p_out[:4], refs_out, hps_out, nv_out, packed
 
 
+def decode_row_bytes(h: int, w: int, cap: int) -> int:
+    """Byte width of one compact decode row: the 2-bit code plane, the
+    escape list and the int32 escape count (:func:`_decode_codes_row` /
+    ops/pack.pack_vs_base define the layout; the empty-chunk stubs below
+    must agree)."""
+    return h * w // 4 + cap + 4
+
+
 def _decode_codes_row(dec, qdct, row_qps, pred_u8, bs, cap):
     """Compact decode transfer: one frame's 2-bit correction codes vs the
     integer-exact reconstruction guess the host recomputes from the parsed
@@ -717,7 +723,7 @@ def decode_chunk(
     else:
         ref_out, hp_out = carry
         decs = jnp.zeros((0, h, w), jnp.uint8)
-        rows = jnp.zeros((0, h * w // 4 + cap + 4), jnp.uint8)
+        rows = jnp.zeros((0, decode_row_bytes(h, w, cap)), jnp.uint8)
     if first_is_intra:
         decoded = jnp.concatenate([dec0[None], decs])
         if compact:
@@ -793,7 +799,7 @@ def decode_chunk_multiref(
     else:
         refs_out, hps_out, nv_out = carry
         decs = jnp.zeros((0, h, w), jnp.uint8)
-        rows = jnp.zeros((0, h * w // 4 + cap + 4), jnp.uint8)
+        rows = jnp.zeros((0, decode_row_bytes(h, w, cap)), jnp.uint8)
     if first_is_intra:
         decoded = jnp.concatenate([dec0[None], decs])
         if compact:

@@ -383,8 +383,10 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
         # host mirror of the reference deque, for the res_wo_mc artifact
         # (curr minus OLDEST reference, reference PFrame.py:103,116) — the
         # writer sees final frames in order, exactly like the device deque
+        # (padded geometry, like every plane in the pipeline)
+        pw0, ph0 = padded_dims(params.width, params.height, bs)
         recon_history: deque = deque(
-            [np.full((params.height, params.width), 128, np.uint8)],
+            [np.full((ph0, pw0), 128, np.uint8)],
             maxlen=ec.nRefFrames,
         )
 
@@ -523,10 +525,15 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         exp_p_frame = jnp.float32(exp_p)
         prev_avg = jnp.int32(_prev_avg_qp([ec.quantization_factor], ec))
 
-    gray = jnp.full((params.height, params.width), 128, dtype=jnp.uint8)
+    # every plane in the pipeline lives at PADDED geometry (utils
+    # padded_dims; PARITY.md divergence 6) — including the gray seeds:
+    # the mixed program threads the seed through its scan carry, where an
+    # unpadded shape would clash with the padded per-frame outputs
+    pw, ph = padded_dims(params.width, params.height, bs)
+    gray = jnp.full((ph, pw), 128, dtype=jnp.uint8)
     ref = gray
     hp = build_half_pel(gray) if frac else jnp.zeros(
-        (2 * params.height, 2 * params.width), jnp.uint8)
+        (2 * ph, 2 * pw), jnp.uint8)
     multiref = ec.nRefFrames > 1
     R = ec.nRefFrames
     intra_only_cfg = ec.I_Period == 1 and not two_pass
@@ -546,9 +553,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         # reference seeds the deque with one gray frame (encoder.py:33).
         # The fused two-pass program always carries a stack (R == 1 for
         # single-reference runs).
-        ref = jnp.zeros((R, params.height, params.width), jnp.uint8
-                        ).at[0].set(gray)
-        hp = jnp.zeros((R, 2 * params.height, 2 * params.width), jnp.uint8)
+        ref = jnp.zeros((R, ph, pw), jnp.uint8).at[0].set(gray)
+        hp = jnp.zeros((R, 2 * ph, 2 * pw), jnp.uint8)
         if frac:
             hp = hp.at[0].set(build_half_pel(gray))
         nv = jnp.int32(1)
@@ -560,7 +566,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     # host mirror of the previous frame's reconstruction (prev-chunk carry),
     # so workers can derive res_wo_mc without the serial writer; with
     # nRefFrames > 1 a full host-side deque mirrors the reference stack
-    last_recon = np.full((params.height, params.width), 128, np.uint8)
+    last_recon = np.full((ph, pw), 128, np.uint8)
     recon_hist: deque = deque([last_recon], maxlen=R)
 
     # Compact device->host transfers (ops/pack.py): ~2 bytes/pixel instead
@@ -588,7 +594,6 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     int8q = PK.qdct_int8_safe(ec)
     mv8 = PK.mv_int8_safe(ec)
     q4 = PK.qdct_nibble_safe(ec)
-    pw, ph = padded_dims(params.width, params.height, bs)
     nb_pad = (ph // bs) * (pw // bs)
     qcap = PK.qdct_caps(nb_pad, bs)
     ecap = PK.esc_cap(ph, pw)
@@ -1007,9 +1012,16 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
     mesh = make_mesh(data, data=data, space=1)
     nbr = ph // bs
     row_qps = jnp.full(nbr, ec.quantization_factor, jnp.int32)
-    batch_fn = gop_batch_fn(mesh, intra_only, bs, max(ec.search_range, 0),
+    def batch_fn_for(pshape):
+        return gop_batch_fn(mesh, intra_only, bs, max(ec.search_range, 0),
                             rc1, ec.fastME, frac, exact, compact, int8q,
-                            n_ref=ec.nRefFrames, mv8=mv8, q4=q4)
+                            n_ref=ec.nRefFrames, mv8=mv8, q4=q4,
+                            packed_shape=pshape)
+
+    # compact uploads for the sharded path too (same fallback rules as the
+    # serial pipeline: native packer unavailable / escape-heavy -> raw)
+    upack = os.environ.get("BVC_UPACK", "1") != "0"
+    ucap = PK.input_esc_cap(ph, pw)
 
     fin_pool = ThreadPoolExecutor(max_workers=4)
     pending: deque = deque()  # (n_real_per_gop, frames, base_index, dev, dt)
@@ -1110,7 +1122,16 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
                 padded.append([padded[0][0]] * K)
                 n_real.append(0)
             gops_np = np.stack([np.stack(gf) for gf in padded])
-            dev = batch_fn(shard_gops(mesh, gops_np), row_qps, budget0,
+            upload, pshape = gops_np, None
+            if upack:
+                from ..entropy.native import pack_input_frames
+
+                bufs = [pack_input_frames(g, ucap) for g in gops_np]
+                if all(b is not None for b in bufs):
+                    upload = np.stack(bufs)
+                    pshape = (K, ph, pw)
+            batch_fn = batch_fn_for(pshape)
+            dev = batch_fn(shard_gops(mesh, upload), row_qps, budget0,
                            tbl[0], tbl[1], initial_qp)
             leaves = ((dev[4],) if compact
                       else (dev[:4] if intra_only else (dev[0], dev[1])))

@@ -277,9 +277,7 @@ def encode_chunk_two_pass(
         out = scanned
     if compact:
         recons, arts, qdcts, smalls_all, preds_all = out
-        # device twin of ops/pack.mv_nibble_safe
-        mvn = (not fast and R == 1
-               and search_range * (2 if frac else 1) <= 7)
+        mvn = P.mv_nibble_static(fast, frac, search_range, R)
         packed = _pack_runtime_mode_rows(recons, arts, qdcts, smalls_all,
                                          preds_all, bs, int8q, mv8, q4, h, w,
                                          tail=tail, mvk=2 if R == 1 else 3,

@@ -75,14 +75,21 @@ def mv_int8_safe(ec) -> bool:
     return not ec.fastME and r2 <= 127 and ec.nRefFrames <= 127
 
 
-def mv_nibble_safe(ec) -> bool:
+def mv_nibble_static(fast: bool, frac: bool, search_range: int,
+                     n_ref: int) -> bool:
     """True when a block's (dx, dy) fits ONE byte (two signed nibbles):
     single-reference full search with half-pel-doubled range <= 7 — the
-    common small-range configs, e.g. the r=2 benchmark.  Device twin: the
-    chunk programs derive the same predicate from (fast, frac,
-    search_range, mvk) — keep both formulas in sync."""
-    r2 = max(ec.search_range, 0) * (2 if ec.fracMeEnabled else 1)
-    return not ec.fastME and ec.nRefFrames == 1 and r2 <= 7
+    common small-range configs, e.g. the r=2 benchmark.  All inputs are
+    static under jit, so the chunk programs call THIS function too (the
+    single source of the bound; a divergent copy would pack rows in a
+    layout the host no longer matches)."""
+    return not fast and n_ref == 1 and search_range * (2 if frac else 1) <= 7
+
+
+def mv_nibble_safe(ec) -> bool:
+    """:func:`mv_nibble_static` over an EncoderConfig (host layouts)."""
+    return mv_nibble_static(ec.fastME, ec.fracMeEnabled,
+                            max(ec.search_range, 0), ec.nRefFrames)
 
 
 def qdct_int8_safe(ec) -> bool:

@@ -38,7 +38,8 @@ from functools import lru_cache
 @lru_cache(maxsize=None)
 def gop_batch_fn(mesh, intra_only: bool, bs: int, search_range: int, rc1: bool,
                  fast: bool, frac: bool, exact: bool, compact: bool, int8q: bool,
-                 n_ref: int = 1, mv8: bool = False, q4: bool = False):
+                 n_ref: int = 1, mv8: bool = False, q4: bool = False,
+                 packed_shape: tuple | None = None):
     """Build the sharded GOP-batch program: ONE GOP per device via
     ``shard_map``, each shard running the *identical* serial chunk program.
 
@@ -46,13 +47,24 @@ def gop_batch_fn(mesh, intra_only: bool, bs: int, search_range: int, rc1: bool,
     compiles different HLO whose float32 DCT can round +-1 differently from
     the serial program on edge coefficients — shard_map keeps the local
     computation textually identical, so the multi-device bitstream is
-    byte-identical to the serial one."""
+    byte-identical to the serial one.
+
+    ``packed_shape=(K, H, W)`` marks the input as per-GOP packed
+    nibble-delta upload buffers [G, NB] (entropy/native.pack_input_frames),
+    expanded on each shard by ops/pack.unpack_input_chunk — the same
+    compact-upload transport the serial pipeline uses."""
     from jax import shard_map
 
-    in_spec = P("data", None, None, None)
+    in_spec = (P("data", None) if packed_shape is not None
+               else P("data", None, None, None))
 
     def body(gops, row_qps, budget0, tbl_qps, tbl_bits, initial_qp):
-        local = gops[0]  # [K, H, W]: exactly one GOP on this shard
+        from ..ops import pack as PK
+
+        if packed_shape is not None:
+            local = PK.unpack_input_chunk(gops[0], *packed_shape)
+        else:
+            local = gops[0]  # [K, H, W]: exactly one GOP on this shard
         h, w = local.shape[1:]
         if intra_only:
             out = encode_chunk_intra_only(
@@ -93,9 +105,10 @@ def gop_batch_fn(mesh, intra_only: bool, bs: int, search_range: int, rc1: bool,
 
 
 def shard_gops(mesh, gops_np):
-    """Place a [G, K, H, W] GOP batch with G sharded over ``data``."""
-    return jax.device_put(
-        gops_np, NamedSharding(mesh, P("data", None, None, None)))
+    """Place a GOP batch ([G, K, H, W] raw frames or [G, NB] packed upload
+    buffers) with G sharded over ``data``."""
+    spec = P("data", *([None] * (gops_np.ndim - 1)))
+    return jax.device_put(gops_np, NamedSharding(mesh, spec))
 
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "qp", "frac"))
