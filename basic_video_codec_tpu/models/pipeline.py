@@ -823,6 +823,9 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             write_out(f, per_frame_dt)  # async submit to the writer thread
 
     truncated_tail = 0
+    # fixed-QP row vector: identical every chunk, so build (and upload) it
+    # once — per-chunk jnp.full dispatches cost ~2-3 ms/chunk on this host
+    row_qps = jnp.full(ph // bs, ec.quantization_factor, jnp.int32)
     try:
         while True:
             if n_read >= params.frames_to_process:
@@ -851,7 +854,6 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     ).reshape(params.height, params.width), bs)
                     for i in range(n_frames)
                 ])
-            nbr = frames_np.shape[1] // bs
             pshape = None
             fr_dev = None
             if upack:
@@ -867,7 +869,6 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 with _stage("dispatch: h2d asarray"):
                     fr_dev = jnp.asarray(frames_np)
             _acct("h2d MB", fr_dev.nbytes)
-            row_qps = jnp.full(nbr, ec.quantization_factor, jnp.int32)
             if two_pass:
                 dev, ref, hp, nv, prev_avg = encode_chunk_two_pass(
                     fr_dev, ref, hp, nv, prev_avg, budget0,

@@ -797,7 +797,7 @@ def unpack_vs_base(codes2: np.ndarray, esc: np.ndarray,
     base plane (int, compared mod 256)."""
     h, w = base.shape
     code = _unpack_codes(codes2)
-    delta = np.choose(code, [0, 1, -1, 0])
+    delta = np.take(np.array([0, 1, -1, 0], np.int32), code)
     out = ((base.reshape(-1).astype(np.int32) + delta) & 255).astype(np.uint8)
     pos = np.flatnonzero(code == 3)
     out[pos] = esc[: pos.size]
@@ -988,9 +988,11 @@ def host_rebuild_intra_recon(qdct: np.ndarray, modes: np.ndarray,
     h, w = qdct.shape
     nbr, nbc = h // bs, w // bs
     if jst is not None:
-        code = np.choose(jst, [0, 1, -1, 0, 0, 3, 0, 3]).reshape(h, w)
+        code = np.take(np.array([0, 1, -1, 0, 0, 3, 0, 3], np.int32),
+                       jst).reshape(h, w)
     else:
-        code = np.choose(_unpack_codes(codes2), [0, 1, -1, 3]).reshape(h, w)
+        code = np.take(np.array([0, 1, -1, 3], np.int32),
+                       _unpack_codes(codes2)).reshape(h, w)
     is_esc = code == 3
     esc_plane = np.zeros(h * w, np.uint8)
     pos = np.flatnonzero(is_esc.reshape(-1))
