@@ -37,7 +37,7 @@ from ..entropy.native import (
 )
 from ..entropy.zigzag import zigzag_indices
 from ..golden.encoder import SCENE_CHANGE_THRESHOLD, _append_throughput, _load_rc_table
-from ..io.fileio import FileIOHelper, write_y_only_frame
+from ..io.fileio import FileIOHelper, overwrite_open, write_y_only_frame
 from ..metrics.frame_metrics import FrameMetrics
 from ..ops.interp import build_half_pel
 from ..ops.intra import intra_decode_frame, intra_encode_frame
@@ -367,14 +367,17 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
     tbl_np = _table_arrays(ec)
     tbl = (jnp.asarray(tbl_np[0]), jnp.asarray(tbl_np[1]))
 
+    # overwrite_open: "w" semantics without the truncate-at-open writeback
+    # stall on just-rewritten artifact trees (io/fileio.overwrite_open)
     with open(params.y_only_file, "rb") as f_in, \
-         open(file_io.get_mv_file_name(), "wt") as mv_fh, \
-         open(file_io.get_quant_dct_coff_fh_file_name(), "wb") as qdct_fh, \
-         open(file_io.get_residual_w_mc_file_name(), "wb") as res_w_fh, \
-         open(file_io.get_residual_wo_mc_file_name(), "wb") as res_wo_fh, \
-         open(file_io.get_mc_reconstructed_file_name(), "wb") as recon_fh, \
-         open(file_io.get_encoded_file_name(), "wb") as encoded_fh, \
-         open(file_io.get_metrics_csv_file_name(), "wt", newline="") as metrics_fh:
+         overwrite_open(file_io.get_mv_file_name(), text=True) as mv_fh, \
+         overwrite_open(file_io.get_quant_dct_coff_fh_file_name()) as qdct_fh, \
+         overwrite_open(file_io.get_residual_w_mc_file_name()) as res_w_fh, \
+         overwrite_open(file_io.get_residual_wo_mc_file_name()) as res_wo_fh, \
+         overwrite_open(file_io.get_mc_reconstructed_file_name()) as recon_fh, \
+         overwrite_open(file_io.get_encoded_file_name()) as encoded_fh, \
+         overwrite_open(file_io.get_metrics_csv_file_name(), text=True,
+                        newline="") as metrics_fh:
 
         metrics_writer = csv.writer(metrics_fh)
         metrics_writer.writerow(FrameMetrics.get_header())
@@ -1246,7 +1249,7 @@ def decode_video(params: InputParameters):
 
     with open(file_io.get_mc_reconstructed_file_name(), "rb") as recon_fh, \
          open(file_io.get_encoded_file_name(), "rb") as encoded_fh, \
-         open(file_io.get_mc_decoded_file_name(), "wb") as decoded_fh:
+         overwrite_open(file_io.get_mc_decoded_file_name()) as decoded_fh:
 
         pending: deque = deque()
         # host mirror of the decoder's reference deque (gray-seeded,

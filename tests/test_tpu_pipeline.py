@@ -507,3 +507,35 @@ def test_short_and_empty_inputs(tmp_path):
     tpu_encode(p, results_csv_path=None)
     io = FileIOHelper(p, create_dirs=False)
     assert os.path.getsize(io.get_encoded_file_name()) == 0
+
+
+def test_rerun_shrinks_artifacts(tmp_path):
+    """Re-encoding fewer frames into an artifact tree left by a longer run
+    must produce byte-identical files to a fresh-directory run: the
+    overwrite-in-place artifact opens (io/fileio.overwrite_open) truncate
+    to the new length at close."""
+    y = ygen.moving_sequence(W, H, 8, seed=3)
+    ec = EncoderConfig(8, 2, 4, 3, resolution=(W, H))
+    for sub in ("reused", "fresh"):
+        (tmp_path / sub).mkdir()
+        ygen.write_y_file(str(tmp_path / sub / "s.y"), y)
+    p8 = InputParameters(str(tmp_path / "reused" / "s.y"), W, H, ec,
+                         frames_to_process=8)
+    tpu_encode(p8, results_csv_path=None)
+    ios = {}
+    for sub in ("reused", "fresh"):
+        p4 = InputParameters(str(tmp_path / sub / "s.y"), W, H, ec,
+                             frames_to_process=4)
+        tpu_encode(p4, results_csv_path=None)
+        ios[sub] = FileIOHelper(p4, create_dirs=False)
+    for get in ("get_encoded_file_name", "get_mc_reconstructed_file_name",
+                "get_quant_dct_coff_fh_file_name",
+                "get_residual_w_mc_file_name",
+                "get_residual_wo_mc_file_name", "get_mv_file_name"):
+        assert filecmp.cmp(getattr(ios["reused"], get)(),
+                           getattr(ios["fresh"], get)(), shallow=False), get
+    tpu_decode(InputParameters(str(tmp_path / "reused" / "s.y"), W, H, ec,
+                               frames_to_process=4))
+    rec = np.fromfile(ios["reused"].get_mc_reconstructed_file_name(), np.uint8)
+    dec = np.fromfile(ios["reused"].get_mc_decoded_file_name(), np.uint8)
+    assert np.array_equal(rec, dec)
