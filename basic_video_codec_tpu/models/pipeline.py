@@ -246,7 +246,8 @@ def _rebuild_prepare(f, ec, q_full=None):
     if q_full is not None:
         qdct = np.asarray(q_full, dtype=np.int16)
     else:
-        qdct = PK.unpack_qdct(f["qv"], f["ql"], h, w, bs, zigzag_indices(bs))
+        qdct = PK.unpack_qdct(PK.qv_of(f), f["ql"], h, w, bs,
+                              zigzag_indices(bs))
     x, art_guess = PK.host_x_art(qdct, row_qps, bs, want_art=mode == INTER)
     return mode, qdct, row_qps, x, art_guess
 
@@ -257,7 +258,9 @@ def _rebuild_apply(prep, f, ec, hist, r_full=None):
     Runs strictly in frame order — frame k's reconstruction predicts frame
     k+1 — on the rebuild chain worker (or the fetch loop for the sharded
     path).  Returns the host-resident fields the (parallel) finalize step
-    needs: (mode, recon, qdct, pred, oldest, art_guess)."""
+    needs: (mode, recon, qdct, pred, oldest, art_guess, art) — ``art`` is
+    None here (the staged path leaves the art codes to the finalize pool;
+    :func:`_rebuild_fused` fills it)."""
     from ..ops import pack as PK
 
     if hasattr(prep, "result"):
@@ -275,7 +278,8 @@ def _rebuild_apply(prep, f, ec, hist, r_full=None):
             modes = f["modes"][: nbr * nbc].reshape(nbr, nbc).astype(np.int32)
             recon = PK.host_rebuild_intra_recon(qdct, modes, row_qps,
                                                 f["rc"], f["re"], bs,
-                                                jst=f.get("jst"), x=x)
+                                                jst=PK.joint_states_of(f),
+                                                x=x)
     else:
         refs = np.stack(hist)  # oldest first (reference deque semantics)
         mvs = f["mv"].astype(np.int32).reshape(nbr, nbc, 3)
@@ -283,19 +287,56 @@ def _rebuild_apply(prep, f, ec, hist, r_full=None):
                if ec.fracMeEnabled else None)
         pred = PK.host_pred_inter(refs, mvs, bs, ec.fracMeEnabled, hps)
         oldest = hist[0]
+        jst = PK.joint_states_of(f)
         if r_full is not None:
             recon = np.asarray(r_full)
-        elif f.get("jst") is not None:
-            recon = PK.host_recon_joint(x, pred, f["jst"], f["re"], bs)
+        elif jst is not None:
+            recon = PK.host_recon_joint(x, pred, jst, f["re"], bs)
         else:
             recon = PK.unpack_vs_base(
                 f["rc"], f["re"], PK.host_recon_guess_from_x(x, pred, bs))
     hist.append(recon)
-    return mode, recon, qdct, pred, oldest, art_guess
+    return mode, recon, qdct, pred, oldest, art_guess, None
 
 
-def _rebuild_frame(f, ec, hist, q_full=None, r_full=None):
-    """Synchronous prepare + apply (the sharded fetch loop)."""
+def _rebuild_fused(f, ec, hist):
+    """ONE native call for an inter frame's whole host rebuild
+    (ops/pack.host_rebuild_p -> native bvc_rebuild_p), including the art
+    correction codes the staged path leaves to the finalize pool.  Falls
+    back to the staged chain when the native library is unavailable."""
+    from ..ops import pack as PK
+
+    bs = ec.block_size
+    h, w = f["h"], f["w"]
+    nbr, nbc = h // bs, w // bs
+    if ec.fracMeEnabled:
+        planes = (np.stack([_host_halfpel(r) for r in hist])
+                  if len(hist) > 1 else _host_halfpel(hist[0])[None])
+    else:
+        planes = np.stack(hist) if len(hist) > 1 else hist[0][None]
+    mvs = f["mv"].astype(np.int32).reshape(nbr, nbc, 3)
+    row_qps = np.asarray(f["meta"][3 : 3 + nbr], np.int32)
+    out = PK.host_rebuild_p(f, row_qps, bs, planes, mvs, ec.fracMeEnabled)
+    if out is None:
+        return _rebuild_apply(_rebuild_prepare(f, ec), f, ec, hist)
+    qdct, recon, art = out
+    oldest = hist[0]
+    hist.append(recon)
+    return INTER, recon, qdct, None, oldest, None, art
+
+
+def _can_fuse_rebuild(f, q_full, r_full, a_full) -> bool:
+    """The fused rebuild handles exactly the no-overflow inter-frame case
+    with joint art codes; every overflow/full-plane variant stays on the
+    staged chain."""
+    return (q_full is None and r_full is None and a_full is None
+            and int(f["meta"][0]) == INTER and f.get("jb") is not None)
+
+
+def _rebuild_frame(f, ec, hist, q_full=None, r_full=None, a_full=None):
+    """Synchronous rebuild (the sharded fetch loop)."""
+    if _can_fuse_rebuild(f, q_full, r_full, a_full):
+        return _rebuild_fused(f, ec, hist)
     return _rebuild_apply(_rebuild_prepare(f, ec, q_full), f, ec, hist,
                           r_full)
 
@@ -316,7 +357,12 @@ class _ReconRebuilder:
         self.hist: deque = deque([np.full((h, w), 128, np.uint8)],
                                  maxlen=ec.nRefFrames)
 
-    def submit(self, f, q_full=None, r_full=None):
+    def submit(self, f, q_full=None, r_full=None, a_full=None):
+        if _can_fuse_rebuild(f, q_full, r_full, a_full):
+            # inter, no overflow: one native call on the ordered worker
+            # (bvc_rebuild_p) — on this one-core host splitting prepare off
+            # buys nothing, and the fused call skips the Python glue
+            return self.pool.submit(_rebuild_fused, f, self.ec, self.hist)
         prep = self.prep_pool.submit(_rebuild_prepare, f, self.ec, q_full)
         return self.pool.submit(_rebuild_apply, prep, f, self.ec, self.hist,
                                 r_full)
@@ -334,7 +380,7 @@ def _finalize_compact(index, curr, f, ec, rebuilt, a_full=None) -> _Finalized:
 
     if hasattr(rebuilt, "result"):
         rebuilt = rebuilt.result()
-    mode, recon, qdct, pred, oldest, art_guess = rebuilt
+    mode, recon, qdct, pred, oldest, art_guess, art = rebuilt
     bs = ec.block_size
     h, w = recon.shape
     nbr, nbc = h // bs, w // bs
@@ -349,8 +395,8 @@ def _finalize_compact(index, curr, f, ec, rebuilt, a_full=None) -> _Finalized:
         aux = f["mv"].astype(np.int32).reshape(nbr, nbc, 3)
         if a_full is not None:
             art = np.asarray(a_full)
-        else:
-            art = PK.joint_art(f["jst"], f["ae"],
+        elif art is None:  # staged chain: apply the art codes here
+            art = PK.joint_art(PK.joint_states_of(f), f["ae"],
                                art_guess.astype(np.int32))
     return _finalize_fields(index, mode, curr, recon, art, qdct, aux,
                             metric_sum, comparisons, row_qps, row_bits, ec,
@@ -645,7 +691,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                       and (f["an"] > ecap or jover) else None)
             r_full = (jax.device_get(sel(d_recons))
                       if f["rn"] > ecap or jover else None)
-        reb = rebuilder.submit(f, q_full, r_full)
+        reb = rebuilder.submit(f, q_full, r_full, a_full)
         futures.append(fin_pool.submit(
             _finalize_compact, idx, curr, f, ec, reb, a_full))
 
@@ -1063,7 +1109,8 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
                               and (f["an"] > ecap or jover) else None)
                     r_full = (jax.device_get(rd)
                               if f["rn"] > ecap or jover else None)
-                    rebuilt = _rebuild_frame(f, ec, hist, q_full, r_full)
+                    rebuilt = _rebuild_frame(f, ec, hist, q_full, r_full,
+                                             a_full)
                     futures.append(fin_pool.submit(
                         _finalize_compact, idx, gop_frames[g][k], f, ec,
                         rebuilt, a_full))

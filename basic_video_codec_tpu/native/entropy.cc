@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -366,6 +367,35 @@ void bvc_joint_decode2(const uint8_t* jb, const uint8_t* jk, int64_t n_px,
   }
 }
 
+// I-frame res_w_mc plane: residual vs the chosen intra predictor,
+// uint8-wrapped (Python twin: ops/pack.host_intra_art, reference
+// IFrame.py:30,57).  Preserves the transposed-predictor quirk: within a
+// block at (y0, x0), H-mode (0) pixel (a, b) predicts from
+// recon[y0 + b][x0 - 1] and V-mode (1) pixel (a, b) from
+// recon[y0 - 1][x0 + a]; borders predict 128.
+void bvc_intra_art(const uint8_t* curr, const uint8_t* recon,
+                   const int32_t* modes, int64_t nbr, int64_t nbc,
+                   int64_t bs, uint8_t* out) {
+  const int64_t w = nbc * bs;
+  for (int64_t i = 0; i < nbr; ++i) {
+    for (int64_t j = 0; j < nbc; ++j) {
+      const int mode = int(modes[i * nbc + j]);
+      const int64_t y0 = i * bs, x0 = j * bs;
+      for (int64_t a = 0; a < bs; ++a) {
+        const uint8_t* crow = curr + (y0 + a) * w + x0;
+        uint8_t* orow = out + (y0 + a) * w + x0;
+        for (int64_t b = 0; b < bs; ++b) {
+          const int pred =
+              mode == 0
+                  ? (x0 > 0 ? int(recon[(y0 + b) * w + x0 - 1]) : 128)
+                  : (y0 > 0 ? int(recon[(y0 - 1) * w + x0 + a]) : 128);
+          orow[b] = uint8_t(int(crow[b]) - pred);
+        }
+      }
+    }
+  }
+}
+
 // res_wo_mc plane: (curr - prev) mod 256 (Python twin:
 // models/pipeline._wrap_diff_u8).
 void bvc_wrap_diff(const uint8_t* curr, const uint8_t* prev, uint8_t* out,
@@ -602,6 +632,111 @@ int64_t bvc_pack_input(const uint8_t* src, int64_t h, int64_t w,
   return ne;
 }
 
-int64_t bvc_version() { return 7; }
+// Fused P-frame host rebuild (Python twin: the _rebuild_prepare +
+// _rebuild_apply + joint_art chain in models/pipeline.py, composed from
+// the single-stage functions above).  One call per frame replaces six
+// ctypes round trips plus their NumPy temporaries:
+//   1. qdct value expansion (raw int16/int8 stream, or the 4-bit nibble
+//      stream with int16 escapes — ops/pack.FrameLayout._qv),
+//   2. zigzag-prefix scatter into the int16 plane (bvc_unpack_qdct),
+//   3. integer-exact IDCT + res_w_mc truncation guess (bvc_x_art),
+//   4. joint correction-state decode (bvc_joint_decode2),
+//   5. MC prediction from the reference/half-pel stack (bvc_pred_inter),
+//   6. recon guess + recon codes (bvc_recon_joint) and art codes applied
+//      in place over the truncation guess (bvc_apply_joint).
+// qv_kind: 0 = int16 values, 1 = int8 values, 2 = nibble pairs + escapes.
+// ql_u8: lens as u8 (1) or int16 (0).  Escape reads are clamped to
+// n_re/n_ae (overflow frames take the caller's full-plane fallback and
+// never reach this function; the clamp is defensive).
+// Outputs: qdct int16 [h*w] (zeroed here), recon u8 [h*w], art u8 [h*w].
+void bvc_rebuild_p(const uint8_t* qv, int64_t qv_kind, const int16_t* qe,
+                   int64_t n_qe, const uint8_t* ql, int64_t ql_u8,
+                   const int64_t* zz, const int32_t* row_qps,
+                   const int32_t* d_int, int64_t nbr, int64_t nbc,
+                   int64_t bs, int64_t shift, int64_t guard,
+                   const uint8_t* jb, const uint8_t* jk, int64_t capk,
+                   const uint8_t* re, int64_t n_re, const uint8_t* ae,
+                   int64_t n_ae, const uint8_t* planes, int64_t ph,
+                   int64_t pw, int64_t frac, const int32_t* mvs,
+                   int16_t* qdct_out, int32_t* x_scratch,
+                   uint8_t* states_scratch, uint8_t* pred_scratch,
+                   uint8_t* recon_out, uint8_t* art_out) {
+  const int64_t nb = nbr * nbc, w = nbc * bs, n_px = nbr * bs * w;
+  // 1. lens to int32, values to int16 (nibble expansion with escapes)
+  std::vector<int32_t> lens{};
+  lens.resize(size_t(nb));
+  int64_t total = 0;
+  for (int64_t b = 0; b < nb; ++b) {
+    lens[size_t(b)] = ql_u8 ? int32_t(ql[b])
+                            : int32_t(((const int16_t*)ql)[b]);
+    total += lens[size_t(b)];
+  }
+  std::vector<int16_t> expanded;
+  const int16_t* vals;
+  if (qv_kind == 0) {
+    vals = (const int16_t*)qv;
+  } else if (qv_kind == 1) {
+    expanded.resize(size_t(total));
+    const int8_t* v8 = (const int8_t*)qv;
+    for (int64_t k = 0; k < total; ++k) expanded[size_t(k)] = v8[k];
+    vals = expanded.data();
+  } else {
+    expanded.resize(size_t(total));
+    int64_t e = 0;
+    for (int64_t k = 0; k < total; ++k) {
+      int v = (k & 1) ? (qv[k >> 1] >> 4) : (qv[k >> 1] & 15);
+      if (v >= 8) v -= 16;
+      if (v == -8) v = (e < n_qe) ? qe[e++] : 0;
+      expanded[size_t(k)] = int16_t(v);
+    }
+    vals = expanded.data();
+  }
+  // 2. scatter into the zeroed int16 plane
+  std::memset(qdct_out, 0, size_t(n_px) * 2);
+  bvc_unpack_qdct(vals, lens.data(), nbr, nbc, bs, zz, qdct_out, w);
+  // 3. integer IDCT + truncation guess (art_out holds the guess)
+  bvc_x_art(qdct_out, row_qps, d_int, nbr, nbc, bs, shift, guard, x_scratch,
+            art_out);
+  // 4. joint states
+  bvc_joint_decode2(jb, jk, n_px, capk, states_scratch);
+  // 5. MC prediction
+  bvc_pred_inter(planes, ph, pw, mvs, nbr, nbc, bs, frac, pred_scratch);
+  // 6. recon + art (escape reads clamped; see docstring)
+  {
+    const int64_t half = int64_t(1) << (shift - 1);
+    int64_t er = 0, ea = 0;
+    for (int64_t yy = 0; yy < nbr * bs; ++yy) {
+      const int64_t i = yy / bs, a = yy % bs;
+      for (int64_t j = 0; j < nbc; ++j) {
+        const int32_t* xrow = x_scratch + ((i * nbc + j) * bs + a) * bs;
+        const int64_t row = yy * w + j * bs;
+        for (int64_t b = 0; b < bs; ++b) {
+          const int64_t p = row + b;
+          const uint8_t s = states_scratch[p];
+          // recon half: states {1 +, 2 -, 5/7 escape}
+          if (s == 5 || s == 7) {
+            recon_out[p] = (er < n_re) ? re[er] : 0;
+            ++er;
+          } else {
+            int64_t g = (int64_t(xrow[b]) + (int64_t(pred_scratch[p]) << shift)
+                         + half) >> shift;
+            if (g < 0) g = 0;
+            if (g > 255) g = 255;
+            recon_out[p] = uint8_t(g + (s == 1) - (s == 2));
+          }
+          // art half over the guess in place: states {3 +, 4 -, 6/7 escape}
+          if (s == 6 || s == 7) {
+            art_out[p] = (ea < n_ae) ? ae[ea] : 0;
+            ++ea;
+          } else {
+            art_out[p] = uint8_t(art_out[p] + (s == 3) - (s == 4));
+          }
+        }
+      }
+    }
+  }
+}
+
+int64_t bvc_version() { return 8; }
 
 }  // extern "C"

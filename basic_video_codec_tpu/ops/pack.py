@@ -723,10 +723,14 @@ class FrameLayout:
             qv_b = buf[s:e]
             qe_b = self._f(buf, "qe", np.uint8) if self.q4 else None
         out = {
-            "h": self.h, "w": self.w,
+            "h": self.h, "w": self.w, "lay": self,
             "rc": None if self.with_art else self._f(buf, "rc", np.uint8),
-            "jst": (host_joint_decode(jb, jk, self.h * self.w)
-                    if self.with_art else None),
+            # joint states and qdct values are derived lazily (the fused
+            # native rebuild consumes the raw streams directly; the staged
+            # fallback goes through joint_states_of / qv_of below)
+            "jb": jb if self.with_art else None,
+            "jk": jk if self.with_art else None,
+            "jst": None,
             "jn": (int(self._f(buf, "jn", np.int32)[0]) if self.with_art
                    else 0),
             "re": self._f(buf, "re", np.uint8),
@@ -736,7 +740,7 @@ class FrameLayout:
             "modes": np.unpackbits(
                 self._f(buf, "modes", np.uint8)[: self.nbm],
                 bitorder="little")[: self.nb],
-            "qv": self._qv(qv_b, qe_b),
+            "qv_raw": qv_b, "qe_raw": qe_b, "qv": None,
             "ql": self._f(buf, "ql",
                           np.uint8 if self.qlbytes == 1 else np.int16),
             "qt": int(self._f(buf, "qt", np.int32)[0]),
@@ -842,6 +846,90 @@ def host_joint_decode(jb: np.ndarray, jk: np.ndarray,
     n = min(pos.size, kinds.size)
     out[pos[:n]] = kinds[:n]
     return out
+
+
+def joint_states_of(f: dict) -> np.ndarray | None:
+    """Memoized joint-state plane of a split-frame dict (None for layouts
+    without art codes).  The fused native rebuild decodes the raw
+    bitmap+kind streams itself; only the staged fallback and the intra
+    path materialize the per-pixel states here."""
+    jst = f.get("jst")
+    if jst is None and f.get("jb") is not None:
+        jst = host_joint_decode(f["jb"], f["jk"], f["h"] * f["w"])
+        f["jst"] = jst
+    return jst
+
+
+def qv_of(f: dict) -> np.ndarray:
+    """Memoized qdct value stream of a split-frame dict (nibble expansion /
+    dtype view deferred out of the main-thread split)."""
+    v = f.get("qv")
+    if v is None:
+        v = f["lay"]._qv(f["qv_raw"], f["qe_raw"])
+        f["qv"] = v
+    return v
+
+
+def host_rebuild_p(f: dict, row_qps: np.ndarray, bs: int, planes: np.ndarray,
+                   mvs: np.ndarray, frac: bool):
+    """Fused native P-frame rebuild (bvc_rebuild_p): qdct expansion +
+    zigzag scatter + integer IDCT/art guess + joint-state decode + MC
+    prediction + recon/art correction codes, one C call per frame.
+    Returns ``(qdct int16 [H, W], recon u8, art u8)`` or None when the
+    native library is unavailable (caller runs the staged chain).
+    ``planes``: the reference stack [R, H, W] u8, or the half-pel stack
+    [R, 2H, 2W] when ``frac``."""
+    from ..entropy import native
+    from ..entropy.zigzag import zigzag_indices
+    from . import transform as T
+
+    lib = native._load()
+    if lib is None:
+        return None
+    lay = f["lay"]
+    h, w = f["h"], f["w"]
+    nbr, nbc = h // bs, w // bs
+    if lay.q4:
+        qv_kind = 2
+        qv = np.ascontiguousarray(f["qv_raw"], np.uint8)
+        qe_raw = f["qe_raw"]
+        qe = (np.ascontiguousarray(qe_raw.view(np.int16))
+              if qe_raw is not None and qe_raw.size
+              else np.zeros(0, np.int16))
+    else:
+        qv_kind = 1 if lay.vbytes == 1 else 0
+        qv = np.ascontiguousarray(f["qv_raw"], np.uint8)
+        qe = np.zeros(0, np.int16)
+    ql = np.ascontiguousarray(f["ql"])
+    ql_u8 = 1 if ql.dtype == np.uint8 else 0
+    zz = np.ascontiguousarray(zigzag_indices(bs), np.int64)
+    rq = np.ascontiguousarray(row_qps, np.int32)
+    d = np.ascontiguousarray(T.dct_matrix_int(bs), np.int32)
+    jb = np.ascontiguousarray(f["jb"], np.uint8)
+    jk = np.ascontiguousarray(f["jk"], np.uint8)
+    re = np.ascontiguousarray(f["re"], np.uint8)
+    ae = np.ascontiguousarray(f["ae"], np.uint8)
+    pl = np.ascontiguousarray(planes, np.uint8)
+    m = np.ascontiguousarray(mvs, np.int32)
+    qdct = np.empty((h, w), np.int16)
+    x = np.empty(nbr * nbc * bs * bs, np.int32)
+    states = np.empty(h * w, np.uint8)
+    pred = np.empty(h * w, np.uint8)
+    recon = np.empty((h, w), np.uint8)
+    art = np.empty((h, w), np.uint8)
+    # bvc_rebuild_p hardcodes the joint-state ids; they are fixed by the
+    # J_* enum above (J_NONE..J_BESC = range(8))
+    lib.bvc_rebuild_p(
+        qv.ctypes.data, qv_kind, qe.ctypes.data, qe.size,
+        ql.ctypes.data, ql_u8, zz.ctypes.data, rq.ctypes.data,
+        d.ctypes.data, nbr, nbc, bs, T.EXACT_SHIFT, T.IDCT_GUARD,
+        jb.ctypes.data, jk.ctypes.data, jk.size // 3 * 8,
+        re.ctypes.data, re.size, ae.ctypes.data, ae.size,
+        pl.ctypes.data, pl.shape[1], pl.shape[2], 1 if frac else 0,
+        m.ctypes.data, qdct.ctypes.data, x.ctypes.data,
+        states.ctypes.data, pred.ctypes.data, recon.ctypes.data,
+        art.ctypes.data)
+    return qdct, recon, art
 
 
 def apply_joint(states: np.ndarray, esc: np.ndarray, base: np.ndarray,
@@ -1086,7 +1174,18 @@ def host_intra_art(curr: np.ndarray, recon: np.ndarray, modes: np.ndarray,
     Preserves the transposed-predictor quirk (ops/intra.py): within a block
     at (y0, x0), H-mode pixel (a, b) reads recon[y0 + b, x0 - 1] and V-mode
     pixel (a, b) reads recon[y0 - 1, x0 + a]; borders predict 128."""
+    from ..entropy import native
+
     h, w = curr.shape
+    lib = native._load()
+    if lib is not None:
+        c = np.ascontiguousarray(curr, np.uint8)
+        r = np.ascontiguousarray(recon, np.uint8)
+        m = np.ascontiguousarray(modes, np.int32)
+        out = np.empty((h, w), np.uint8)
+        lib.bvc_intra_art(c.ctypes.data, r.ctypes.data, m.ctypes.data,
+                          h // bs, w // bs, bs, out.ctypes.data)
+        return out
     ys, xs = np.arange(h), np.arange(w)
     y0, x0 = (ys // bs) * bs, (xs // bs) * bs
     ri = recon.astype(np.int32)

@@ -206,8 +206,8 @@ def test_qdct_nibble_roundtrip(esc_heavy):
     f = lay.split(row)
     assert f["qn"] == int(qn)
     n = int(total)
-    assert np.array_equal(f["qv"][:n], np.asarray(ref_vals)[:n])
-    out = PK.unpack_qdct(f["qv"], f["ql"], h, w, bs,
+    assert np.array_equal(PK.qv_of(f)[:n], np.asarray(ref_vals)[:n])
+    out = PK.unpack_qdct(PK.qv_of(f), f["ql"], h, w, bs,
                          zigzag_indices(bs))
     assert np.array_equal(out, q)
 
@@ -247,7 +247,7 @@ def test_frame_bytes_roundtrip(odd_nb, mv8):
         jnp.asarray(ae), jnp.asarray(an), bs=bs, mv8=mv8))
     assert buf.shape == (lay.total,)
     f = lay.split(buf)
-    assert np.array_equal(f["jst"], PK.host_joint_decode(jb, jk, h * w))
+    assert np.array_equal(PK.joint_states_of(f), PK.host_joint_decode(jb, jk, h * w))
     assert f["jn"] == int(jn)
     assert np.array_equal(f["re"], re)
     assert f["rn"] == 42
@@ -255,7 +255,7 @@ def test_frame_bytes_roundtrip(odd_nb, mv8):
     assert np.array_equal(f["mv"], mv)
     assert f["mv"].dtype == (np.int8 if mv8 else np.int16)
     assert np.array_equal(f["modes"], modes)
-    assert np.array_equal(f["qv"], qv)
+    assert np.array_equal(PK.qv_of(f), qv)
     assert np.array_equal(f["ql"], ql)  # travels u8 at bs 8 (scan <= 64)
     assert f["qt"] == 12345 and f["an"] == -7
     assert np.array_equal(f["ae"], ae)
@@ -424,3 +424,47 @@ def test_pipeline_overflow_fallback(tmp_path, monkeypatch):
     finally:
         chunk_mod.encode_chunk.clear_cache()
         chunk_mod.encode_chunk_intra_only.clear_cache()
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(),                                    # nibble qdct would need qp>=5
+    dict(quantization_factor=6),               # q4 nibble stream + escapes
+    dict(fracMeEnabled=True),                  # half-pel prediction planes
+    dict(nRefFrames=3),                        # reference-stack indexing
+], ids=["base", "q4", "frac", "nref3"])
+def test_fused_rebuild_matches_staged(tmp_path, monkeypatch, cfg):
+    """The fused native rebuild (bvc_rebuild_p) must produce byte-identical
+    artifacts to the staged per-stage chain it replaces."""
+    import filecmp
+
+    from basic_video_codec_tpu.config import EncoderConfig, InputParameters
+    from basic_video_codec_tpu.io.fileio import FileIOHelper
+    from basic_video_codec_tpu.models import pipeline as pl
+    from basic_video_codec_tpu.models.pipeline import encode_video
+    from basic_video_codec_tpu.tools import ygen
+
+    W, H, N = 64, 48, 7
+    y = ygen.moving_sequence(W, H, N, seed=13)
+
+    def run(sub):
+        d = tmp_path / sub
+        d.mkdir()
+        ygen.write_y_file(str(d / "t.y"), y)
+        base = dict(block_size=8, search_range=2, I_Period=4,
+                    quantization_factor=3, resolution=(W, H))
+        base.update(cfg)
+        p = InputParameters(str(d / "t.y"), W, H, EncoderConfig(**base),
+                            frames_to_process=N)
+        encode_video(p, results_csv_path=None)
+        return FileIOHelper(p, create_dirs=False)
+
+    io_fused = run("fused")
+    monkeypatch.setattr(pl, "_can_fuse_rebuild",
+                        lambda *a, **k: False)
+    io_staged = run("staged")
+    for get in ("get_encoded_file_name", "get_mc_reconstructed_file_name",
+                "get_quant_dct_coff_fh_file_name",
+                "get_residual_w_mc_file_name",
+                "get_residual_wo_mc_file_name", "get_mv_file_name"):
+        assert filecmp.cmp(getattr(io_fused, get)(), getattr(io_staged, get)(),
+                           shallow=False), get
