@@ -875,45 +875,75 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     # fixed-QP row vector: identical every chunk, so build (and upload) it
     # once — per-chunk jnp.full dispatches cost ~2-3 ms/chunk on this host
     row_qps = jnp.full(ph // bs, ec.quantization_factor, jnp.int32)
+
+    def _next_k(nr: int) -> int:
+        """Frame count of the chunk that starts at absolute frame nr."""
+        if nr >= params.frames_to_process:
+            return 0
+        return (min(MAX_CHUNK, params.frames_to_process - nr)
+                if intra_only_cfg or mixed_path
+                else min(MAX_CHUNK, ec.I_Period - nr % ec.I_Period,
+                         params.frames_to_process - nr))
+
+    def _prep(k: int):
+        """Read + pad + input-pack one chunk — runs on the (ordered) prep
+        worker so its ~1 ms/frame of host work overlaps the main thread's
+        fetch waits.  Reads are sequential on f_in; the single worker keeps
+        them ordered."""
+        raw = f_in.read(y_size * k)
+        n = len(raw) // y_size
+        trunc = len(raw) % y_size
+        if n == 0:
+            return None, None, 0, trunc
+        with _stage("prep: pad+stack"):
+            frames_np = np.stack([
+                pad_frame(np.frombuffer(
+                    raw[i * y_size : (i + 1) * y_size], dtype=np.uint8
+                ).reshape(params.height, params.width), bs)
+                for i in range(n)
+            ])
+        ubuf = None
+        if upack:
+            from ..entropy.native import pack_input_frames
+
+            with _stage("prep: input pack"):
+                ubuf = pack_input_frames(frames_np, PK.input_esc_cap(ph, pw))
+        return frames_np, ubuf, n, trunc
+
+    prep_pool = ThreadPoolExecutor(max_workers=1)
+    # the NEXT chunk's prep is submitted before the current one is
+    # processed; its start frame assumes full-length reads, which only
+    # diverges at EOF — where the over-read prep returns 0 frames (or the
+    # current chunk's truncated tail breaks the loop) and is discarded
+    assumed_read = _next_k(0)
+    pending_prep = (prep_pool.submit(_prep, assumed_read)
+                    if assumed_read else None)
     try:
         while True:
-            if n_read >= params.frames_to_process:
+            if pending_prep is None:
                 break
             intra_only = intra_only_cfg
-            pos_in_gop = n_read % ec.I_Period
-            first_is_intra = pos_in_gop == 0
-            k = (min(MAX_CHUNK, params.frames_to_process - n_read)
-                 if intra_only or mixed_path
-                 else min(MAX_CHUNK, ec.I_Period - pos_in_gop,
-                          params.frames_to_process - n_read))
-            raw = f_in.read(y_size * k)
-            n_frames = len(raw) // y_size
+            first_is_intra = n_read % ec.I_Period == 0
+            frames_np, ubuf, n_frames, truncated_tail = pending_prep.result()
+            k_next = _next_k(assumed_read)
+            if k_next and n_frames and not truncated_tail:
+                assumed_read += k_next
+                pending_prep = prep_pool.submit(_prep, k_next)
+            else:
+                pending_prep = None
             # A truncated tail frame raises like the golden path
             # (np.frombuffer(buf).reshape on a short read) — but only after
             # the full frames read with it are encoded and written, matching
             # the reference's frame-at-a-time loop.
-            truncated_tail = len(raw) % y_size
             if n_frames == 0:
                 break
             t_disp = time.time()
-            with _stage("dispatch: pad+stack"):
-                frames_np = np.stack([
-                    pad_frame(np.frombuffer(
-                        raw[i * y_size : (i + 1) * y_size], dtype=np.uint8
-                    ).reshape(params.height, params.width), bs)
-                    for i in range(n_frames)
-                ])
             pshape = None
             fr_dev = None
-            if upack:
-                from ..entropy.native import pack_input_frames
-
-                with _stage("dispatch: input pack"):
-                    ubuf = pack_input_frames(frames_np, PK.input_esc_cap(ph, pw))
-                if ubuf is not None:
-                    with _stage("dispatch: h2d asarray"):
-                        fr_dev = jnp.asarray(ubuf)
-                    pshape = (n_frames, ph, pw)
+            if ubuf is not None:
+                with _stage("dispatch: h2d asarray"):
+                    fr_dev = jnp.asarray(ubuf)
+                pshape = (n_frames, ph, pw)
             if fr_dev is None:
                 with _stage("dispatch: h2d asarray"):
                     fr_dev = jnp.asarray(frames_np)
@@ -1003,6 +1033,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 f"truncated frame: read {truncated_tail} of {y_size} bytes"
             )
     finally:
+        prep_pool.shutdown(wait=True)
         if rebuilder is not None:
             rebuilder.shutdown()
         fin_pool.shutdown(wait=True)
