@@ -484,12 +484,20 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
         writer = ThreadPoolExecutor(max_workers=1)
         wq: deque = deque()
 
-        def write_async(f: _Finalized, dispatch_dt: float):
+        def _resolve_and_write(f, dispatch_dt: float):
+            if hasattr(f, "result"):
+                f = f.result()  # on the writer thread, not the fetch loop
+            write_out(f, dispatch_dt)
+
+        def write_async(f, dispatch_dt: float):
+            """``f``: a _Finalized, or a Future of one — the writer thread
+            resolves futures itself, so the fetch loop never blocks on the
+            finalize pool (worth ~1.6 ms/frame of main-thread wait)."""
             while wq and wq[0].done():
                 wq.popleft().result()  # surface write errors promptly
             while len(wq) >= 64:  # backpressure: bound buffered frames
                 wq.popleft().result()
-            wq.append(writer.submit(write_out, f, dispatch_dt))
+            wq.append(writer.submit(_resolve_and_write, f, dispatch_dt))
 
         try:
             if getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag > 1:
@@ -520,6 +528,15 @@ MAX_CHUNK = int(os.environ.get("BVC_CHUNK", "24"))
 # leaves every chunk's ~25 ms tunnel round-trip exposed; deeper pipelines
 # overlap the RTTs of consecutive chunks' copies (PROFILE.md §1).
 DEPTH = max(int(os.environ.get("BVC_DEPTH", "2")), 1)
+# Chunks fetched per blocking device_get on the compact path.  Measured on
+# the real tunnel: the async d2h copies stream continuously and the fetch
+# wait is wire BACKLOG, not per-call latency — batching fetches only
+# lengthens the blocking window and starves dispatch (171 fps at FETCHB=1
+# vs 154/142 at 3/4), so the default is 1; the knob remains for relay
+# behaviors where round-trip latency dominates instead.
+FETCHB = max(int(os.environ.get("BVC_FETCHB", "1")), 1)
+_TRACE = os.environ.get("BVC_TRACE", "0") != "0"  # per-chunk fetch timing
+_trace_ts: dict = {}
 
 
 def _bucket(n: int) -> int:
@@ -729,21 +746,16 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         return sl
 
     def parse_compact(indices, currs, kind, dev, pre):
-        """Tail stage A: ONE d2h wait on the prefetched fused prefix; split
-        heads from it, derive the pool offsets from the head counts, and
-        slice the pool bytes — on prediction shortfall only, a late
-        exactly-sized fetch."""
+        """Tail stage A over the FETCHED prefix bytes (``pre`` is host
+        memory; fetch_chunks did the one batched d2h wait): split heads,
+        derive the pool offsets from the head counts, and slice the pool
+        bytes — on prediction shortfall only, a late exactly-sized fetch."""
         lay = layouts[kind]
         if not tail_mode:
-            with _stage("fetch (device_get)"):
-                heads = jax.device_get(dev[4])
-            _acct("d2h MB", heads.nbytes)
-            return (indices, currs, kind, dev, heads, None, None)
+            return (indices, currs, kind, dev, pre, None, None)  # pre: heads
         k = len(indices)
         base = k * lay.total
-        with _stage("fetch (device_get)"):
-            buf = jax.device_get(pre)
-        _acct("d2h MB", buf.nbytes)
+        buf = pre  # host bytes, fetched by fetch_chunks
         heads = buf[:base].reshape(k, lay.total)
         sizes = [sum(lay.tail_sizes(*lay.head_counts(heads[i])))
                  for i in range(k)]
@@ -787,14 +799,35 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                                d_qdcts, d_arts, d_recons, k - pos)
         return futures
 
+    def fetch_chunks(n):
+        """Compact path: ONE blocking device_get for the oldest ``n``
+        pending chunks' prefetched buffers (the relay charges its ~25-30 ms
+        round trip per CALL, not per buffer — see FETCHB), then parse and
+        submit each chunk's host work."""
+        batch = [pending_dev.popleft() for _ in range(n)]
+        arrs = [pre if tail_mode else dev[4]
+                for (_, _, _, dev, _, pre) in batch]
+        t_f0 = time.time()
+        with _stage("fetch (device_get)"):
+            bufs = jax.device_get(arrs)
+        if _TRACE:
+            i0 = batch[0][0][0]
+            print(f"TRACE fetch idx={i0} wait={1000*(time.time()-t_f0):.1f}ms"
+                  f" since_dispatch={1000*(t_f0-_trace_ts.pop(i0, t_f0)):.1f}ms",
+                  flush=True)
+        for (indices, currs, kind, dev, dispatch_dt, _), buf in zip(batch,
+                                                                    bufs):
+            _acct("d2h MB", buf.nbytes)
+            ctx = parse_compact(indices, currs, kind, dev, buf)
+            pending_fin.append((finish_compact(ctx),
+                                dispatch_dt / max(len(indices), 1)))
+
     def fetch_chunk():
+        if compact:
+            return fetch_chunks(1)
         indices, currs, kind, dev, dispatch_dt, pre = pending_dev.popleft()
         per_frame_dt = dispatch_dt / max(len(indices), 1)
         nonlocal last_recon
-        if compact:
-            ctx = parse_compact(indices, currs, kind, dev, pre)
-            pending_fin.append((finish_compact(ctx), per_frame_dt))
-            return
         futures = []
         if kind in ("two_pass", "mixed"):
             # one bundled buffer per chunk (bitcast-concat of the full
@@ -867,9 +900,9 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     def write_chunk():
         futures, per_frame_dt = pending_fin.popleft()
         for fut in futures:
-            with _stage("finalize wait (entropy pool)"):
-                f = fut.result()
-            write_out(f, per_frame_dt)  # async submit to the writer thread
+            # hand the FUTURE to the writer thread (write_async resolves it
+            # there) — the fetch loop no longer waits on the finalize pool
+            write_out(fut, per_frame_dt)
 
     truncated_tail = 0
     # fixed-QP row vector: identical every chunk, so build (and upload) it
@@ -1011,6 +1044,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 for leaf in jax.tree_util.tree_leaves(leaves):
                     leaf.copy_to_host_async()
                 pre = tail_prefetch(kind, dev, n_frames) if compact else None
+            if _TRACE:
+                _trace_ts[n_read + 1] = time.time()
             indices = list(range(n_read + 1, n_read + n_frames + 1))  # 1-based
             pending_dev.append((indices, frames_np, kind, dev,
                                 time.time() - t_disp, pre))
@@ -1020,12 +1055,21 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             n_read += n_frames
             if truncated_tail:
                 break
-            while len(pending_dev) > DEPTH:
-                fetch_chunk()
+            if compact:
+                # wait for FETCHB chunks past the pipeline depth, then take
+                # them in one batched device_get (latency amortization)
+                while len(pending_dev) >= DEPTH + FETCHB:
+                    fetch_chunks(FETCHB)
+            else:
+                while len(pending_dev) > DEPTH:
+                    fetch_chunk()
             while len(pending_fin) > 1:
                 write_chunk()
         while pending_dev:
-            fetch_chunk()
+            if compact:
+                fetch_chunks(min(FETCHB, len(pending_dev)))
+            else:
+                fetch_chunk()
         while pending_fin:
             write_chunk()
         if truncated_tail:
@@ -1175,7 +1219,8 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
                         hist.append(recons[g, k - 1])
                     idx += 1
         for fut in futures:
-            write_out(fut.result(), per_frame_dt)
+            # the writer thread resolves the future (encode_video.write_async)
+            write_out(fut, per_frame_dt)
 
     try:
         while True:
