@@ -23,11 +23,14 @@ BASELINE_FPS = 0.69  # reference results.csv best full-search row (BASELINE.md)
 W, H = 352, 288
 BLOCK, R, QP, IPERIOD = 8, 2, 5, 10  # I_Period 10 = the reference RD sweep's largest
 WARMUP_FRAMES = 20  # covers the chunked I+P compile paths
-BENCH_FRAMES = 80
+# 240 frames measures SUSTAINED throughput: at ~170 fps a run is ~1.4 s, so
+# the fixed pipeline fill/drain (~0.1 s: first-chunk fetch latency + final
+# drain) amortizes to noise instead of costing ~10% as it did at 80 frames
+BENCH_FRAMES = 240
 # best-of-reps within a fixed sampling window: remote-tunnel throughput
-# varies 2-3x in multi-minute weather patterns, so sample long enough to
-# catch a representative window rather than a fixed (possibly all-bad) N
-MIN_REPS = 6
+# varies in multi-minute weather patterns, so sample long enough to catch
+# a representative window rather than a fixed (possibly all-bad) N
+MIN_REPS = 4
 MAX_REPS = 60
 SAMPLE_SECONDS = 150  # weather patterns are multi-minute; sample across them
 
