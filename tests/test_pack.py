@@ -431,7 +431,9 @@ def test_pipeline_overflow_fallback(tmp_path, monkeypatch):
     dict(quantization_factor=6),               # q4 nibble stream + escapes
     dict(fracMeEnabled=True),                  # half-pel prediction planes
     dict(nRefFrames=3),                        # reference-stack indexing
-], ids=["base", "q4", "frac", "nref3"])
+    dict(block_size=16, search_range=1, fastME=True, RCflag=3,
+         targetBR=240_000, quantization_factor=5),  # two_pass layout (bs 16)
+], ids=["base", "q4", "frac", "nref3", "two_pass_bs16"])
 def test_fused_rebuild_matches_staged(tmp_path, monkeypatch, cfg):
     """The fused native rebuild (bvc_rebuild_p) must produce byte-identical
     artifacts to the staged per-stage chain it replaces."""
@@ -453,8 +455,12 @@ def test_fused_rebuild_matches_staged(tmp_path, monkeypatch, cfg):
         base = dict(block_size=8, search_range=2, I_Period=4,
                     quantization_factor=3, resolution=(W, H))
         base.update(cfg)
-        p = InputParameters(str(d / "t.y"), W, H, EncoderConfig(**base),
-                            frames_to_process=N)
+        ec = EncoderConfig(**base)
+        if ec.RCflag:
+            from test_property_conformance import _table_for
+
+            ec.rc_lookup_table = _table_for(ec.block_size)
+        p = InputParameters(str(d / "t.y"), W, H, ec, frames_to_process=N)
         encode_video(p, results_csv_path=None)
         return FileIOHelper(p, create_dirs=False)
 
