@@ -35,10 +35,18 @@ def overwrite_open(path: str, text: bool = False, newline=None):
               else open(path, "wb"))
     try:
         yield fh
-    finally:
+    except BaseException:
+        # already raising: truncate best-effort at the failure point so a
+        # crashed run leaves a plain prefix, but don't mask the original
         with contextlib.suppress(OSError, ValueError):
-            fh.truncate()  # at the write position — also on error paths
+            fh.truncate()
         fh.close()
+        raise
+    else:
+        try:
+            fh.truncate()  # must succeed: a stale tail would corrupt artifacts
+        finally:
+            fh.close()
 
 
 class FileIOHelper:

@@ -327,10 +327,15 @@ def _rebuild_fused(f, ec, hist):
 
 def _can_fuse_rebuild(f, q_full, r_full, a_full) -> bool:
     """The fused rebuild handles exactly the no-overflow inter-frame case
-    with joint art codes; every overflow/full-plane variant stays on the
-    staged chain."""
+    with joint art codes; every overflow/full-plane variant — and hosts
+    without the native library — stays on the staged chain.  This predicate
+    is the ONE dispatch decision; both call sites (_ReconRebuilder.submit
+    async, _rebuild_frame sync) must stay trivial wrappers around it."""
+    from ..entropy import native
+
     return (q_full is None and r_full is None and a_full is None
-            and int(f["meta"][0]) == INTER and f.get("jb") is not None)
+            and int(f["meta"][0]) == INTER and f.get("jb") is not None
+            and native.available())
 
 
 def _rebuild_frame(f, ec, hist, q_full=None, r_full=None, a_full=None):
@@ -484,10 +489,22 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
         writer = ThreadPoolExecutor(max_workers=1)
         wq: deque = deque()
 
+        write_failed = []
+
         def _resolve_and_write(f, dispatch_dt: float):
-            if hasattr(f, "result"):
-                f = f.result()  # on the writer thread, not the fetch loop
-            write_out(f, dispatch_dt)
+            # once any frame fails to finalize, write nothing after it: the
+            # artifact files must end as a clean prefix, not a stream with a
+            # hole (the failing frame's original exception surfaces first —
+            # wq drains FIFO)
+            if write_failed:
+                raise RuntimeError("skipped: an earlier frame failed")
+            try:
+                if hasattr(f, "result"):
+                    f = f.result()  # on the writer thread, not the fetch loop
+                write_out(f, dispatch_dt)
+            except BaseException:
+                write_failed.append(True)
+                raise
 
         def write_async(f, dispatch_dt: float):
             """``f``: a _Finalized, or a Future of one — the writer thread
@@ -811,10 +828,11 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         with _stage("fetch (device_get)"):
             bufs = jax.device_get(arrs)
         if _TRACE:
-            i0 = batch[0][0][0]
-            print(f"TRACE fetch idx={i0} wait={1000*(time.time()-t_f0):.1f}ms"
-                  f" since_dispatch={1000*(t_f0-_trace_ts.pop(i0, t_f0)):.1f}ms",
-                  flush=True)
+            for b in batch:  # pop EVERY chunk's stamp (no leak across runs)
+                ts = _trace_ts.pop(b[0][0], t_f0)
+                print(f"TRACE fetch idx={b[0][0]} "
+                      f"wait={1000*(time.time()-t_f0):.1f}ms "
+                      f"since_dispatch={1000*(t_f0-ts):.1f}ms", flush=True)
         for (indices, currs, kind, dev, dispatch_dt, _), buf in zip(batch,
                                                                     bufs):
             _acct("d2h MB", buf.nbytes)
@@ -943,6 +961,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 ubuf = pack_input_frames(frames_np, PK.input_esc_cap(ph, pw))
         return frames_np, ubuf, n, trunc
 
+    if _TRACE:
+        _trace_ts.clear()  # stale stamps from a previous run in this process
     prep_pool = ThreadPoolExecutor(max_workers=1)
     # the NEXT chunk's prep is submitted before the current one is
     # processed; its start frame assumes full-length reads, which only

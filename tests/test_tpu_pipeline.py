@@ -539,3 +539,29 @@ def test_rerun_shrinks_artifacts(tmp_path):
     rec = np.fromfile(ios["reused"].get_mc_reconstructed_file_name(), np.uint8)
     dec = np.fromfile(ios["reused"].get_mc_decoded_file_name(), np.uint8)
     assert np.array_equal(rec, dec)
+
+
+def test_finalize_failure_leaves_clean_prefix(tmp_path, monkeypatch):
+    """If a frame fails to finalize, the writer must stop: artifacts end as
+    a clean prefix (no later frames written past the hole), and the
+    original exception surfaces from encode_video."""
+    import basic_video_codec_tpu.models.pipeline as pl
+
+    y = ygen.moving_sequence(W, H, 6, seed=2)
+    src = str(tmp_path / "t.y")
+    ygen.write_y_file(src, y)
+    real = pl._finalize_fields
+
+    def boom(index, *a, **k):
+        if index == 4:
+            raise RuntimeError("injected finalize failure")
+        return real(index, *a, **k)
+
+    monkeypatch.setattr(pl, "_finalize_fields", boom)
+    ec = EncoderConfig(8, 2, 3, 4, resolution=(W, H))
+    p = InputParameters(src, W, H, ec, frames_to_process=6)
+    with pytest.raises(RuntimeError, match="injected"):
+        tpu_encode(p, results_csv_path=None)
+    io = FileIOHelper(p, create_dirs=False)
+    n = os.path.getsize(io.get_mc_reconstructed_file_name())
+    assert n % (W * H) == 0 and n // (W * H) <= 3  # frames 1..3 at most
