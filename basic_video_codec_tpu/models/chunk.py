@@ -22,15 +22,15 @@ from ..ops.intra import intra_decode_frame, intra_encode_frame
 from .pframe import pframe_decode, pframe_encode
 
 
-def _pack_qdct_stack(qdcts, bs, vdtype, q4):
+def _pack_qdct_stack(qdcts, bs, vdtype, q4, qfrac=None):
     """vmap pack_qdct over stacked frames [K, H, W]."""
     h, w = qdcts.shape[1:]
-    cap = P.qdct_caps((h // bs) * (w // bs), bs)
+    cap = P.qdct_caps((h // bs) * (w // bs), bs, qfrac)
     return jax.vmap(lambda q: P.pack_qdct(q, bs, cap, vdtype, q4))(qdcts)
 
 
 def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
-                     jt, tail=False, mvk=3, mvn=False):
+                     jt, tail=False, mvk=3, mvn=False, qfrac=None):
     """Shared compact-transfer epilogue: ONE packed uint8 row per frame in
     ops/pack.py FrameLayout order.  ``intra_parts`` is the chunk head's
     (recon, qdct, smalls) or None; ``p_parts`` the stacked P-frame
@@ -46,13 +46,14 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
     nb = nbr * nbc
     vdtype = jnp.int8 if int8q else jnp.int16
     layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
-                           jt, tail=tail, mvk=mvk, mvn=mvn)
+                           jt, tail=tail, mvk=mvk, mvn=mvn, qfrac=qfrac)
     cap = P.esc_cap(h, w)
     rows = []
     tails = []  # per-segment (jk, qv, qe, jn, qt, qn) stacks, frame order
     if intra_parts is not None:
         recon_i, qdct_i, smalls_i = intra_parts
-        qp_i = P.pack_qdct(qdct_i, bs, P.qdct_caps(nb, bs), vdtype, q4)
+        qp_i = P.pack_qdct(qdct_i, bs, P.qdct_caps(nb, bs, qfrac), vdtype,
+                           q4)
         qv_i, ql_i, qt_i = qp_i[:3]
         meta_i, mv_z, modes_i = _meta_i(smalls_i, nb, nbr)
         if mvk == 2:
@@ -79,7 +80,7 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
                       jbn_i[None] if tail else None))
     recons, arts, qdcts, smalls = p_parts
     if recons.shape[0] > 0:
-        qp = _pack_qdct_stack(qdcts, bs, vdtype, q4)
+        qp = _pack_qdct_stack(qdcts, bs, vdtype, q4, qfrac)
         qv, ql, qt = qp[:3]
 
         def pack_one(art, recon, pred_u8, qdct, sm):
@@ -178,7 +179,7 @@ def _meta_i(smalls, nb, nbr):
 
 
 @partial(jax.jit, static_argnames=("bs", "rc1", "exact", "compact", "int8q",
-                                   "q4", "tail", "packed_shape"))
+                                   "q4", "tail", "packed_shape", "qfrac"))
 def encode_chunk_intra_only(
     frames: jnp.ndarray,        # uint8 [K, H, W] (or packed upload buffer)
     row_qps: jnp.ndarray,       # int32 [nbr]
@@ -194,6 +195,7 @@ def encode_chunk_intra_only(
     q4: bool = False,
     tail: bool = False,
     packed_shape: tuple | None = None,
+    qfrac: tuple | None = None,
 ):
     """All-intra chunk (I_Period == 1): every frame clears the reference
     deques, so frames are fully independent — one ``vmap`` instead of a scan.
@@ -218,7 +220,8 @@ def encode_chunk_intra_only(
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     cap = P.esc_cap(h, w)
-    qp = _pack_qdct_stack(qdcts, bs, jnp.int8 if int8q else jnp.int16, q4)
+    qp = _pack_qdct_stack(qdcts, bs, jnp.int8 if int8q else jnp.int16, q4,
+                          qfrac)
     qv, ql, qt = qp[:3]
 
     def row(r, q, sm, v, l, t, qen=None):
@@ -234,7 +237,7 @@ def encode_chunk_intra_only(
     packed = jax.vmap(row)(*args)
     if tail:
         layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, False, False,
-                               q4=q4, tail=True)
+                               q4=q4, tail=True, qfrac=qfrac)
         qns = qp[4] if q4 else jnp.zeros(qt.shape[0], jnp.int32)
         pool = P.pack_tail_pool(layout, None, qv, qp[3] if q4 else None,
                                 jnp.zeros(qt.shape[0], jnp.int32), qt, qns)
@@ -245,7 +248,7 @@ def encode_chunk_intra_only(
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
                                    "first_is_intra", "exact", "compact",
                                    "int8q", "mv8", "q4", "tail",
-                                   "packed_shape"))
+                                   "packed_shape", "qfrac"))
 def encode_chunk(
     frames: jnp.ndarray,        # uint8 [K, H, W] (or packed upload buffer)
     ref0: jnp.ndarray,          # uint8 [H, W] incoming reference (used iff not first_is_intra)
@@ -268,6 +271,7 @@ def encode_chunk(
     q4: bool = False,
     tail: bool = False,
     packed_shape: tuple | None = None,
+    qfrac: tuple | None = None,
 ):
     """Returns ``(intra_out | None, p_out, ref_out, hp_out)`` where
     ``intra_out = (recon, art, qdct, smalls)`` for frames[0] and
@@ -332,12 +336,13 @@ def encode_chunk(
     packed = _pack_chunk_rows(
         (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
         p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4, q4 and not rc1,
-        tail=tail, mvk=2, mvn=mvn)
+        tail=tail, mvk=2, mvn=mvn, qfrac=qfrac)
     return intra_out, p_out[:4], ref_out, hp_out, packed
 
 
 def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
-                            mv8, q4, h, w, tail=False, mvk=3, mvn=False):
+                            mv8, q4, h, w, tail=False, mvk=3, mvn=False,
+                            qfrac=None):
     """Compact-transfer rows for chunks whose per-frame mode is a RUNTIME
     value (the fused two-pass chunk's scene changes, the mixed multi-GOP
     chunk's position-scheduled intra frames), in the same ops/pack.py
@@ -347,7 +352,7 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     vdtype = jnp.int8 if int8q else jnp.int16
-    capq = P.qdct_caps(nb, bs)
+    capq = P.qdct_caps(nb, bs, qfrac)
     cap = P.esc_cap(h, w)
 
     def row(recon, art, qdct, sm, pred_u8):
@@ -390,7 +395,7 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
     if not tail:
         return heads
     layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
-                           False, tail=True, mvk=mvk, mvn=mvn)
+                           False, tail=True, mvk=mvk, mvn=mvn, qfrac=qfrac)
     pool = P.pack_tail_pool(layout, jks, qvs, qes if q4 else None,
                             jns, qts, qns, jbzs, jbns)
     # fused [K*headB + pool] buffer: one predictively-sized fetch per chunk
@@ -400,7 +405,8 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
 
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast",
                                    "frac", "exact", "compact", "int8q",
-                                   "mv8", "q4", "tail", "packed_shape"))
+                                   "mv8", "q4", "tail", "packed_shape",
+                                   "qfrac"))
 def encode_chunk_mixed(
     frames: jnp.ndarray,        # uint8 [K, H, W] (or packed upload buffer)
     ref0: jnp.ndarray,          # uint8 [H, W] incoming reference
@@ -423,6 +429,7 @@ def encode_chunk_mixed(
     q4: bool = False,
     tail: bool = False,
     packed_shape: tuple | None = None,
+    qfrac: tuple | None = None,
 ):
     """Multi-GOP chunk (single reference, RC 0/1): a ``lax.scan`` whose step
     ``lax.cond``s into the intra or P encode by the frame's GOP position, so
@@ -488,7 +495,8 @@ def encode_chunk_mixed(
         mvn = P.mv_nibble_static(fast, frac, search_range, 1)
         packed = _pack_runtime_mode_rows(recons, arts, qdcts, smalls,
                                          scanned[4], bs, int8q, mv8, q4,
-                                         h, w, tail=tail, mvk=2, mvn=mvn)
+                                         h, w, tail=tail, mvk=2, mvn=mvn,
+                                         qfrac=qfrac)
     else:
         # bundle the full planes into one buffer per chunk (the two_pass
         # non-compact transport: bitcast+concat, one transfer per chunk)
@@ -519,7 +527,7 @@ def _push_ref(refs, hps, n_valid, recon, hp, frac):
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
                                    "first_is_intra", "exact", "compact",
                                    "int8q", "mv8", "q4", "tail",
-                                   "packed_shape"))
+                                   "packed_shape", "qfrac"))
 def encode_chunk_multiref(
     frames: jnp.ndarray,        # uint8 [K, H, W] (or packed upload buffer)
     refs0: jnp.ndarray,         # uint8 [R, H, W] incoming rolling stack
@@ -543,6 +551,7 @@ def encode_chunk_multiref(
     q4: bool = False,
     tail: bool = False,
     packed_shape: tuple | None = None,
+    qfrac: tuple | None = None,
 ):
     """nRefFrames > 1 GOP chunk: :func:`encode_chunk` with the single
     reference replaced by a rolling stack carried through the scan.  The
@@ -609,7 +618,7 @@ def encode_chunk_multiref(
     packed = _pack_chunk_rows(
         (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
         p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4, q4 and not rc1,
-        tail=tail)
+        tail=tail, qfrac=qfrac)
     return intra_out, p_out[:4], refs_out, hps_out, nv_out, packed
 
 

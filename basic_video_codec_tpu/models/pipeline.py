@@ -677,8 +677,9 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     int8q = PK.qdct_int8_safe(ec)
     mv8 = PK.mv_int8_safe(ec)
     q4 = PK.qdct_nibble_safe(ec)
+    qfrac = PK.qcap_fraction(ec)
     nb_pad = (ph // bs) * (pw // bs)
-    qcap = PK.qdct_caps(nb_pad, bs)
+    qcap = PK.qdct_caps(nb_pad, bs, qfrac)
     ecap = PK.esc_cap(ph, pw)
     qecap = PK.qe_cap(qcap)
     jt = q4 and not rc1 and ec.RCflag == 0  # tight kind cap: fixed QP >= 5
@@ -689,18 +690,22 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     mvn = PK.mv_nibble_safe(ec)
     layouts = {
         "intra_all": PK.FrameLayout(ph, pw, bs, vbytes, False, False,
-                                    q4=q4, tail=tail_mode),
+                                    q4=q4, tail=tail_mode, qfrac=qfrac),
         "intra_led": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
-                                    jt, tail=tail_mode, mvk=mvk, mvn=mvn),
+                                    jt, tail=tail_mode, mvk=mvk, mvn=mvn,
+                                    qfrac=qfrac),
         "p_only": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
-                                 jt, tail=tail_mode, mvk=mvk, mvn=mvn),
+                                 jt, tail=tail_mode, mvk=mvk, mvn=mvn,
+                                 qfrac=qfrac),
         # mode is a runtime value per frame (scene changes / GOP-position
         # intra), so every row carries both mv and art fields; intra rows
         # zero the unused ones
         "two_pass": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
-                                   False, tail=tail_mode, mvk=mvk, mvn=mvn),
+                                   False, tail=tail_mode, mvk=mvk, mvn=mvn,
+                                   qfrac=qfrac),
         "mixed": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
-                                False, tail=tail_mode, mvk=mvk, mvn=mvn),
+                                False, tail=tail_mode, mvk=mvk, mvn=mvn,
+                                qfrac=qfrac),
     }
 
     rebuilder = _ReconRebuilder(ec, ph, pw, fin_pool) if compact else None
@@ -1007,7 +1012,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     tbl[0], tbl[1], exp_p_frame, initial_qp,
                     bs, max(ec.search_range, 0), ec.fastME, frac,
                     first_is_intra, exact=exact, compact=compact, int8q=int8q,
-                    mv8=mv8, q4=q4, tail=tail_mode, packed_shape=pshape,
+                    mv8=mv8, q4=q4, tail=tail_mode, packed_shape=pshape, qfrac=qfrac,
                 )
                 kind = "two_pass"
                 # one bundled buffer per chunk (tail mode: the prefetched
@@ -1018,7 +1023,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                 dev = encode_chunk_intra_only(
                     fr_dev, row_qps, budget0, tbl[0], tbl[1],
                     initial_qp, bs, rc1, exact=exact, compact=compact,
-                    int8q=int8q, q4=q4, tail=tail_mode, packed_shape=pshape,
+                    int8q=int8q, q4=q4, tail=tail_mode, packed_shape=pshape, qfrac=qfrac,
                 )
                 kind = "intra_all"
                 leaves = (() if tail_mode else (dev[4],)) if compact else dev
@@ -1030,7 +1035,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     fr_dev, ref, hp, is_i, row_qps, budget0, tbl[0], tbl[1],
                     initial_qp, bs, max(ec.search_range, 0), rc1, ec.fastME,
                     frac, exact=exact, compact=compact, int8q=int8q, mv8=mv8,
-                    q4=q4, tail=tail_mode, packed_shape=pshape,
+                    q4=q4, tail=tail_mode, packed_shape=pshape, qfrac=qfrac,
                 )
                 kind = "mixed"
                 leaves = () if tail_mode else (dev[4],)
@@ -1040,7 +1045,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     tbl[0], tbl[1], initial_qp, bs, max(ec.search_range, 0),
                     rc1, ec.fastME, frac, first_is_intra, exact=exact,
                     compact=compact, int8q=int8q, mv8=mv8, q4=q4,
-                    tail=tail_mode, packed_shape=pshape,
+                    tail=tail_mode, packed_shape=pshape, qfrac=qfrac,
                 )
                 ref, hp, nv = out[2], out[3], out[4]
                 # normalize to the fetcher's (intra_out, p_out, _, _, packed)
@@ -1054,7 +1059,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     fr_dev, ref, hp, row_qps, budget0, tbl[0], tbl[1],
                     initial_qp, bs, max(ec.search_range, 0), rc1, ec.fastME, frac,
                     first_is_intra, exact=exact, compact=compact, int8q=int8q,
-                    mv8=mv8, q4=q4, tail=tail_mode, packed_shape=pshape,
+                    mv8=mv8, q4=q4, tail=tail_mode, packed_shape=pshape, qfrac=qfrac,
                 )
                 ref, hp = dev[2], dev[3]
                 kind = "intra_led" if first_is_intra else "p_only"
@@ -1141,17 +1146,19 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
     q4 = PK.qdct_nibble_safe(ec)
     pw, ph = padded_dims(params.width, params.height, bs)
     nb_pad = (ph // bs) * (pw // bs)
-    qcap = PK.qdct_caps(nb_pad, bs)
+    qfrac = PK.qcap_fraction(ec)
+    qcap = PK.qdct_caps(nb_pad, bs, qfrac)
     ecap = PK.esc_cap(ph, pw)
     qecap = PK.qe_cap(qcap)
     jt = q4 and not rc1 and ec.RCflag == 0
     jkcap = PK.jk_cap(ph, pw, jt)
     vbytes = 1 if int8q else 2
-    layout = (PK.FrameLayout(ph, pw, bs, vbytes, False, False, q4=q4)
+    layout = (PK.FrameLayout(ph, pw, bs, vbytes, False, False, q4=q4,
+                             qfrac=qfrac)
               if intra_only
               else PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
                                   jt, mvk=3 if ec.nRefFrames > 1 else 2,
-                                  mvn=PK.mv_nibble_safe(ec)))
+                                  mvn=PK.mv_nibble_safe(ec), qfrac=qfrac))
 
     data = max(1, min(len(jax.devices()), ec.parallel_gops))
     mesh = make_mesh(data, data=data, space=1)
@@ -1161,7 +1168,7 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
         return gop_batch_fn(mesh, intra_only, bs, max(ec.search_range, 0),
                             rc1, ec.fastME, frac, exact, compact, int8q,
                             n_ref=ec.nRefFrames, mv8=mv8, q4=q4,
-                            packed_shape=pshape)
+                            packed_shape=pshape, qfrac=qfrac)
 
     # compact uploads for the sharded path too (same fallback rules as the
     # serial pipeline: native packer unavailable / escape-heavy -> raw)

@@ -64,7 +64,7 @@ def _row_qps_proportional(row_bits_1, budget_frame, tbl_qps, tbl_bits):
 @partial(jax.jit, static_argnames=("bs", "search_range", "fast", "frac",
                                    "first_is_intra", "exact", "compact",
                                    "int8q", "mv8", "q4", "tail",
-                                   "packed_shape"))
+                                   "packed_shape", "qfrac"))
 def encode_chunk_two_pass(
     frames: jnp.ndarray,       # uint8 [K, H, W] (or packed upload buffer)
     refs0: jnp.ndarray,        # uint8 [R, H, W] rolling reference stack
@@ -88,6 +88,7 @@ def encode_chunk_two_pass(
     q4: bool = False,
     tail: bool = False,
     packed_shape: tuple | None = None,
+    qfrac: tuple | None = None,
 ):
     """Returns ``(out, refs_out, hps_out, n_valid_out, prev_avg_out)`` with
     ``out = (recons [K,H,W] u8, arts [K,H,W] u8, qdcts [K,H,W] i16,
@@ -280,7 +281,8 @@ def encode_chunk_two_pass(
         mvn = P.mv_nibble_static(fast, frac, search_range, R)
         packed = _pack_runtime_mode_rows(recons, arts, qdcts, smalls_all,
                                          preds_all, bs, int8q, mv8, q4, h, w,
-                                         tail=tail, mvk=2 if R == 1 else 3,
+                                         tail=tail, qfrac=qfrac,
+                                         mvk=2 if R == 1 else 3,
                                          mvn=mvn)
         out = out[:4]
     else:

@@ -51,15 +51,33 @@ PREFIX_CAP_FRACTION = 3, 8  # capacity = 3/8 of the plane's coefficients
 ESC_DIVISOR = 256
 
 
-def qdct_caps(nb: int, bs: int) -> int:
-    """Zigzag-prefix value capacity: a fixed fraction (3/8) of the plane's
-    coefficient count, independent of block size.  Sized from measured
-    prefix totals: the bs-16 low-QP deliverable config peaks at ~33% of the
-    plane; bs-8 bench configs at well under 10%.  An undersized cap is
-    worse than a generous one — every overflowing frame costs a ~40 ms
-    synchronous full-plane fallback fetch through the relay."""
-    num, den = PREFIX_CAP_FRACTION
+def qdct_caps(nb: int, bs: int, qfrac: tuple = None) -> int:
+    """Zigzag-prefix value capacity: a config-class fraction of the plane's
+    coefficient count (:func:`qcap_fraction`).  Sized from measured prefix
+    totals: RC / qp >= 5 configs peak at ~33% of the plane (bs-16
+    deliverable) and bs-8 bench configs well under 10%, so they carry 3/8;
+    fixed low QPs keep far more coefficients and get generous caps.  An
+    undersized cap is worse than a generous one — every overflowing frame
+    costs a ~40-60 ms synchronous full-plane fallback fetch through the
+    relay (the tail-mode transport only ever fetches USED bytes, so a
+    larger cap costs only device pool allocation and a bigger first-chunk
+    prefetch estimate)."""
+    num, den = qfrac if qfrac is not None else PREFIX_CAP_FRACTION
     return max(nb * bs * bs * num // den, 2048)
+
+
+def qcap_fraction(ec) -> tuple:
+    """Static prefix-cap sizing class for a config.  Measured qt peaks:
+    RC modes and fixed QP >= 5 stay under 3/8; fixed qp 3-4 reaches ~53%
+    of the plane on high-motion frames (5/8 covers it); fixed qp <= 2 can
+    fill the plane outright, so the cap is the whole plane — overflow
+    becomes impossible and the per-frame synchronous fallback never
+    fires."""
+    if ec.RCflag or ec.quantization_factor >= 5:
+        return PREFIX_CAP_FRACTION
+    if ec.quantization_factor >= 3:
+        return (5, 8)
+    return (1, 1)
 
 
 def esc_cap(h: int, w: int) -> int:
@@ -566,7 +584,8 @@ class FrameLayout:
     """
 
     def __init__(self, h, w, bs, vbytes, with_mv, with_art, mv8=False,
-                 q4=False, jt=None, tail=False, mvk=3, mvn=False):
+                 q4=False, jt=None, tail=False, mvk=3, mvn=False,
+                 qfrac=None):
         nbr = h // bs
         nb = nbr * (w // bs)
         self.h, self.w, self.nb, self.nbr = h, w, nb, nbr
@@ -582,7 +601,7 @@ class FrameLayout:
         self.mvk = mvk
         self.mvn = mvn
         self.qlbytes = 1 if bs * bs <= 255 else 2
-        self.capq = qdct_caps(nb, bs)
+        self.capq = qdct_caps(nb, bs, qfrac)
         self.cape = esc_cap(h, w)
         self.capqe = qe_cap(self.capq)
         nbm = (nb + 7) // 8

@@ -39,7 +39,8 @@ from functools import lru_cache
 def gop_batch_fn(mesh, intra_only: bool, bs: int, search_range: int, rc1: bool,
                  fast: bool, frac: bool, exact: bool, compact: bool, int8q: bool,
                  n_ref: int = 1, mv8: bool = False, q4: bool = False,
-                 packed_shape: tuple | None = None):
+                 packed_shape: tuple | None = None,
+                 qfrac: tuple | None = None):
     """Build the sharded GOP-batch program: ONE GOP per device via
     ``shard_map``, each shard running the *identical* serial chunk program.
 
@@ -70,6 +71,7 @@ def gop_batch_fn(mesh, intra_only: bool, bs: int, search_range: int, rc1: bool,
             out = encode_chunk_intra_only(
                 local, row_qps, budget0, tbl_qps, tbl_bits, initial_qp,
                 bs, rc1, exact=exact, compact=compact, int8q=int8q, q4=q4,
+                qfrac=qfrac,
             )
         elif n_ref > 1:
             # GOPs start intra, so each shard's rolling stack initializes
@@ -80,6 +82,7 @@ def gop_batch_fn(mesh, intra_only: bool, bs: int, search_range: int, rc1: bool,
                 row_qps, budget0, tbl_qps, tbl_bits, initial_qp,
                 bs, search_range, rc1, fast, frac, True,
                 exact=exact, compact=compact, int8q=int8q, mv8=mv8, q4=q4,
+                qfrac=qfrac,
             )
             # drop the stack/validity carries; normalize to encode_chunk's
             # (intra_out, p_out, ref, hp[, packed]) shape for the fetcher
@@ -92,6 +95,7 @@ def gop_batch_fn(mesh, intra_only: bool, bs: int, search_range: int, rc1: bool,
                 row_qps, budget0, tbl_qps, tbl_bits, initial_qp,
                 bs, search_range, rc1, fast, frac, True,
                 exact=exact, compact=compact, int8q=int8q, mv8=mv8, q4=q4,
+                qfrac=qfrac,
             )
         return jax.tree_util.tree_map(lambda x: x[None], out)
 

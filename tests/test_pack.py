@@ -412,7 +412,7 @@ def test_pipeline_overflow_fallback(tmp_path, monkeypatch):
     # so the new cap values are actually traced in
     chunk_mod.encode_chunk.clear_cache()
     chunk_mod.encode_chunk_intra_only.clear_cache()
-    monkeypatch.setattr(PK, "qdct_caps", lambda nb, bs: 8)
+    monkeypatch.setattr(PK, "qdct_caps", lambda nb, bs, qfrac=None: 8)
     monkeypatch.setattr(PK, "esc_cap", lambda h, w: 8)
     try:
         io_tiny = run("tiny")
@@ -474,3 +474,25 @@ def test_fused_rebuild_matches_staged(tmp_path, monkeypatch, cfg):
                 "get_residual_wo_mc_file_name", "get_mv_file_name"):
         assert filecmp.cmp(getattr(io_fused, get)(), getattr(io_staged, get)(),
                            shallow=False), get
+
+
+def test_qcap_fraction_classes():
+    """Prefix-cap sizing classes (measured qt peaks, PROFILE.md): RC and
+    qp>=5 carry 3/8; fixed qp 3-4 reach ~53% of the plane (5/8); fixed
+    qp<=2 can fill it (whole-plane cap — overflow impossible)."""
+    from basic_video_codec_tpu.config import EncoderConfig
+
+    def ec(**kw):
+        base = dict(block_size=16, search_range=2, I_Period=8,
+                    quantization_factor=5, resolution=(64, 48))
+        base.update(kw)
+        return EncoderConfig(**base)
+
+    assert PK.qcap_fraction(ec()) == (3, 8)
+    assert PK.qcap_fraction(ec(RCflag=1, targetBR=100_000,
+                               quantization_factor=2)) == (3, 8)
+    assert PK.qcap_fraction(ec(quantization_factor=4)) == (5, 8)
+    assert PK.qcap_fraction(ec(quantization_factor=3)) == (5, 8)
+    assert PK.qcap_fraction(ec(quantization_factor=2)) == (1, 1)
+    nb = (48 // 16) * (64 // 16)
+    assert PK.qdct_caps(nb, 16, (1, 1)) == nb * 256  # whole plane
