@@ -22,10 +22,8 @@ from ..ops.intra import intra_decode_frame, intra_encode_frame
 from .pframe import pframe_decode, pframe_encode
 
 
-def _pack_qdct_stack(qdcts, bs, vdtype, q4, qfrac=None):
+def _pack_qdct_stack(qdcts, bs, vdtype, q4, cap):
     """vmap pack_qdct over stacked frames [K, H, W]."""
-    h, w = qdcts.shape[1:]
-    cap = P.qdct_caps((h // bs) * (w // bs), bs, qfrac)
     return jax.vmap(lambda q: P.pack_qdct(q, bs, cap, vdtype, q4))(qdcts)
 
 
@@ -47,20 +45,19 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
     vdtype = jnp.int8 if int8q else jnp.int16
     layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
                            jt, tail=tail, mvk=mvk, mvn=mvn, qfrac=qfrac)
-    cap = P.esc_cap(h, w)
+    cap = layout.cape
     rows = []
     tails = []  # per-segment (jk, qv, qe, jn, qt, qn) stacks, frame order
     if intra_parts is not None:
         recon_i, qdct_i, smalls_i = intra_parts
-        qp_i = P.pack_qdct(qdct_i, bs, P.qdct_caps(nb, bs, qfrac), vdtype,
-                           q4)
+        qp_i = P.pack_qdct(qdct_i, bs, layout.capq, vdtype, q4)
         qv_i, ql_i, qt_i = qp_i[:3]
         meta_i, mv_z, modes_i = _meta_i(smalls_i, nb, nbr)
         if mvk == 2:
             mv_z = jnp.zeros(2 * nb, jnp.int32)
         jb_i, jk_i, jn_i, re_i, rn_i, ae_i, an_i = _pack_intra_recon(
             recon_i, qdct_i, smalls_i, bs, nb, nbr, nbc, cap, joint=True,
-            tight=jt)
+            tight=jt, capk=layout.capk)
         if tail:
             j1_i, jbz_i, jbn_i = P.split_bitmap(jb_i)
             codes_i = (j1_i, jbn_i, jn_i)
@@ -80,7 +77,7 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
                       jbn_i[None] if tail else None))
     recons, arts, qdcts, smalls = p_parts
     if recons.shape[0] > 0:
-        qp = _pack_qdct_stack(qdcts, bs, vdtype, q4, qfrac)
+        qp = _pack_qdct_stack(qdcts, bs, vdtype, q4, layout.capq)
         qv, ql, qt = qp[:3]
 
         def pack_one(art, recon, pred_u8, qdct, sm):
@@ -89,7 +86,7 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
             x = P.exact_x_blocks(qdct, row_qps, bs)
             guess = P.recon_guess_from_x(x, pred, bs)
             return P.pack_joint(recon, guess, art, P.art_guess_from_x(x),
-                                cap, tight=jt)
+                                cap, tight=jt, capk=layout.capk)
 
         jb, jk, jn, re, rn, ae, an = jax.vmap(pack_one)(
             arts, recons, preds, qdcts, smalls)
@@ -139,7 +136,7 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
 
 
 def _pack_intra_recon(recon, qdct, smalls, bs, nb, nbr, nbc, cap,
-                      joint=False, tight=False):
+                      joint=False, tight=False, capk=None):
     """Correction codes for an I-frame's reconstruction: the prediction
     plane comes from the FINAL recon + modes (each block's predictor pixels
     are final by scan order), the guess from the shared integer IDCT.
@@ -150,7 +147,8 @@ def _pack_intra_recon(recon, qdct, smalls, bs, nb, nbr, nbc, cap,
     pred = P.intra_pred_plane(recon, modes, bs)
     guess = P.recon_guess_plane(qdct, row_qps, pred, bs)
     if joint:
-        return P.pack_joint(recon, guess, guess, guess, cap, tight=tight)
+        return P.pack_joint(recon, guess, guess, guess, cap, tight=tight,
+                            capk=capk)
     return P.pack_vs_base(recon, guess, cap)
 
 
@@ -219,9 +217,11 @@ def encode_chunk_intra_only(
     h, w = frames.shape[1:]
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
-    cap = P.esc_cap(h, w)
+    layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, False, False,
+                           q4=q4, tail=tail, qfrac=qfrac)
+    cap = layout.cape
     qp = _pack_qdct_stack(qdcts, bs, jnp.int8 if int8q else jnp.int16, q4,
-                          qfrac)
+                          layout.capq)
     qv, ql, qt = qp[:3]
 
     def row(r, q, sm, v, l, t, qen=None):
@@ -236,8 +236,6 @@ def encode_chunk_intra_only(
         args = args + ((qp[3], qp[4]),)
     packed = jax.vmap(row)(*args)
     if tail:
-        layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, False, False,
-                               q4=q4, tail=True, qfrac=qfrac)
         qns = qp[4] if q4 else jnp.zeros(qt.shape[0], jnp.int32)
         pool = P.pack_tail_pool(layout, None, qv, qp[3] if q4 else None,
                                 jnp.zeros(qt.shape[0], jnp.int32), qt, qns)
@@ -352,8 +350,10 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     vdtype = jnp.int8 if int8q else jnp.int16
-    capq = P.qdct_caps(nb, bs, qfrac)
-    cap = P.esc_cap(h, w)
+    layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
+                           False, tail=tail, mvk=mvk, mvn=mvn, qfrac=qfrac)
+    capq = layout.capq
+    cap = layout.cape
 
     def row(recon, art, qdct, sm, pred_u8):
         is_i = sm[0] == 1
@@ -374,7 +374,8 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
         guess = P.recon_guess_from_x(x, pred, bs)
         # art half zeroed on intra rows (their res planes are host-derived)
         jb, jk, jn, re, rn, ae, an = P.pack_joint(
-            recon, guess, art, P.art_guess_from_x(x), cap, art_valid=~is_i)
+            recon, guess, art, P.art_guess_from_x(x), cap, art_valid=~is_i,
+            capk=layout.capk)
         qp_ = P.pack_qdct(qdct, bs, capq, vdtype, q4)
         if tail:
             j1, jbz, jbn = P.split_bitmap(jb)
@@ -394,8 +395,6 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
         recons, arts, qdcts, smalls, preds)
     if not tail:
         return heads
-    layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
-                           False, tail=True, mvk=mvk, mvn=mvn, qfrac=qfrac)
     pool = P.pack_tail_pool(layout, jks, qvs, qes if q4 else None,
                             jns, qts, qns, jbzs, jbns)
     # fused [K*headB + pool] buffer: one predictively-sized fetch per chunk

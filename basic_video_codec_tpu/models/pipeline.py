@@ -679,11 +679,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     q4 = PK.qdct_nibble_safe(ec)
     qfrac = PK.qcap_fraction(ec)
     nb_pad = (ph // bs) * (pw // bs)
-    qcap = PK.qdct_caps(nb_pad, bs, qfrac)
-    ecap = PK.esc_cap(ph, pw)
-    qecap = PK.qe_cap(qcap)
     jt = q4 and not rc1 and ec.RCflag == 0  # tight kind cap: fixed QP >= 5
-    jkcap = PK.jk_cap(ph, pw, jt)
 
     vbytes = 1 if int8q else 2
     mvk = 3 if ec.nRefFrames > 1 else 2  # single-ref layouts drop the ref idx
@@ -707,6 +703,12 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                                 False, tail=tail_mode, mvk=mvk, mvn=mvn,
                                 qfrac=qfrac),
     }
+
+    # overflow thresholds come from the layouts themselves (tail mode:
+    # qv/qe/jk caps are whole-plane, so those overflows cannot fire)
+    _lay0 = layouts["p_only"]
+    qcap, qecap, ecap, jkcap = (_lay0.capq, _lay0.capqe, _lay0.cape,
+                                _lay0.capk)
 
     rebuilder = _ReconRebuilder(ec, ph, pw, fin_pool) if compact else None
 

@@ -301,7 +301,7 @@ def _pack3(vals, n_groups):
 
 
 def pack_joint(recon, guess_r, art, guess_a, cap, art_valid=None,
-               tight=False):
+               tight=False, capk=None):
     """-> (jb u8 [H*W/8], jk u8 [3*capk/8], jn i32, re [cap], rn i32,
     ae [cap], an i32).
 
@@ -332,7 +332,8 @@ def pack_joint(recon, guess_r, art, guess_a, cap, art_valid=None,
     weights = (1 << jnp.arange(8, dtype=jnp.uint32))[None, :]
     jb = (nz.reshape(-1, 8).astype(jnp.uint32) * weights).sum(
         axis=1).astype(jnp.uint8)
-    capk = jk_cap(recon.shape[0], recon.shape[1], tight)
+    if capk is None:
+        capk = jk_cap(recon.shape[0], recon.shape[1], tight)
     off = jnp.cumsum(nz) - nz
     kidx = jnp.where(nz & (off < capk), off, capk)
     kinds = jnp.zeros(capk + 8, jnp.int32).at[kidx].set(state)[:capk]
@@ -601,6 +602,16 @@ class FrameLayout:
         self.mvk = mvk
         self.mvn = mvn
         self.qlbytes = 1 if bs * bs <= 255 else 2
+        self.bs = bs
+        self.qfrac = qfrac
+        # NOTE: whole-plane (overflow-proof) tail caps were tried and
+        # reverted — wire-neutral (the pool ships USED bytes) but the 2.7x
+        # larger device-side compaction scatters measured slightly slower
+        # steady-state with no benefit on in-distribution content.
+        # Pathological content (film grain at fixed mid QPs) can still
+        # overflow the fraction caps and takes the synchronous full-plane
+        # fallback (correct, slow); qcap_fraction sizes the classes so
+        # that never happens on realistic configs.
         self.capq = qdct_caps(nb, bs, qfrac)
         self.cape = esc_cap(h, w)
         self.capqe = qe_cap(self.capq)
