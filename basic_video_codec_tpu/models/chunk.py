@@ -37,9 +37,9 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
     regathering it here from stacked half-pel buffers faults the TPU
     backend when the program also contains the fastME while_loop.
 
-    With ``tail``, the cap-padded fields (jk, qv, qe) leave the rows and
-    travel in a chunk-wide compacted pool at their used sizes
-    (ops/pack.pack_tail_pool); returns ``(heads [K, NBh], pool)``."""
+    With ``tail``, the cap-padded fields (bitmap bytes, jk, re, ae, qv, qe)
+    leave the rows and travel in a chunk-wide compacted pool at their used
+    sizes (ops/pack.pack_tail_pool); returns ``(heads [K, NBh], pool)``."""
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     vdtype = jnp.int8 if int8q else jnp.int16
@@ -47,7 +47,9 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
                            jt, tail=tail, mvk=mvk, mvn=mvn, qfrac=qfrac)
     cap = layout.cape
     rows = []
-    tails = []  # per-segment (jk, qv, qe, jn, qt, qn) stacks, frame order
+    # per-segment pool-field stacks, frame order: (jk, qv, qe, jn, qt, qn,
+    # jbz, jbn, j1z, j1n, re, rn, ae, an)
+    tails = []
     if intra_parts is not None:
         recon_i, qdct_i, smalls_i = intra_parts
         qp_i = P.pack_qdct(qdct_i, bs, layout.capq, vdtype, q4)
@@ -59,10 +61,10 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
             recon_i, qdct_i, smalls_i, bs, nb, nbr, nbc, cap, joint=True,
             tight=jt, capk=layout.capk)
         if tail:
-            j1_i, jbz_i, jbn_i = P.split_bitmap(jb_i)
-            codes_i = (j1_i, jbn_i, jn_i)
+            j2_i, j1z_i, j1n_i, jbz_i, jbn_i = P.split_bitmap(jb_i)
+            codes_i = (j2_i, j1n_i, jbn_i, jn_i)
         else:
-            jbz_i = jbn_i = None
+            j1z_i = j1n_i = jbz_i = jbn_i = None
             codes_i = (jb_i, jk_i, jn_i)
         rows.append(P.pack_row(
             codes_i, re_i, rn_i, meta_i, mv_z, modes_i,
@@ -74,7 +76,10 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
                       jn_i[None], qt_i[None],
                       qp_i[4][None] if q4 else jnp.zeros(1, jnp.int32),
                       jbz_i[None] if tail else None,
-                      jbn_i[None] if tail else None))
+                      jbn_i[None] if tail else None,
+                      j1z_i[None] if tail else None,
+                      j1n_i[None] if tail else None,
+                      re_i[None], rn_i[None], ae_i[None], an_i[None]))
     recons, arts, qdcts, smalls = p_parts
     if recons.shape[0] > 0:
         qp = _pack_qdct_stack(qdcts, bs, vdtype, q4, layout.capq)
@@ -91,43 +96,44 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
         jb, jk, jn, re, rn, ae, an = jax.vmap(pack_one)(
             arts, recons, preds, qdcts, smalls)
         if tail:
-            j1, jbz, jbn = jax.vmap(P.split_bitmap)(jb)
-            c1, c2, c3 = j1, jbn, jn
+            j2, j1z, j1n, jbz, jbn = jax.vmap(P.split_bitmap)(jb)
+            cparts = (j2, j1n, jbn, jn)
         else:
-            jbz = jbn = None
-            c1, c2, c3 = jb, jk, jn
+            j1z = j1n = jbz = jbn = None
+            cparts = (jb, jk, jn)
 
-        def row(b1, b2, b3, r2, r3, sm, v, l, t, e, n, qen=None):
+        def row(bparts, r2, r3, sm, v, l, t, e, n, qen=None):
             meta, mv, modes = _meta_p(sm, nb, nbr)
             if mvk == 2:
                 mv = mv.reshape(-1, 3)[:, :2].reshape(-1)
-            return P.pack_row((b1, b2, b3), r2, r3, meta, mv, modes, v, l, t,
+            return P.pack_row(bparts, r2, r3, meta, mv, modes, v, l, t,
                               e, n, bs=bs, mv8=mv8, mvn=mvn,
                               qe=qen[0] if qen else None,
                               qn=qen[1] if qen else None, tail=tail)
 
-        args = (c1, c2, c3, re, rn, smalls, qv, ql, qt, ae, an)
+        args = (cparts, re, rn, smalls, qv, ql, qt, ae, an)
         if q4:
             args = args + ((qp[3], qp[4]),)
         rows.append(jax.vmap(row)(*args))
         tails.append((jk, qv, qp[3] if q4 else None, jn, qt,
                       qp[4] if q4 else jnp.zeros(qt.shape[0], jnp.int32),
-                      jbz, jbn))
+                      jbz, jbn, j1z, j1n, re, rn, ae, an))
     heads = (jnp.concatenate(rows) if rows
              else jnp.zeros((0, layout.total), jnp.uint8))
     if not tail:
         return heads
     if not tails:
         return jnp.concatenate([heads.reshape(-1), jnp.zeros(0, jnp.uint8)])
-    jks = jnp.concatenate([t[0] for t in tails])
-    qvs = jnp.concatenate([t[1] for t in tails])
-    qes = jnp.concatenate([t[2] for t in tails]) if q4 else None
-    jns = jnp.concatenate([jnp.atleast_1d(t[3]) for t in tails])
-    qts = jnp.concatenate([jnp.atleast_1d(t[4]) for t in tails])
-    qns = jnp.concatenate([jnp.atleast_1d(t[5]) for t in tails])
-    jbzs = jnp.concatenate([t[6] for t in tails])
-    jbns = jnp.concatenate([jnp.atleast_1d(t[7]) for t in tails])
-    pool = P.pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs, jbns)
+
+    def cat(i, at1=False):
+        return jnp.concatenate([jnp.atleast_1d(t[i]) if at1 else t[i]
+                                for t in tails])
+
+    pool = P.pack_tail_pool(
+        layout, cat(0), cat(1), cat(2) if q4 else None, cat(3, True),
+        cat(4, True), cat(5, True), cat(6), cat(7, True), cat(8),
+        cat(9, True), res=cat(10), rns=cat(11, True), aes=cat(12),
+        ans=cat(13, True))
     # ONE fused buffer [K*headB + pool]: the host fetches a single
     # predictively-sized prefix per chunk (heads + used tail bytes) — one
     # d2h wait instead of two, and round-trip spikes through the relay hit
@@ -227,18 +233,20 @@ def encode_chunk_intra_only(
     def row(r, q, sm, v, l, t, qen=None):
         meta, _, modes = _meta_i(sm, nb, nbr)
         rc, re, rn = _pack_intra_recon(r, q, sm, bs, nb, nbr, nbc, cap)
-        return P.pack_row(rc, re, rn, meta, None, modes, v, l, t, bs=bs,
+        head = P.pack_row(rc, re, rn, meta, None, modes, v, l, t, bs=bs,
                           qe=qen[0] if qen else None,
                           qn=qen[1] if qen else None, tail=tail)
+        return head, re, rn
 
     args = (recons, qdcts, smalls, qv, ql, qt)
     if q4:
         args = args + ((qp[3], qp[4]),)
-    packed = jax.vmap(row)(*args)
+    packed, res, rns = jax.vmap(row)(*args)
     if tail:
         qns = qp[4] if q4 else jnp.zeros(qt.shape[0], jnp.int32)
         pool = P.pack_tail_pool(layout, None, qv, qp[3] if q4 else None,
-                                jnp.zeros(qt.shape[0], jnp.int32), qt, qns)
+                                jnp.zeros(qt.shape[0], jnp.int32), qt, qns,
+                                res=res, rns=rns)
         packed = jnp.concatenate([packed.reshape(-1), pool])
     return recons, arts, qdcts, smalls, packed
 
@@ -378,9 +386,10 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
             capk=layout.capk)
         qp_ = P.pack_qdct(qdct, bs, capq, vdtype, q4)
         if tail:
-            j1, jbz, jbn = P.split_bitmap(jb)
-            codes = (j1, jbn, jn)
+            j2, j1z, j1n, jbz, jbn = P.split_bitmap(jb)
+            codes = (j2, j1n, jbn, jn)
         else:
+            j1z, j1n = jnp.zeros(0, jnp.uint8), jnp.int32(0)
             jbz, jbn = jnp.zeros(0, jnp.uint8), jnp.int32(0)
             codes = (jb, jk, jn)
         head = P.pack_row(codes, re, rn, meta, mv, modes,
@@ -389,14 +398,16 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
                           qn=qp_[4] if q4 else None, tail=tail)
         qe_ = qp_[3] if q4 else jnp.zeros(0, jnp.int16)
         qn_ = qp_[4] if q4 else jnp.int32(0)
-        return head, jk, qp_[0], qe_, jn, qp_[2], qn_, jbz, jbn
+        return (head, jk, qp_[0], qe_, jn, qp_[2], qn_, jbz, jbn, j1z, j1n,
+                re, rn, ae, an)
 
-    heads, jks, qvs, qes, jns, qts, qns, jbzs, jbns = jax.vmap(row)(
-        recons, arts, qdcts, smalls, preds)
+    (heads, jks, qvs, qes, jns, qts, qns, jbzs, jbns, j1zs, j1ns, res, rns,
+     aes, ans) = jax.vmap(row)(recons, arts, qdcts, smalls, preds)
     if not tail:
         return heads
     pool = P.pack_tail_pool(layout, jks, qvs, qes if q4 else None,
-                            jns, qts, qns, jbzs, jbns)
+                            jns, qts, qns, jbzs, jbns, j1zs, j1ns,
+                            res, rns, aes, ans)
     # fused [K*headB + pool] buffer: one predictively-sized fetch per chunk
     # (:func:`_pack_chunk_rows` has the rationale)
     return jnp.concatenate([heads.reshape(-1), pool])

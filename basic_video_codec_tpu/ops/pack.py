@@ -422,58 +422,79 @@ def tail_pool_cap(layout) -> int:
     """Static pool capacity per frame (bytes): the sum of the tail fields'
     caps — the pool can never overflow beyond the per-field caps."""
     cap = layout.capq // 2 if layout.q4 else layout.capq * layout.vbytes
+    cap += layout.cape  # re
     if layout.with_art:
-        cap += 3 * layout.capk // 8 + layout.h * layout.w // 8
+        cap += (3 * layout.capk // 8 + layout.h * layout.w // 8
+                + layout.j1C + layout.cape)  # jk + jbz + j1z + ae
     if layout.q4:
         cap += 2 * layout.capqe
     return cap
 
 
+def _bitmap_of(bits):
+    """bool [n] -> little-endian presence bitmap u8 [ceil(n/8)]."""
+    n = bits.shape[0]
+    n8 = (n + 7) // 8
+    if n8 * 8 != n:
+        bits = jnp.concatenate([bits, jnp.zeros(n8 * 8 - n, bool)])
+    weights = (1 << jnp.arange(8, dtype=jnp.uint32))[None, :]
+    return (bits.reshape(-1, 8).astype(jnp.uint32) * weights).sum(
+        axis=1).astype(jnp.uint8)
+
+
 def split_bitmap(jb):
     """Two-level split of the correction bitmap (device side).
 
-    ~50% of a typical frame's bitmap BYTES are zero (corrections cluster in
-    textured/moving regions), so the flat bitmap is itself worth
-    entropy-splitting: a presence bit per byte stays in the head
-    (``j1``, bytes/8) and only the nonzero bytes travel, front-compacted,
-    as the first tail-pool field.  Returns ``(j1, jbz, jbn)``."""
+    Corrections cluster in textured/moving regions, so most of a typical
+    frame's bitmap BYTES are zero — and most of the first-level presence
+    bytes too (measured: jbn ~0.5-3% of bitmap bytes on bench content, so
+    ~70%+ of j1's bytes are zero as well).  Each level keeps a presence bit
+    per byte and compacts the nonzero bytes into the tail pool: the head
+    carries only ``j2`` (bytes/64) plus two counts.  Returns
+    ``(j2, j1z, j1n, jbz, jbn)``."""
     c = jb.shape[0]
     nz = jb != 0
     off = jnp.cumsum(nz) - nz
     idx = jnp.where(nz, off, c)
     jbz = jnp.zeros(c + 1, jnp.uint8).at[idx].set(jb)[:c]
-    c8 = (c + 7) // 8
-    nzp = nz
-    if c8 * 8 != c:
-        nzp = jnp.concatenate([nz, jnp.zeros(c8 * 8 - c, bool)])
-    weights = (1 << jnp.arange(8, dtype=jnp.uint32))[None, :]
-    j1 = (nzp.reshape(-1, 8).astype(jnp.uint32) * weights).sum(
-        axis=1).astype(jnp.uint8)
-    return j1, jbz, nz.sum().astype(jnp.int32)
+    j1 = _bitmap_of(nz)
+    c1 = j1.shape[0]
+    nz1 = j1 != 0
+    off1 = jnp.cumsum(nz1) - nz1
+    idx1 = jnp.where(nz1, off1, c1)
+    j1z = jnp.zeros(c1 + 1, jnp.uint8).at[idx1].set(j1)[:c1]
+    j2 = _bitmap_of(nz1)
+    return (j2, j1z, nz1.sum().astype(jnp.int32), jbz,
+            nz.sum().astype(jnp.int32))
 
 
 def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs=None,
-                   jbns=None):
+                   jbns=None, j1zs=None, j1ns=None, res=None, rns=None,
+                   aes=None, ans=None):
     """Chunk-level compaction of the variable-size transfer fields.
 
-    The cap-padded fields (``jk`` kind lists, ``qv`` zigzag-prefix values,
-    ``qe`` nibble escapes) average ~25-35% occupancy on typical content, so
-    the fixed-size row wastes ~half the d2h bytes of a transfer-bound
+    The cap-padded fields (``j1z``/``jbz`` bitmap bytes, ``jk`` kind lists,
+    ``re``/``ae`` escape lists, ``qv`` zigzag-prefix values, ``qe`` nibble
+    escapes) average a small fraction of their caps on typical content, so
+    the fixed-size row wastes most of the d2h bytes of a transfer-bound
     pipeline.  This packs each frame's USED bytes — in field order
-    [jk, qv, qe] — contiguously into one chunk-wide pool; the host re-derives
-    every offset from the head counts (:meth:`FrameLayout.tail_sizes`) and
-    fetches only ``pool[:bucket(total)]``.
+    [j1z, jbz, jk, re, ae, qv, qe] — contiguously into one chunk-wide pool;
+    the host re-derives every offset from the head counts
+    (:meth:`FrameLayout.tail_sizes`) and fetches only ``pool[:bucket(total)]``.
 
-    ``jks``/``qes`` may be None for layouts without those fields; arrays are
-    [K, cap_bytes] uint8 (already bitcast).  Returns ``pool [K*cap] u8``.
-    """
+    ``jks``/``qes``/``j1zs``/``res``/``aes`` may be None for layouts
+    without those fields; arrays are [K, cap_bytes] uint8 (already
+    bitcast).  Returns ``pool [K*cap] u8``."""
     k = qts.shape[0]
     zeros = jnp.zeros(k, jnp.int32)
-    u_jb = jbns if jbzs is not None else zeros
+    u_j1 = jnp.minimum(j1ns, layout.j1C) if j1zs is not None else zeros
+    u_jb = jnp.minimum(jbns, layout.jbC) if jbzs is not None else zeros
     u_jk = layout.jk_used(jns) if layout.with_art else zeros
+    u_re = jnp.minimum(rns, layout.cape) if res is not None else zeros
+    u_ae = jnp.minimum(ans, layout.cape) if aes is not None else zeros
     u_qv = layout.qv_used(qts)
     u_qe = layout.qe_used(qns) if layout.q4 else zeros
-    sizes = u_jb + u_jk + u_qv + u_qe
+    sizes = u_j1 + u_jb + u_jk + u_re + u_ae + u_qv + u_qe
     offs = jnp.cumsum(sizes) - sizes
     cap = k * tail_pool_cap(layout)
     pool = jnp.zeros(cap + 1, jnp.uint8)
@@ -486,12 +507,11 @@ def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs=None,
         return pool.at[idx.reshape(-1)].set(field.reshape(-1))
 
     base = zeros
-    if jbzs is not None:
-        pool = scatter(pool, jbzs, base, u_jb)
-        base = base + u_jb
-    if jks is not None:
-        pool = scatter(pool, jks, base, u_jk)
-        base = base + u_jk
+    for field, used in ((j1zs, u_j1), (jbzs, u_jb), (jks, u_jk),
+                        (res, u_re), (aes, u_ae)):
+        if field is not None:
+            pool = scatter(pool, field, base, used)
+            base = base + used
     pool = scatter(pool, _as_bytes2d(qvs), base, u_qv)
     base = base + u_qv
     if qes is not None:
@@ -514,13 +534,16 @@ def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
     """One frame's transfer row in :class:`FrameLayout` field order (device).
 
     ``codes`` is the joint state tuple ``(jb, jk, jn)`` (:func:`pack_joint`,
-    ``with_art`` layouts, with ``ae``/``an``) or the 2-bit recon code plane
-    (:func:`pack_vs_base`, art-less layouts); ``re``/``rn`` its recon
-    escapes / count; ``mv`` int [3*nb] or None (layout without MVs),
-    narrowed to int8 under ``mv8``; ``modes`` uint8/int [nb] of {0, 1},
-    bit-packed here (little-endian bit order, the host re-expands with
-    ``np.unpackbits``); ``ql`` is narrowed to u8 when a block's scan fits
-    one byte (bs*bs <= 255)."""
+    ``with_art`` layouts, with ``ae``/``an``; in ``tail`` mode the
+    two-level ``(j2, j1n, jbn, jn)`` from :func:`split_bitmap`) or the
+    2-bit recon code plane (:func:`pack_vs_base`, art-less layouts);
+    ``re``/``rn`` its recon escapes / count; ``mv`` int [3*nb] or None
+    (layout without MVs), narrowed to int8 under ``mv8``; ``modes``
+    uint8/int [nb] of {0, 1}, bit-packed here (little-endian bit order,
+    the host re-expands with ``np.unpackbits``); ``ql`` is narrowed to u8
+    when a block's scan fits one byte (bs*bs <= 255).  In ``tail`` mode
+    the cap-padded arrays (re, ae, qv, qe) leave the row for the chunk
+    pool; only their counts stay."""
     nb = ql.shape[0]
     nbm = (nb + 7) // 8
     m = modes.astype(jnp.uint8)
@@ -531,7 +554,7 @@ def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
     if nbm & 1:
         mbits = jnp.concatenate([mbits, jnp.zeros(1, jnp.uint8)])
     cparts = codes if isinstance(codes, tuple) else (codes,)
-    parts = [*cparts, re, rn, meta]
+    parts = [*cparts] + ([] if tail else [re]) + [rn, meta]
     if mv is not None:
         if mvn:
             pairs = mv.reshape(-1, 2)
@@ -544,7 +567,7 @@ def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
     if qe is not None:
         parts += ([] if tail else [qe]) + [qn]
     if ae is not None:
-        parts += [ae, an]
+        parts += ([] if tail else [ae]) + [an]
     return concat_bytes(*parts)
 
 
@@ -623,20 +646,24 @@ class FrameLayout:
         self.capk = jk_cap(h, w, q4 if jt is None else jt)
         # with_art layouts carry the joint recon+art state stream as a
         # nonzero bitmap + compacted 3-bit kind list (pack_joint); art-less
-        # layouts a 2-bit recon code plane.  In ``tail`` mode the three
-        # cap-padded fields (jk, qv, qe) leave the fixed row and travel in
-        # the chunk's compacted pool (:func:`pack_tail_pool`) at their USED
-        # sizes; their counts (jn, qt, qn) stay in the head so the host can
-        # re-derive every pool offset.
+        # layouts a 2-bit recon code plane.  In ``tail`` mode every
+        # cap-padded field (j1z/jbz bitmap bytes, jk, re, ae, qv, qe)
+        # leaves the fixed row and travels in the chunk's compacted pool
+        # (:func:`pack_tail_pool`) at its USED size; the counts (j1n, jbn,
+        # jn, rn, an, qt, qn) stay in the head so the host can re-derive
+        # every pool offset.
         self.jbC = h * w // 8  # flat correction-bitmap bytes
-        sizes = ([("j1", (self.jbC + 7) // 8), ("jbn", 4), ("jn", 4)]
-                 if (with_art and tail) else
-                 [("jb", self.jbC)]
-                 + ([] if tail else [("jk", 3 * self.capk // 8)])
-                 + [("jn", 4)]
-                 if with_art else [("rc", h * w // 4)])
-        sizes += [("re", self.cape), ("rn", 4),
-                  ("meta", (3 + 2 * nbr) * 4)]
+        self.j1C = (self.jbC + 7) // 8  # first-level presence bytes
+        if with_art and tail:
+            sizes = [("j2", (self.j1C + 7) // 8), ("j1n", 4), ("jbn", 4),
+                     ("jn", 4)]
+        elif with_art:
+            sizes = [("jb", self.jbC), ("jk", 3 * self.capk // 8),
+                     ("jn", 4)]
+        else:
+            sizes = [("rc", h * w // 4)]
+        sizes += (([] if tail else [("re", self.cape)]) + [("rn", 4)]
+                  + [("meta", (3 + 2 * nbr) * 4)])
         if with_mv:
             sizes.append(("mv", nb if mvn
                           else mvk * nb * (1 if mv8 else 2)))
@@ -647,7 +674,7 @@ class FrameLayout:
         if q4:
             sizes += ([] if tail else [("qe", self.capqe * 2)]) + [("qn", 4)]
         if with_art:
-            sizes += [("ae", self.cape), ("an", 4)]
+            sizes += ([] if tail else [("ae", self.cape)]) + [("an", 4)]
         self.offsets = {}
         pos = 0
         for name, n in sizes:
@@ -656,18 +683,23 @@ class FrameLayout:
         self.total = pos
 
     # -- tail-mode size formulas (host ints; device twins below) ----------
-    def tail_sizes(self, jbn: int, jn: int, qt: int, qn: int) -> tuple:
-        """(jb_bytes, jk_bytes, qv_bytes, qe_bytes) of one frame's pool
-        segment, from the head counts — bit-identical to the device
-        formulas used by :func:`pack_tail_pool` (overflowing counts clamp
-        at the caps; the pipeline falls back to full planes for those
-        frames, but the pool walk must still agree on every offset)."""
+    def tail_sizes(self, j1n: int, jbn: int, jn: int, qt: int, qn: int,
+                   rn: int, an: int) -> tuple:
+        """(j1_bytes, jb_bytes, jk_bytes, re_bytes, ae_bytes, qv_bytes,
+        qe_bytes) of one frame's pool segment, from the head counts —
+        bit-identical to the device formulas used by
+        :func:`pack_tail_pool` (overflowing counts clamp at the caps; the
+        pipeline falls back to full planes for those frames, but the pool
+        walk must still agree on every offset)."""
+        u_j1 = min(j1n, self.j1C) if self.with_art else 0
         u_jb = min(jbn, self.jbC) if self.with_art else 0
         u_jk = (min(jn, self.capk) + 7) // 8 * 3 if self.with_art else 0
+        u_re = min(rn, self.cape)
+        u_ae = min(an, self.cape) if self.with_art else 0
         u_qv = ((min(qt, self.capq) + 1) // 2 if self.q4
                 else min(qt, self.capq) * self.vbytes)
         u_qe = 2 * min(qn, self.capqe) if self.q4 else 0
-        return u_jb, u_jk, u_qv, u_qe
+        return u_j1, u_jb, u_jk, u_re, u_ae, u_qv, u_qe
 
     def jk_used(self, jn):
         return (jnp.minimum(jn, self.capk) + 7) // 8 * 3
@@ -680,13 +712,16 @@ class FrameLayout:
         return 2 * jnp.minimum(qn, self.capqe)
 
     def head_counts(self, buf) -> tuple:
-        """(jbn, jn, qt, qn) from a head row (ints)."""
-        jbn = (int(self._f(buf, "jbn", np.int32)[0])
-               if self.with_art and self.tail else 0)
+        """(j1n, jbn, jn, qt, qn, rn, an) from a head row (ints)."""
+        wa = self.with_art and self.tail
+        j1n = int(self._f(buf, "j1n", np.int32)[0]) if wa else 0
+        jbn = int(self._f(buf, "jbn", np.int32)[0]) if wa else 0
         jn = int(self._f(buf, "jn", np.int32)[0]) if self.with_art else 0
         qt = int(self._f(buf, "qt", np.int32)[0])
         qn = int(self._f(buf, "qn", np.int32)[0]) if self.q4 else 0
-        return jbn, jn, qt, qn
+        rn = int(self._f(buf, "rn", np.int32)[0])
+        an = int(self._f(buf, "an", np.int32)[0]) if self.with_art else 0
+        return j1n, jbn, jn, qt, qn, rn, an
 
     def _f(self, buf, name, dtype):
         s, e = self.offsets[name]
@@ -733,22 +768,34 @@ class FrameLayout:
         """uint8 [total] (+ the frame's pool segment in ``tail`` mode) ->
         field views (zero-copy except modes)."""
         if self.tail:
-            u_jb, u_jk, u_qv, u_qe = self.tail_sizes(*self.head_counts(buf))
-            p1 = u_jb + u_jk
-            jk = tail[u_jb:p1]
-            qv_b = tail[p1 : p1 + u_qv]
-            qe_b = tail[p1 + u_qv : p1 + u_qv + u_qe]
+            u_j1, u_jb, u_jk, u_re, u_ae, u_qv, u_qe = self.tail_sizes(
+                *self.head_counts(buf))
+            p = u_j1 + u_jb
+            jk = tail[p : p + u_jk]
+            p += u_jk
+            re = tail[p : p + u_re]
+            ae = tail[p + u_re : p + u_re + u_ae]
+            p += u_re + u_ae
+            qv_b = tail[p : p + u_qv]
+            qe_b = tail[p + u_qv : p + u_qv + u_qe]
             jb = None
             if self.with_art:
-                # re-inflate the flat bitmap from the presence bits + the
-                # compacted nonzero bytes (split_bitmap's inverse)
+                # re-inflate the two-level bitmap from the presence bits +
+                # the compacted nonzero bytes (split_bitmap's inverse)
+                j1 = np.zeros(self.j1C, np.uint8)
+                pos1 = np.flatnonzero(np.unpackbits(
+                    self._f(buf, "j2", np.uint8),
+                    bitorder="little")[: self.j1C])
+                j1[pos1[:u_j1]] = tail[:u_j1]
                 jb = np.zeros(self.jbC, np.uint8)
                 pos = np.flatnonzero(np.unpackbits(
-                    self._f(buf, "j1", np.uint8), bitorder="little")[: self.jbC])
-                jb[pos[:u_jb]] = tail[:u_jb]
+                    j1, bitorder="little")[: self.jbC])
+                jb[pos[:u_jb]] = tail[u_j1 : u_j1 + u_jb]
         else:
             jb = self._f(buf, "jb", np.uint8) if self.with_art else None
             jk = self._f(buf, "jk", np.uint8) if self.with_art else None
+            re = self._f(buf, "re", np.uint8)
+            ae = self._f(buf, "ae", np.uint8) if self.with_art else None
             s, e = self.offsets["qv"]
             qv_b = buf[s:e]
             qe_b = self._f(buf, "qe", np.uint8) if self.q4 else None
@@ -763,7 +810,7 @@ class FrameLayout:
             "jst": None,
             "jn": (int(self._f(buf, "jn", np.int32)[0]) if self.with_art
                    else 0),
-            "re": self._f(buf, "re", np.uint8),
+            "re": re,
             "rn": int(self._f(buf, "rn", np.int32)[0]),
             "meta": self._f(buf, "meta", np.int32),
             "mv": (self._mv(buf) if self.with_mv else None),
@@ -777,7 +824,7 @@ class FrameLayout:
             "qn": int(self._f(buf, "qn", np.int32)[0]) if self.q4 else 0,
         }
         if self.with_art:
-            out["ae"] = self._f(buf, "ae", np.uint8)
+            out["ae"] = ae
             out["an"] = int(self._f(buf, "an", np.int32)[0])
         else:
             out["ae"] = None

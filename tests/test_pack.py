@@ -496,3 +496,96 @@ def test_qcap_fraction_classes():
     assert PK.qcap_fraction(ec(quantization_factor=2)) == (1, 1)
     nb = (48 // 16) * (64 // 16)
     assert PK.qdct_caps(nb, 16, (1, 1)) == nb * 256  # whole plane
+
+
+@pytest.mark.parametrize("q4", [False, True])
+def test_tail_row_pool_roundtrip(q4):
+    """Tail-mode transport: pack_row heads + pack_tail_pool must invert
+    through FrameLayout.split — two-level bitmap inflation, pool field
+    order [j1z, jbz, jk, re, ae, qv, qe], and used-size slicing from the
+    head counts (sparse AND moderately dense bitmaps)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    h, w, bs = 32, 64, 8
+    nbr = h // bs
+    nb = nbr * (w // bs)
+    lay = PK.FrameLayout(h, w, bs, 2, True, True, q4=q4, tail=True)
+    K = 3
+    heads, tails_dev = [], []
+    want = []
+    for k in range(K):
+        # densities spanning all-zero, clustered-sparse, and ~20% bitmaps
+        dens = [0.0, 0.02, 0.2][k]
+        jb_bits = (rng.random(h * w) < dens)
+        jb = np.packbits(jb_bits, bitorder="little")
+        jn = np.int32(jb_bits.sum())
+        jk = rng.integers(0, 256, 3 * lay.capk // 8).astype(np.uint8)
+        rn, an = np.int32(rng.integers(0, 9)), np.int32(rng.integers(0, 9))
+        re = rng.integers(0, 256, lay.cape).astype(np.uint8)
+        ae = rng.integers(0, 256, lay.cape).astype(np.uint8)
+        meta = rng.integers(-2 ** 30, 2 ** 30, 3 + 2 * nbr).astype(np.int32)
+        mv = rng.integers(-3000, 3000, 3 * nb).astype(np.int32)
+        modes = rng.integers(0, 2, nb).astype(np.uint8)
+        qt = np.int32(rng.integers(0, lay.capq))
+        if q4:
+            qv = rng.integers(0, 256, lay.capq // 2).astype(np.uint8)
+            qe = rng.integers(-3000, 3000, lay.capqe).astype(np.int16)
+            qn = np.int32(rng.integers(0, lay.capqe))
+        else:
+            qv = rng.integers(-3000, 3000, lay.capq).astype(np.int16)
+            qe, qn = None, None
+        ql = rng.integers(0, 64, nb).astype(np.int32)
+        j2, j1z, j1n, jbz, jbn = (np.asarray(a) for a in PK.split_bitmap(
+            jnp.asarray(jb)))
+        head = PK.pack_row(
+            (jnp.asarray(j2), jnp.asarray(j1n), jnp.asarray(jbn),
+             jnp.asarray(jn)),
+            jnp.asarray(re), jnp.asarray(rn), jnp.asarray(meta),
+            jnp.asarray(mv), jnp.asarray(modes), jnp.asarray(qv),
+            jnp.asarray(ql), jnp.asarray(qt),
+            jnp.asarray(ae), jnp.asarray(an), bs=bs,
+            qe=jnp.asarray(qe) if q4 else None,
+            qn=jnp.asarray(qn) if q4 else None, tail=True)
+        heads.append(np.asarray(head))
+        tails_dev.append((jk, qv, qe, jn, qt, qn, jbz, jbn, j1z, j1n,
+                          re, rn, ae, an))
+        want.append(dict(jb=jb, jk=jk, jn=int(jn), re=re[: int(rn)],
+                         rn=int(rn), ae=ae[: int(an)], an=int(an),
+                         meta=meta, mv=mv, modes=modes, qv=qv, ql=ql,
+                         qt=int(qt), qe=qe, qn=int(qn) if q4 else 0))
+    import jax
+    stk = lambda i: jnp.asarray(np.stack([t[i] for t in tails_dev]))
+    pool = np.asarray(PK.pack_tail_pool(
+        lay, stk(0), stk(1), stk(2) if q4 else None, stk(3), stk(4),
+        stk(5) if q4 else jnp.zeros(K, jnp.int32), stk(6), stk(7),
+        stk(8), stk(9), res=stk(10), rns=stk(11), aes=stk(12),
+        ans=stk(13)))
+    pos = 0
+    for k in range(K):
+        head = heads[k]
+        assert head.shape == (lay.total,)
+        u = lay.tail_sizes(*lay.head_counts(head))
+        seg = pool[pos : pos + sum(u)]
+        pos += sum(u)
+        f = lay.split(head, seg)
+        wk = want[k]
+        assert np.array_equal(f["jb"], wk["jb"])
+        assert f["jn"] == wk["jn"] and f["rn"] == wk["rn"]
+        assert np.array_equal(f["jk"][: 3 * ((wk["jn"] + 7) // 8)],
+                              wk["jk"][: 3 * ((wk["jn"] + 7) // 8)])
+        assert np.array_equal(f["re"], wk["re"])
+        assert np.array_equal(f["ae"], wk["ae"])
+        assert np.array_equal(f["meta"], wk["meta"])
+        assert np.array_equal(f["mv"], wk["mv"])
+        assert np.array_equal(f["modes"], wk["modes"])
+        assert f["qt"] == wk["qt"] and f["qn"] == wk["qn"]
+        if q4:
+            nqv = (min(wk["qt"], lay.capq) + 1) // 2
+            assert np.array_equal(f["qv_raw"][:nqv], wk["qv"][:nqv])
+            assert np.array_equal(
+                f["qe_raw"].view(np.int16)[: wk["qn"]], wk["qe"][: wk["qn"]])
+        else:
+            nqv = min(wk["qt"], lay.capq)
+            assert np.array_equal(f["qv_raw"].view(np.int16)[:nqv],
+                                  wk["qv"][:nqv])
