@@ -48,8 +48,9 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
     cap = layout.cape
     rows = []
     # per-segment pool-field stacks, frame order: (jk, qv, qe, jn, qt, qn,
-    # jbz, jbn, j1z, j1n, re, rn, ae, an)
+    # jbz, jbn, j1z, j1n, re, rn, ae, an, qe4, qn4)
     tails = []
+    zi = jnp.zeros(1, jnp.int32)
     if intra_parts is not None:
         recon_i, qdct_i, smalls_i = intra_parts
         qp_i = P.pack_qdct(qdct_i, bs, layout.capq, vdtype, q4)
@@ -69,17 +70,20 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
         rows.append(P.pack_row(
             codes_i, re_i, rn_i, meta_i, mv_z, modes_i,
             qv_i, ql_i, qt_i, ae_i, an_i, bs=bs, mv8=mv8, mvn=mvn,
-            qe=qp_i[3] if q4 else None, qn=qp_i[4] if q4 else None,
+            qe4=qp_i[3] if q4 else None, qn4=qp_i[4] if q4 else None,
+            qe=qp_i[5] if q4 else None, qn=qp_i[6] if q4 else None,
             tail=tail)[None])
         tails.append((jk_i[None], qv_i[None],
-                      qp_i[3][None] if q4 else None,
+                      qp_i[5][None] if q4 else None,
                       jn_i[None], qt_i[None],
-                      qp_i[4][None] if q4 else jnp.zeros(1, jnp.int32),
+                      qp_i[6][None] if q4 else zi,
                       jbz_i[None] if tail else None,
                       jbn_i[None] if tail else None,
                       j1z_i[None] if tail else None,
                       j1n_i[None] if tail else None,
-                      re_i[None], rn_i[None], ae_i[None], an_i[None]))
+                      re_i[None], rn_i[None], ae_i[None], an_i[None],
+                      qp_i[3][None] if q4 else None,
+                      qp_i[4][None] if q4 else zi))
     recons, arts, qdcts, smalls = p_parts
     if recons.shape[0] > 0:
         qp = _pack_qdct_stack(qdcts, bs, vdtype, q4, layout.capq)
@@ -108,16 +112,20 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
                 mv = mv.reshape(-1, 3)[:, :2].reshape(-1)
             return P.pack_row(bparts, r2, r3, meta, mv, modes, v, l, t,
                               e, n, bs=bs, mv8=mv8, mvn=mvn,
-                              qe=qen[0] if qen else None,
-                              qn=qen[1] if qen else None, tail=tail)
+                              qe4=qen[0] if qen else None,
+                              qn4=qen[1] if qen else None,
+                              qe=qen[2] if qen else None,
+                              qn=qen[3] if qen else None, tail=tail)
 
         args = (cparts, re, rn, smalls, qv, ql, qt, ae, an)
         if q4:
-            args = args + ((qp[3], qp[4]),)
+            args = args + ((qp[3], qp[4], qp[5], qp[6]),)
         rows.append(jax.vmap(row)(*args))
-        tails.append((jk, qv, qp[3] if q4 else None, jn, qt,
-                      qp[4] if q4 else jnp.zeros(qt.shape[0], jnp.int32),
-                      jbz, jbn, j1z, j1n, re, rn, ae, an))
+        zk = jnp.zeros(qt.shape[0], jnp.int32)
+        tails.append((jk, qv, qp[5] if q4 else None, jn, qt,
+                      qp[6] if q4 else zk,
+                      jbz, jbn, j1z, j1n, re, rn, ae, an,
+                      qp[3] if q4 else None, qp[4] if q4 else zk))
     heads = (jnp.concatenate(rows) if rows
              else jnp.zeros((0, layout.total), jnp.uint8))
     if not tail:
@@ -133,7 +141,8 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
         layout, cat(0), cat(1), cat(2) if q4 else None, cat(3, True),
         cat(4, True), cat(5, True), cat(6), cat(7, True), cat(8),
         cat(9, True), res=cat(10), rns=cat(11, True), aes=cat(12),
-        ans=cat(13, True))
+        ans=cat(13, True), qe4s=cat(14) if q4 else None,
+        qn4s=cat(15, True))
     # ONE fused buffer [K*headB + pool]: the host fetches a single
     # predictively-sized prefix per chunk (heads + used tail bytes) — one
     # d2h wait instead of two, and round-trip spikes through the relay hit
@@ -234,19 +243,23 @@ def encode_chunk_intra_only(
         meta, _, modes = _meta_i(sm, nb, nbr)
         rc, re, rn = _pack_intra_recon(r, q, sm, bs, nb, nbr, nbc, cap)
         head = P.pack_row(rc, re, rn, meta, None, modes, v, l, t, bs=bs,
-                          qe=qen[0] if qen else None,
-                          qn=qen[1] if qen else None, tail=tail)
+                          qe4=qen[0] if qen else None,
+                          qn4=qen[1] if qen else None,
+                          qe=qen[2] if qen else None,
+                          qn=qen[3] if qen else None, tail=tail)
         return head, re, rn
 
     args = (recons, qdcts, smalls, qv, ql, qt)
     if q4:
-        args = args + ((qp[3], qp[4]),)
+        args = args + ((qp[3], qp[4], qp[5], qp[6]),)
     packed, res, rns = jax.vmap(row)(*args)
     if tail:
-        qns = qp[4] if q4 else jnp.zeros(qt.shape[0], jnp.int32)
-        pool = P.pack_tail_pool(layout, None, qv, qp[3] if q4 else None,
-                                jnp.zeros(qt.shape[0], jnp.int32), qt, qns,
-                                res=res, rns=rns)
+        zk = jnp.zeros(qt.shape[0], jnp.int32)
+        pool = P.pack_tail_pool(layout, None, qv, qp[5] if q4 else None,
+                                zk, qt, qp[6] if q4 else zk,
+                                res=res, rns=rns,
+                                qe4s=qp[3] if q4 else None,
+                                qn4s=qp[4] if q4 else zk)
         packed = jnp.concatenate([packed.reshape(-1), pool])
     return recons, arts, qdcts, smalls, packed
 
@@ -394,20 +407,25 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
             codes = (jb, jk, jn)
         head = P.pack_row(codes, re, rn, meta, mv, modes,
                           qp_[0], qp_[1], qp_[2], ae, an, bs=bs, mv8=mv8,
-                          mvn=mvn, qe=qp_[3] if q4 else None,
-                          qn=qp_[4] if q4 else None, tail=tail)
-        qe_ = qp_[3] if q4 else jnp.zeros(0, jnp.int16)
-        qn_ = qp_[4] if q4 else jnp.int32(0)
+                          mvn=mvn, qe4=qp_[3] if q4 else None,
+                          qn4=qp_[4] if q4 else None,
+                          qe=qp_[5] if q4 else None,
+                          qn=qp_[6] if q4 else None, tail=tail)
+        qe_ = qp_[5] if q4 else jnp.zeros(0, jnp.int16)
+        qn_ = qp_[6] if q4 else jnp.int32(0)
+        qe4_ = qp_[3] if q4 else jnp.zeros(0, jnp.uint8)
+        qn4_ = qp_[4] if q4 else jnp.int32(0)
         return (head, jk, qp_[0], qe_, jn, qp_[2], qn_, jbz, jbn, j1z, j1n,
-                re, rn, ae, an)
+                re, rn, ae, an, qe4_, qn4_)
 
     (heads, jks, qvs, qes, jns, qts, qns, jbzs, jbns, j1zs, j1ns, res, rns,
-     aes, ans) = jax.vmap(row)(recons, arts, qdcts, smalls, preds)
+     aes, ans, qe4s, qn4s) = jax.vmap(row)(recons, arts, qdcts, smalls,
+                                           preds)
     if not tail:
         return heads
     pool = P.pack_tail_pool(layout, jks, qvs, qes if q4 else None,
                             jns, qts, qns, jbzs, jbns, j1zs, j1ns,
-                            res, rns, aes, ans)
+                            res, rns, aes, ans, qe4s if q4 else None, qn4s)
     # fused [K*headB + pool] buffer: one predictively-sized fetch per chunk
     # (:func:`_pack_chunk_rows` has the rationale)
     return jnp.concatenate([heads.reshape(-1), pool])

@@ -707,8 +707,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     # overflow thresholds come from the layouts themselves (tail mode:
     # qv/qe/jk caps are whole-plane, so those overflows cannot fire)
     _lay0 = layouts["p_only"]
-    qcap, qecap, ecap, jkcap = (_lay0.capq, _lay0.capqe, _lay0.cape,
-                                _lay0.capk)
+    qcap, qecap, ecap, jkcap, q4cap = (_lay0.capq, _lay0.capqe, _lay0.cape,
+                                       _lay0.capk, _lay0.capq4)
 
     rebuilder = _ReconRebuilder(ec, ph, pw, fin_pool) if compact else None
 
@@ -726,7 +726,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         with _stage("overflow fallback fetch"):
             jover = f["jn"] > jkcap  # kind-list overflow: states are garbage
             q_full = (jax.device_get(sel(d_qdcts))
-                      if f["qt"] > qcap or f["qn"] > qecap else None)
+                      if f["qt"] > qcap or f["qn"] > qecap
+                      or f["qn4"] > q4cap else None)
             a_full = (jax.device_get(sel(d_arts))
                       if int(f["meta"][0]) == INTER
                       and (f["an"] > ecap or jover) else None)
@@ -1152,6 +1153,7 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
     qcap = PK.qdct_caps(nb_pad, bs, qfrac)
     ecap = PK.esc_cap(ph, pw)
     qecap = PK.qe_cap(qcap)
+    q4cap = PK.q4e_cap(qcap)
     jt = q4 and not rc1 and ec.RCflag == 0
     jkcap = PK.jk_cap(ph, pw, jt)
     vbytes = 1 if int8q else 2
@@ -1207,7 +1209,8 @@ def _run_gop_sharded(params, ec, f_in, tbl, write_out):
                     qd, ad, rd = planes_of(dev, g, k)
                     jover = f["jn"] > jkcap
                     q_full = (jax.device_get(qd)
-                              if f["qt"] > qcap or f["qn"] > qecap else None)
+                              if f["qt"] > qcap or f["qn"] > qecap
+                              or f["qn4"] > q4cap else None)
                     a_full = (jax.device_get(ad)
                               if int(f["meta"][0]) == INTER
                               and (f["an"] > ecap or jover) else None)

@@ -644,12 +644,15 @@ int64_t bvc_pack_input(const uint8_t* src, int64_t h, int64_t w,
 //   5. MC prediction from the reference/half-pel stack (bvc_pred_inter),
 //   6. recon guess + recon codes (bvc_recon_joint) and art codes applied
 //      in place over the truncation guess (bvc_apply_joint).
-// qv_kind: 0 = int16 values, 1 = int8 values, 2 = nibble pairs + escapes.
+// qv_kind: 0 = int16 values, 1 = int8 values, 2 = nibble pairs + escapes,
+// 3 = 2-bit codes (0, +1, -1, escape) + signed-nibble escapes in qe4 with
+// the -8 sentinel deferring to int16 deep escapes in qe.
 // ql_u8: lens as u8 (1) or int16 (0).  Escape reads are clamped to
 // n_re/n_ae (overflow frames take the caller's full-plane fallback and
 // never reach this function; the clamp is defensive).
 // Outputs: qdct int16 [h*w] (zeroed here), recon u8 [h*w], art u8 [h*w].
-void bvc_rebuild_p(const uint8_t* qv, int64_t qv_kind, const int16_t* qe,
+void bvc_rebuild_p(const uint8_t* qv, int64_t qv_kind, const uint8_t* qe4,
+                   int64_t n_qe4, const int16_t* qe,
                    int64_t n_qe, const uint8_t* ql, int64_t ql_u8,
                    const int64_t* zz, const int32_t* row_qps,
                    const int32_t* d_int, int64_t nbr, int64_t nbc,
@@ -680,13 +683,31 @@ void bvc_rebuild_p(const uint8_t* qv, int64_t qv_kind, const int16_t* qe,
     const int8_t* v8 = (const int8_t*)qv;
     for (int64_t k = 0; k < total; ++k) expanded[size_t(k)] = v8[k];
     vals = expanded.data();
-  } else {
+  } else if (qv_kind == 2) {
     expanded.resize(size_t(total));
     int64_t e = 0;
     for (int64_t k = 0; k < total; ++k) {
       int v = (k & 1) ? (qv[k >> 1] >> 4) : (qv[k >> 1] & 15);
       if (v >= 8) v -= 16;
       if (v == -8) v = (e < n_qe) ? qe[e++] : 0;
+      expanded[size_t(k)] = int16_t(v);
+    }
+    vals = expanded.data();
+  } else {  // 3: 2-bit codes, nibble escapes, int16 deep escapes
+    expanded.resize(size_t(total));
+    static const int16_t kCode[4] = {0, 1, -1, 0};
+    int64_t e4 = 0, e = 0;
+    for (int64_t k = 0; k < total; ++k) {
+      const int c = (qv[k >> 2] >> (2 * (k & 3))) & 3;
+      int v = kCode[c];
+      if (c == 3) {
+        int nib = (e4 < n_qe4)
+                      ? ((e4 & 1) ? (qe4[e4 >> 1] >> 4) : (qe4[e4 >> 1] & 15))
+                      : 0;
+        ++e4;
+        if (nib >= 8) nib -= 16;
+        v = (nib == -8) ? ((e < n_qe) ? qe[e++] : 0) : nib;
+      }
       expanded[size_t(k)] = int16_t(v);
     }
     vals = expanded.data();
@@ -737,6 +758,6 @@ void bvc_rebuild_p(const uint8_t* qv, int64_t qv_kind, const int16_t* qe,
   }
 }
 
-int64_t bvc_version() { return 8; }
+int64_t bvc_version() { return 9; }
 
 }  // extern "C"

@@ -63,7 +63,8 @@ def qdct_caps(nb: int, bs: int, qfrac: tuple = None) -> int:
     larger cap costs only device pool allocation and a bigger first-chunk
     prefetch estimate)."""
     num, den = qfrac if qfrac is not None else PREFIX_CAP_FRACTION
-    return max(nb * bs * bs * num // den, 2048)
+    cap = max(nb * bs * bs * num // den, 2048)
+    return (cap + 7) // 8 * 8  # whole bytes for the 2-bit/nibble packings
 
 
 def qcap_fraction(ec) -> tuple:
@@ -168,17 +169,24 @@ def unpack_input_chunk(buf: jnp.ndarray, k: int, h: int, w: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def pack_qdct(qdct: jnp.ndarray, bs: int, cap: int, vdtype, q4: bool = False):
-    """int16 plane [H, W] -> (vals, lens [nb] int32, total int32[, qe, qn]).
+    """int16 plane [H, W] -> (vals, lens [nb] int32, total int32
+    [, qe4, qn4, qe, qn]).
 
     vals holds the concatenated zigzag nonzero prefixes of all blocks in
     raster order; total > cap means overflow (fetch the full plane).
 
-    With ``q4`` (high-QP fixed-QP configs, :func:`qdct_nibble_safe`) the
-    values travel as 4-bit nibbles (two per byte, vals u8 [cap/2]): |v| <= 7
-    inline, larger values replaced by the sentinel -8 with the true int16 in
-    ``qe`` in stream order (qn > its cap also means overflow).  Measured at
-    the bench config (QP 5): ~3.4% of prefix values escape, halving the
-    dominant transfer field."""
+    With ``q4`` (rate-controlled and high-QP fixed-QP configs,
+    :func:`qdct_nibble_safe`) the values travel entropy-split in three
+    levels (measured bench-config distribution: 57% zeros, 27% +-1, ~13%
+    |v| in 2..7, ~3% larger):
+
+    * 2-bit codes, four per byte (``vals`` u8 [cap/4]): 0 -> 0, 1 -> +1,
+      2 -> -1, 3 -> escape;
+    * escapes as 4-bit nibbles in stream order (``qe4`` u8 [cap4/2]):
+      |v| <= 7 inline, larger values the sentinel -8;
+    * sentinel values as int16 in stream order (``qe``).
+
+    qn4 > cap4 or qn > capqe means overflow (fetch the full plane)."""
     from . import bitlen
 
     h, w = qdct.shape
@@ -202,30 +210,53 @@ def pack_qdct(qdct: jnp.ndarray, bs: int, cap: int, vdtype, q4: bool = False):
         )
         return vals[:cap], lens.astype(jnp.int32), total.astype(jnp.int32)
 
-    esc = (scans > 7) | (scans < -7)
-    v4 = jnp.where(esc, -8, scans)
-    vals = jnp.zeros(cap + 1, jnp.int8).at[idx.reshape(-1)].set(
-        v4.astype(jnp.int8).reshape(-1)
-    )[:cap]
-    nib = vals.astype(jnp.int32) & 15
-    vals4 = (nib[0::2] | (nib[1::2] << 4)).astype(jnp.uint8)
-    # escape values in stream order: idx is monotonic over kept (block, k)
-    esc_kept = (esc & keep).reshape(-1)
-    eoff = jnp.cumsum(esc_kept) - esc_kept
-    qn = esc_kept.sum().astype(jnp.int32)
+    # level 1: 2-bit codes over the whole prefix stream
+    c = jnp.where(scans == 0, 0,
+                  jnp.where(scans == 1, 1, jnp.where(scans == -1, 2, 3)))
+    cflat = jnp.zeros(cap + 1, jnp.int32).at[idx.reshape(-1)].set(
+        c.reshape(-1))[:cap]
+    c4 = cflat.reshape(-1, 4)  # reshape + column ops, NOT strided slices
+    vals2 = (c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4)
+             | (c4[:, 3] << 6)).astype(jnp.uint8)
+    # level 2: |v| >= 2 compacted to stream order (idx monotonic over kept
+    # (block, k), so ranks are stream positions).  The int16 values land
+    # in the compacted list too, so the deep-escape extraction below works
+    # on cap4 elements instead of a second full-plane cumsum+scatter.
+    esc1 = ((c == 3) & keep).reshape(-1)
+    e1off = jnp.cumsum(esc1) - esc1
+    qn4 = esc1.sum().astype(jnp.int32)
+    cap4 = q4e_cap(cap)
+    e1idx = jnp.where(esc1 & (e1off < cap4), e1off, cap4)
+    s1 = jnp.zeros(cap4 + 1, jnp.int16).at[e1idx].set(
+        scans.astype(jnp.int16).reshape(-1))[:cap4]
+    live = jnp.arange(cap4, dtype=jnp.int32) < qn4
+    deep = ((s1 > 7) | (s1 < -7)) & live
+    nib = jnp.where(deep, -8, s1).astype(jnp.int32) & 15
+    n2 = nib.reshape(-1, 2)
+    qe4 = (n2[:, 0] | (n2[:, 1] << 4)).astype(jnp.uint8)
+    # level 3: sentinel (|v| > 7) true values, compacted from the cap4 list
+    eoff = jnp.cumsum(deep) - deep
+    qn = deep.sum().astype(jnp.int32)
     capqe = qe_cap(cap)
-    eidx = jnp.where(esc_kept & (eoff < capqe), eoff, capqe)
-    qe = jnp.zeros(capqe + 1, jnp.int16).at[eidx].set(
-        scans.astype(jnp.int16).reshape(-1)
-    )[:capqe]
-    return vals4, lens.astype(jnp.int32), total.astype(jnp.int32), qe, qn
+    eidx = jnp.where(deep & (eoff < capqe), eoff, capqe)
+    qe = jnp.zeros(capqe + 1, jnp.int16).at[eidx].set(s1)[:capqe]
+    return (vals2, lens.astype(jnp.int32), total.astype(jnp.int32),
+            qe4, qn4, qe, qn)
 
 
 def qe_cap(capq: int) -> int:
-    """Nibble-escape value capacity: 1/16 of the prefix value slots (~2x
-    the measured worst case — 1761 escapes on a CIF bench-config frame;
-    overflow falls back to the full plane)."""
+    """Deep-escape (|v| > 7) value capacity: 1/16 of the prefix value slots
+    (~2x the measured worst case — 1761 escapes on a CIF bench-config
+    frame; overflow falls back to the full plane)."""
     return max(capq // 16, 256)
+
+
+def q4e_cap(capq: int) -> int:
+    """First-level escape (|v| >= 2 nibble) capacity: 1/3 of the prefix
+    value slots — ~4x the measured bench rate (7% of capq) with headroom
+    for low-QP RC rows; overflow falls back to the full plane.  Even (two
+    nibbles per byte)."""
+    return max(capq // 3 // 2 * 2, 512)
 
 
 def qdct_nibble_safe(ec) -> bool:
@@ -421,13 +452,13 @@ def intra_pred_plane(recon: jnp.ndarray, modes: jnp.ndarray, bs: int) -> jnp.nda
 def tail_pool_cap(layout) -> int:
     """Static pool capacity per frame (bytes): the sum of the tail fields'
     caps — the pool can never overflow beyond the per-field caps."""
-    cap = layout.capq // 2 if layout.q4 else layout.capq * layout.vbytes
+    cap = layout.capq // 4 if layout.q4 else layout.capq * layout.vbytes
     cap += layout.cape  # re
     if layout.with_art:
         cap += (3 * layout.capk // 8 + layout.h * layout.w // 8
                 + layout.j1C + layout.cape)  # jk + jbz + j1z + ae
     if layout.q4:
-        cap += 2 * layout.capqe
+        cap += layout.capq4 // 2 + 2 * layout.capqe
     return cap
 
 
@@ -470,20 +501,21 @@ def split_bitmap(jb):
 
 def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs=None,
                    jbns=None, j1zs=None, j1ns=None, res=None, rns=None,
-                   aes=None, ans=None):
+                   aes=None, ans=None, qe4s=None, qn4s=None):
     """Chunk-level compaction of the variable-size transfer fields.
 
     The cap-padded fields (``j1z``/``jbz`` bitmap bytes, ``jk`` kind lists,
-    ``re``/``ae`` escape lists, ``qv`` zigzag-prefix values, ``qe`` nibble
-    escapes) average a small fraction of their caps on typical content, so
-    the fixed-size row wastes most of the d2h bytes of a transfer-bound
-    pipeline.  This packs each frame's USED bytes — in field order
-    [j1z, jbz, jk, re, ae, qv, qe] — contiguously into one chunk-wide pool;
-    the host re-derives every offset from the head counts
-    (:meth:`FrameLayout.tail_sizes`) and fetches only ``pool[:bucket(total)]``.
+    ``re``/``ae`` escape lists, ``qv`` 2-bit prefix codes, ``qe4``/``qe``
+    escape levels) average a small fraction of their caps on typical
+    content, so the fixed-size row wastes most of the d2h bytes of a
+    transfer-bound pipeline.  This packs each frame's USED bytes — in
+    field order [j1z, jbz, jk, re, ae, qv, qe4, qe] — contiguously into
+    one chunk-wide pool; the host re-derives every offset from the head
+    counts (:meth:`FrameLayout.tail_sizes`) and fetches only
+    ``pool[:bucket(total)]``.
 
-    ``jks``/``qes``/``j1zs``/``res``/``aes`` may be None for layouts
-    without those fields; arrays are [K, cap_bytes] uint8 (already
+    ``jks``/``qes``/``j1zs``/``res``/``aes``/``qe4s`` may be None for
+    layouts without those fields; arrays are [K, cap_bytes] uint8 (already
     bitcast).  Returns ``pool [K*cap] u8``."""
     k = qts.shape[0]
     zeros = jnp.zeros(k, jnp.int32)
@@ -493,8 +525,9 @@ def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs=None,
     u_re = jnp.minimum(rns, layout.cape) if res is not None else zeros
     u_ae = jnp.minimum(ans, layout.cape) if aes is not None else zeros
     u_qv = layout.qv_used(qts)
+    u_qe4 = layout.qe4_used(qn4s) if qe4s is not None else zeros
     u_qe = layout.qe_used(qns) if layout.q4 else zeros
-    sizes = u_j1 + u_jb + u_jk + u_re + u_ae + u_qv + u_qe
+    sizes = u_j1 + u_jb + u_jk + u_re + u_ae + u_qv + u_qe4 + u_qe
     offs = jnp.cumsum(sizes) - sizes
     cap = k * tail_pool_cap(layout)
     pool = jnp.zeros(cap + 1, jnp.uint8)
@@ -514,6 +547,9 @@ def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs=None,
             base = base + used
     pool = scatter(pool, _as_bytes2d(qvs), base, u_qv)
     base = base + u_qv
+    if qe4s is not None:
+        pool = scatter(pool, qe4s, base, u_qe4)
+        base = base + u_qe4
     if qes is not None:
         pool = scatter(pool, _as_bytes2d(qes), base, u_qe)
     return pool[:cap]
@@ -529,8 +565,8 @@ def _as_bytes2d(a):
 
 
 def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
-             an=None, *, bs, mv8=False, mvn=False, qe=None, qn=None,
-             tail=False):
+             an=None, *, bs, mv8=False, mvn=False, qe4=None, qn4=None,
+             qe=None, qn=None, tail=False):
     """One frame's transfer row in :class:`FrameLayout` field order (device).
 
     ``codes`` is the joint state tuple ``(jb, jk, jn)`` (:func:`pack_joint`,
@@ -564,6 +600,8 @@ def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
             parts.append(mv.astype(jnp.int8 if mv8 else jnp.int16))
     parts += [mbits] + ([] if tail else [qv]) + [
         ql.astype(jnp.uint8 if bs * bs <= 255 else jnp.int16), qt]
+    if qe4 is not None:
+        parts += ([] if tail else [qe4]) + [qn4]
     if qe is not None:
         parts += ([] if tail else [qe]) + [qn]
     if ae is not None:
@@ -638,6 +676,7 @@ class FrameLayout:
         self.capq = qdct_caps(nb, bs, qfrac)
         self.cape = esc_cap(h, w)
         self.capqe = qe_cap(self.capq)
+        self.capq4 = q4e_cap(self.capq)
         nbm = (nb + 7) // 8
         nbm2 = nbm + (nbm & 1)
         self.nbm = nbm
@@ -669,10 +708,13 @@ class FrameLayout:
                           else mvk * nb * (1 if mv8 else 2)))
         sizes += ([("modes", nbm2)]
                   + ([] if tail else
-                     [("qv", self.capq // 2 if q4 else self.capq * vbytes)])
+                     [("qv", self.capq // 4 if q4 else self.capq * vbytes)])
                   + [("ql", nb * self.qlbytes), ("qt", 4)])
         if q4:
-            sizes += ([] if tail else [("qe", self.capqe * 2)]) + [("qn", 4)]
+            sizes += (([] if tail else [("qe4", self.capq4 // 2)])
+                      + [("qn4", 4)]
+                      + ([] if tail else [("qe", self.capqe * 2)])
+                      + [("qn", 4)])
         if with_art:
             sizes += ([] if tail else [("ae", self.cape)]) + [("an", 4)]
         self.offsets = {}
@@ -683,11 +725,11 @@ class FrameLayout:
         self.total = pos
 
     # -- tail-mode size formulas (host ints; device twins below) ----------
-    def tail_sizes(self, j1n: int, jbn: int, jn: int, qt: int, qn: int,
-                   rn: int, an: int) -> tuple:
+    def tail_sizes(self, j1n: int, jbn: int, jn: int, qt: int, qn4: int,
+                   qn: int, rn: int, an: int) -> tuple:
         """(j1_bytes, jb_bytes, jk_bytes, re_bytes, ae_bytes, qv_bytes,
-        qe_bytes) of one frame's pool segment, from the head counts —
-        bit-identical to the device formulas used by
+        qe4_bytes, qe_bytes) of one frame's pool segment, from the head
+        counts — bit-identical to the device formulas used by
         :func:`pack_tail_pool` (overflowing counts clamp at the caps; the
         pipeline falls back to full planes for those frames, but the pool
         walk must still agree on every offset)."""
@@ -696,32 +738,37 @@ class FrameLayout:
         u_jk = (min(jn, self.capk) + 7) // 8 * 3 if self.with_art else 0
         u_re = min(rn, self.cape)
         u_ae = min(an, self.cape) if self.with_art else 0
-        u_qv = ((min(qt, self.capq) + 1) // 2 if self.q4
+        u_qv = ((min(qt, self.capq) + 3) // 4 if self.q4
                 else min(qt, self.capq) * self.vbytes)
+        u_qe4 = (min(qn4, self.capq4) + 1) // 2 if self.q4 else 0
         u_qe = 2 * min(qn, self.capqe) if self.q4 else 0
-        return u_j1, u_jb, u_jk, u_re, u_ae, u_qv, u_qe
+        return u_j1, u_jb, u_jk, u_re, u_ae, u_qv, u_qe4, u_qe
 
     def jk_used(self, jn):
         return (jnp.minimum(jn, self.capk) + 7) // 8 * 3
 
     def qv_used(self, qt):
         qt = jnp.minimum(qt, self.capq)
-        return (qt + 1) // 2 if self.q4 else qt * self.vbytes
+        return (qt + 3) // 4 if self.q4 else qt * self.vbytes
+
+    def qe4_used(self, qn4):
+        return (jnp.minimum(qn4, self.capq4) + 1) // 2
 
     def qe_used(self, qn):
         return 2 * jnp.minimum(qn, self.capqe)
 
     def head_counts(self, buf) -> tuple:
-        """(j1n, jbn, jn, qt, qn, rn, an) from a head row (ints)."""
+        """(j1n, jbn, jn, qt, qn4, qn, rn, an) from a head row (ints)."""
         wa = self.with_art and self.tail
         j1n = int(self._f(buf, "j1n", np.int32)[0]) if wa else 0
         jbn = int(self._f(buf, "jbn", np.int32)[0]) if wa else 0
         jn = int(self._f(buf, "jn", np.int32)[0]) if self.with_art else 0
         qt = int(self._f(buf, "qt", np.int32)[0])
+        qn4 = int(self._f(buf, "qn4", np.int32)[0]) if self.q4 else 0
         qn = int(self._f(buf, "qn", np.int32)[0]) if self.q4 else 0
         rn = int(self._f(buf, "rn", np.int32)[0])
         an = int(self._f(buf, "an", np.int32)[0]) if self.with_art else 0
-        return j1n, jbn, jn, qt, qn, rn, an
+        return j1n, jbn, jn, qt, qn4, qn, rn, an
 
     def _f(self, buf, name, dtype):
         s, e = self.offsets[name]
@@ -746,30 +793,37 @@ class FrameLayout:
         out[:, :2] = m2
         return out.reshape(-1)
 
-    def _qv(self, qv_bytes, qe_bytes):
-        """qv bytes as int16 values (expands the ``q4`` nibble stream and
-        re-places its escape values; zero-copy view otherwise)."""
+    def _qv(self, qv_bytes, qe4_bytes, qe_bytes):
+        """qv bytes as int16 values (expands the ``q4`` 2-bit code stream
+        and re-places its two escape levels; zero-copy view otherwise).
+
+        On escape overflow (qn4 > capq4 or qn > capqe) the expansion is
+        garbage but must not crash: the caller fetches the full plane
+        instead (count checks in the pipeline's submit path)."""
         if not self.q4:
             return qv_bytes.view(np.int8 if self.vbytes == 1 else np.int16)
-        nib = np.empty(2 * qv_bytes.size, np.int16)
-        nib[0::2] = qv_bytes & 15
-        nib[1::2] = qv_bytes >> 4
-        nib -= (nib >= 8) * 16  # sign-extend; sentinel -8 = escape
-        pos = np.flatnonzero(nib == -8)
+        c = ((qv_bytes[:, None] >> np.array([0, 2, 4, 6], np.uint8))
+             & 3).reshape(-1)
+        out = np.take(np.array([0, 1, -1, 0], np.int16), c)
+        pos = np.flatnonzero(c == 3)  # escape positions, stream order
+        nib = np.empty(2 * qe4_bytes.size, np.int16)
+        nib[0::2] = qe4_bytes & 15
+        nib[1::2] = qe4_bytes >> 4
+        nib -= (nib >= 8) * 16  # sign-extend; sentinel -8 = deep escape
+        n = min(pos.size, nib.size)
+        out[pos[:n]] = nib[:n]
+        sent = pos[:n][nib[:n] == -8]
         qe = qe_bytes.view(np.int16)
-        # on escape overflow (qn > capqe) the expansion is garbage but must
-        # not crash: the caller fetches the full plane instead (qn check in
-        # the pipeline's submit path)
-        n = min(pos.size, qe.size)
-        nib[pos[:n]] = qe[:n]
-        return nib
+        m = min(sent.size, qe.size)
+        out[sent[:m]] = qe[:m]
+        return out
 
     def split(self, buf: np.ndarray, tail: np.ndarray | None = None) -> dict:
         """uint8 [total] (+ the frame's pool segment in ``tail`` mode) ->
         field views (zero-copy except modes)."""
         if self.tail:
-            u_j1, u_jb, u_jk, u_re, u_ae, u_qv, u_qe = self.tail_sizes(
-                *self.head_counts(buf))
+            (u_j1, u_jb, u_jk, u_re, u_ae, u_qv, u_qe4,
+             u_qe) = self.tail_sizes(*self.head_counts(buf))
             p = u_j1 + u_jb
             jk = tail[p : p + u_jk]
             p += u_jk
@@ -777,7 +831,9 @@ class FrameLayout:
             ae = tail[p + u_re : p + u_re + u_ae]
             p += u_re + u_ae
             qv_b = tail[p : p + u_qv]
-            qe_b = tail[p + u_qv : p + u_qv + u_qe]
+            p += u_qv
+            qe4_b = tail[p : p + u_qe4]
+            qe_b = tail[p + u_qe4 : p + u_qe4 + u_qe]
             jb = None
             if self.with_art:
                 # re-inflate the two-level bitmap from the presence bits +
@@ -798,6 +854,7 @@ class FrameLayout:
             ae = self._f(buf, "ae", np.uint8) if self.with_art else None
             s, e = self.offsets["qv"]
             qv_b = buf[s:e]
+            qe4_b = self._f(buf, "qe4", np.uint8) if self.q4 else None
             qe_b = self._f(buf, "qe", np.uint8) if self.q4 else None
         out = {
             "h": self.h, "w": self.w, "lay": self,
@@ -817,10 +874,12 @@ class FrameLayout:
             "modes": np.unpackbits(
                 self._f(buf, "modes", np.uint8)[: self.nbm],
                 bitorder="little")[: self.nb],
-            "qv_raw": qv_b, "qe_raw": qe_b, "qv": None,
+            "qv_raw": qv_b, "qe4_raw": qe4_b if self.q4 else None,
+            "qe_raw": qe_b, "qv": None,
             "ql": self._f(buf, "ql",
                           np.uint8 if self.qlbytes == 1 else np.int16),
             "qt": int(self._f(buf, "qt", np.int32)[0]),
+            "qn4": int(self._f(buf, "qn4", np.int32)[0]) if self.q4 else 0,
             "qn": int(self._f(buf, "qn", np.int32)[0]) if self.q4 else 0,
         }
         if self.with_art:
@@ -942,7 +1001,7 @@ def qv_of(f: dict) -> np.ndarray:
     dtype view deferred out of the main-thread split)."""
     v = f.get("qv")
     if v is None:
-        v = f["lay"]._qv(f["qv_raw"], f["qe_raw"])
+        v = f["lay"]._qv(f["qv_raw"], f["qe4_raw"], f["qe_raw"])
         f["qv"] = v
     return v
 
@@ -967,8 +1026,9 @@ def host_rebuild_p(f: dict, row_qps: np.ndarray, bs: int, planes: np.ndarray,
     h, w = f["h"], f["w"]
     nbr, nbc = h // bs, w // bs
     if lay.q4:
-        qv_kind = 2
+        qv_kind = 3  # 2-bit codes + nibble escapes + int16 deep escapes
         qv = np.ascontiguousarray(f["qv_raw"], np.uint8)
+        qe4 = np.ascontiguousarray(f["qe4_raw"], np.uint8)
         qe_raw = f["qe_raw"]
         qe = (np.ascontiguousarray(qe_raw.view(np.int16))
               if qe_raw is not None and qe_raw.size
@@ -976,6 +1036,7 @@ def host_rebuild_p(f: dict, row_qps: np.ndarray, bs: int, planes: np.ndarray,
     else:
         qv_kind = 1 if lay.vbytes == 1 else 0
         qv = np.ascontiguousarray(f["qv_raw"], np.uint8)
+        qe4 = np.zeros(0, np.uint8)
         qe = np.zeros(0, np.int16)
     ql = np.ascontiguousarray(f["ql"])
     ql_u8 = 1 if ql.dtype == np.uint8 else 0
@@ -997,7 +1058,8 @@ def host_rebuild_p(f: dict, row_qps: np.ndarray, bs: int, planes: np.ndarray,
     # bvc_rebuild_p hardcodes the joint-state ids; they are fixed by the
     # J_* enum above (J_NONE..J_BESC = range(8))
     lib.bvc_rebuild_p(
-        qv.ctypes.data, qv_kind, qe.ctypes.data, qe.size,
+        qv.ctypes.data, qv_kind, qe4.ctypes.data, 2 * qe4.size,
+        qe.ctypes.data, qe.size,
         ql.ctypes.data, ql_u8, zz.ctypes.data, rq.ctypes.data,
         d.ctypes.data, nbr, nbc, bs, T.EXACT_SHIFT, T.IDCT_GUARD,
         jb.ctypes.data, jk.ctypes.data, jk.size // 3 * 8,

@@ -170,16 +170,17 @@ def test_host_intra_art_matches_device():
 
 @pytest.mark.parametrize("esc_heavy", [False, True])
 def test_qdct_nibble_roundtrip(esc_heavy):
-    """q4 nibble packing (device) -> FrameLayout._qv expansion (host) must
-    reproduce the int16 value stream, including escape values in stream
-    order and the overflow count."""
+    """q4 entropy-split packing (device: 2-bit codes + nibble escapes +
+    int16 deep escapes) -> FrameLayout._qv expansion (host) must
+    reproduce the int16 value stream, including both escape levels in
+    stream order and the overflow counts."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(12)
     h, w, bs = 48, 64, 8
     nb = (h // bs) * (w // bs)
     cap = PK.qdct_caps(nb, bs)
-    # sparse plane with mixed magnitudes (some |v| > 7 -> escapes)
+    # sparse plane with mixed magnitudes (some |v| > 7 -> deep escapes)
     q = np.zeros((h, w), np.int16)
     # nonzeros concentrated at block starts (zigzag-prefix-friendly, like
     # real low-frequency-dominant coefficients) so qt stays under the cap
@@ -187,12 +188,17 @@ def test_qdct_nibble_roundtrip(esc_heavy):
     blocks[:, :, 0, : 3] = rng.integers(-200 if esc_heavy else -12,
                                         201 if esc_heavy else 13,
                                         (h // bs, w // bs, 3))
-    vals4, lens, total, qe, qn = PK.pack_qdct(jnp.asarray(q), bs, cap,
-                                              jnp.int16, q4=True)
+    vals2, lens, total, qe4, qn4, qe, qn = PK.pack_qdct(
+        jnp.asarray(q), bs, cap, jnp.int16, q4=True)
     ref_vals, ref_lens, ref_total = PK.pack_qdct(jnp.asarray(q), bs, cap,
                                                  jnp.int16)
     assert int(total) == int(ref_total) <= cap
+    assert int(qn4) <= PK.q4e_cap(cap)
     assert int(qn) <= PK.qe_cap(cap)
+    # level-2 entries = values outside {0, +-1}; level-3 = |v| > 7
+    ref = np.asarray(ref_vals)[: int(total)]
+    assert int(qn4) == int((np.abs(ref) >= 2).sum())
+    assert int(qn) == int((np.abs(ref) > 7).sum())
     lay = PK.FrameLayout(h, w, bs, 2, True, True, q4=True)
     row = np.asarray(PK.pack_row(
         (jnp.zeros(h * w // 8, jnp.uint8),
@@ -200,13 +206,13 @@ def test_qdct_nibble_roundtrip(esc_heavy):
         jnp.zeros(lay.cape, jnp.uint8),
         jnp.int32(0), jnp.zeros(3 + 2 * lay.nbr, jnp.int32),
         jnp.zeros(3 * nb, jnp.int32), jnp.zeros(nb, jnp.uint8),
-        vals4, lens, total,
+        vals2, lens, total,
         jnp.zeros(lay.cape, jnp.uint8),
-        jnp.int32(0), bs=bs, qe=qe, qn=qn))
+        jnp.int32(0), bs=bs, qe4=qe4, qn4=qn4, qe=qe, qn=qn))
     f = lay.split(row)
-    assert f["qn"] == int(qn)
+    assert f["qn"] == int(qn) and f["qn4"] == int(qn4)
     n = int(total)
-    assert np.array_equal(PK.qv_of(f)[:n], np.asarray(ref_vals)[:n])
+    assert np.array_equal(PK.qv_of(f)[:n], ref)
     out = PK.unpack_qdct(PK.qv_of(f), f["ql"], h, w, bs,
                          zigzag_indices(bs))
     assert np.array_equal(out, q)
@@ -529,12 +535,14 @@ def test_tail_row_pool_roundtrip(q4):
         modes = rng.integers(0, 2, nb).astype(np.uint8)
         qt = np.int32(rng.integers(0, lay.capq))
         if q4:
-            qv = rng.integers(0, 256, lay.capq // 2).astype(np.uint8)
+            qv = rng.integers(0, 256, lay.capq // 4).astype(np.uint8)
+            qe4 = rng.integers(0, 256, lay.capq4 // 2).astype(np.uint8)
+            qn4 = np.int32(rng.integers(0, lay.capq4))
             qe = rng.integers(-3000, 3000, lay.capqe).astype(np.int16)
             qn = np.int32(rng.integers(0, lay.capqe))
         else:
             qv = rng.integers(-3000, 3000, lay.capq).astype(np.int16)
-            qe, qn = None, None
+            qe4, qn4, qe, qn = None, None, None, None
         ql = rng.integers(0, 64, nb).astype(np.int32)
         j2, j1z, j1n, jbz, jbn = (np.asarray(a) for a in PK.split_bitmap(
             jnp.asarray(jb)))
@@ -545,22 +553,27 @@ def test_tail_row_pool_roundtrip(q4):
             jnp.asarray(mv), jnp.asarray(modes), jnp.asarray(qv),
             jnp.asarray(ql), jnp.asarray(qt),
             jnp.asarray(ae), jnp.asarray(an), bs=bs,
+            qe4=jnp.asarray(qe4) if q4 else None,
+            qn4=jnp.asarray(qn4) if q4 else None,
             qe=jnp.asarray(qe) if q4 else None,
             qn=jnp.asarray(qn) if q4 else None, tail=True)
         heads.append(np.asarray(head))
         tails_dev.append((jk, qv, qe, jn, qt, qn, jbz, jbn, j1z, j1n,
-                          re, rn, ae, an))
+                          re, rn, ae, an, qe4, qn4))
         want.append(dict(jb=jb, jk=jk, jn=int(jn), re=re[: int(rn)],
                          rn=int(rn), ae=ae[: int(an)], an=int(an),
                          meta=meta, mv=mv, modes=modes, qv=qv, ql=ql,
-                         qt=int(qt), qe=qe, qn=int(qn) if q4 else 0))
+                         qt=int(qt), qe=qe, qn=int(qn) if q4 else 0,
+                         qe4=qe4, qn4=int(qn4) if q4 else 0))
     import jax
     stk = lambda i: jnp.asarray(np.stack([t[i] for t in tails_dev]))
+    zk = jnp.zeros(K, jnp.int32)
     pool = np.asarray(PK.pack_tail_pool(
         lay, stk(0), stk(1), stk(2) if q4 else None, stk(3), stk(4),
-        stk(5) if q4 else jnp.zeros(K, jnp.int32), stk(6), stk(7),
+        stk(5) if q4 else zk, stk(6), stk(7),
         stk(8), stk(9), res=stk(10), rns=stk(11), aes=stk(12),
-        ans=stk(13)))
+        ans=stk(13), qe4s=stk(14) if q4 else None,
+        qn4s=stk(15) if q4 else zk))
     pos = 0
     for k in range(K):
         head = heads[k]
@@ -580,9 +593,12 @@ def test_tail_row_pool_roundtrip(q4):
         assert np.array_equal(f["mv"], wk["mv"])
         assert np.array_equal(f["modes"], wk["modes"])
         assert f["qt"] == wk["qt"] and f["qn"] == wk["qn"]
+        assert f["qn4"] == wk["qn4"]
         if q4:
-            nqv = (min(wk["qt"], lay.capq) + 1) // 2
+            nqv = (min(wk["qt"], lay.capq) + 3) // 4
             assert np.array_equal(f["qv_raw"][:nqv], wk["qv"][:nqv])
+            nq4 = (min(wk["qn4"], lay.capq4) + 1) // 2
+            assert np.array_equal(f["qe4_raw"][:nq4], wk["qe4"][:nq4])
             assert np.array_equal(
                 f["qe_raw"].view(np.int16)[: wk["qn"]], wk["qe"][: wk["qn"]])
         else:
