@@ -754,17 +754,26 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         lay = layouts[kind]
         base = n_frames * lay.total
         hist = tail_stats.get(kind)
+        if not hist:
+            # first chunk of this KIND: per-frame pool bytes are mostly
+            # content-driven, not kind-driven (the kinds differ by one
+            # intra row), so seed from any other kind's history + 25%
+            other = [max(h) for h in tail_stats.values() if h]
+            if other:
+                hist = [max(other) * 1.25]
         if hist:
-            # 15% margin + 4 KB over the recent worst: a shortfall only
+            # 10% margin + 2 KB over the recent worst: a shortfall only
             # costs one late exactly-sized fetch (queued behind in-flight
-            # chunks), so the margin stays tight
-            est = int(max(hist) * n_frames * 1.15) + 4096
+            # chunks), so the margin stays tight — the margin itself was
+            # ~1.5 KB/frame of the wire budget at the 15% + 4 KB setting
+            est = int(max(hist) * n_frames * 1.10) + 2048
         else:
-            # first chunk of this kind: no estimate yet — a third of the
-            # cap covers the measured 20-35% typical pool occupancy, and a
-            # shortfall only costs one late fetch (a cap-sized prefetch
-            # would move ~0.5 MB/chunk through the ~20 MB/s d2h tunnel)
-            est = n_frames * PK.tail_pool_cap(lay) // 3
+            # very first chunk: no estimate at all — a fifth of the cap
+            # covers the measured ~15% typical pool occupancy (the caps
+            # are deliberately generous; a cap-sized prefetch would move
+            # ~0.5 MB through the ~20 MB/s d2h tunnel), and a shortfall
+            # only costs one late fetch
+            est = n_frames * PK.tail_pool_cap(lay) // 5
         n = min(fused.shape[0], base + _bucket(est))
         sl = fused[:n]
         sl.copy_to_host_async()
