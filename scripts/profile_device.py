@@ -9,7 +9,13 @@ Times, as data-dependent chains (relay-cache-proof, CLAUDE.md):
   (4) micro-ops of the scan body: ME, forward DCT+quantize, pricing,
       reconstruct.
 
-Usage: python scripts/profile_device.py [--frames N] [--chunk K]
+Usage: python scripts/profile_device.py [--frames N] [--chunk K] [--section S]
+
+--section limits which measurements run (comma list of 1-5, default all).
+Section 5 (in-scan decomposition) should run ALONE in a fresh process:
+the full-plane scatter micro-ops in section 3 leave the backend in the
+documented degraded-gather mode (PROFILE.md §4) and pollute everything
+after them.
 """
 
 import argparse
@@ -29,7 +35,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=80)
     ap.add_argument("--chunk", type=int, default=10)
+    ap.add_argument("--section", default="1,2,3,4,5")
     args = ap.parse_args()
+    sections = {int(s) for s in args.section.split(",")}
 
     import jax
     import jax.numpy as jnp
@@ -71,22 +79,28 @@ def main():
             n += k
         return outs, ref
 
-    # warmup both variants
-    t0 = time.time()
-    for compact in (False, True):
-        outs, ref = run_chunks(compact)
-        np.asarray(ref)
-    print(f"warmup: {time.time() - t0:.1f}s", flush=True)
-
-    for name, compact in (("scan-only ", False), ("production", True)):
-        best = 1e9
-        for rep in range(3):
-            t0 = time.time()
+    if sections & {1, 2}:
+        # warmup both variants
+        t0 = time.time()
+        for compact in (False, True):
             outs, ref = run_chunks(compact)
-            ref.block_until_ready()
-            best = min(best, time.time() - t0)
-        print(f"(1/2) {name} chunk chain: {best:.3f}s "
-              f"= {best / args.frames * 1e3:.2f} ms/frame", flush=True)
+            np.asarray(ref)
+        print(f"warmup: {time.time() - t0:.1f}s", flush=True)
+
+        for name, compact in (("scan-only ", False), ("production", True)):
+            best = 1e9
+            for rep in range(3):
+                t0 = time.time()
+                outs, ref = run_chunks(compact)
+                ref.block_until_ready()
+                best = min(best, time.time() - t0)
+            print(f"(1/2) {name} chunk chain: {best:.3f}s "
+                  f"= {best / args.frames * 1e3:.2f} ms/frame", flush=True)
+
+    if not sections & {3, 4}:
+        if 5 in sections:
+            _section5(args, jax, jnp, frames, K, row_qps, nbr, nbc, L)
+        return
 
     # --- stacked inputs for micro-ops: one chunk's worth of real data
     outs, _ = run_chunks(False)
@@ -203,6 +217,78 @@ def main():
         return rb
     rc = jax.jit(jax.vmap(recon_fn, in_axes=(0, 0)))
     timeit("rescale+IDCT+reconstruct", lambda x, i: rc(qdcts + i, preds), qdcts)
+
+    if 5 in sections:
+        _section5(args, jax, jnp, frames, K, row_qps, nbr, nbc, L)
+
+
+def _section5(args, jax, jnp, frames, K, row_qps, nbr, nbc, L):
+    # (5) IN-SCAN cumulative decomposition: the chunk scan is sequential
+    # (recon carry), so per-stage costs inside it differ from the batched
+    # micro-ops above.  Each level adds one stage; successive differences
+    # give the in-scan cost.  Run with --section 5 in a FRESH process —
+    # section 3's full-plane scatters poison later gather timings.
+    print("(5) in-scan cumulative stages (recon-carried scan):", flush=True)
+    from basic_video_codec_tpu.ops import bitlen
+    from basic_video_codec_tpu.ops import transform as T
+    from basic_video_codec_tpu.ops.pallas_me import full_search_pallas
+
+    qmats = jnp.asarray(T.quant_matrices(BLOCK))
+
+    def make_scan(level):
+        @jax.jit
+        def run(chunk, ref0):
+            hp0 = jnp.zeros((2 * H, 2 * W), jnp.uint8)
+
+            def step(ref, curr):
+                if level == 0:
+                    return curr, curr.astype(jnp.int32).sum()
+                mvs, sads, preds = full_search_pallas(
+                    curr, ref[None], hp0[None], BLOCK, R, False)
+                preds = preds.astype(jnp.int32)
+                if level == 1:
+                    return curr, sads.sum() + preds.sum()
+                cb = curr.reshape(nbr, BLOCK, nbc, BLOCK)\
+                         .transpose(0, 2, 1, 3).astype(jnp.int32)
+                co = T.forward_coeffs(cb - preds, BLOCK, False)
+                q = T.quantize(co, qmats[row_qps][:, None])
+                qrows = q.astype(jnp.int16)
+                if level == 2:
+                    return curr, qrows.astype(jnp.int32).sum()
+                zzr = bitlen.zigzag_rows(q.reshape(nbr, nbc, L), BLOCK)
+                bits = bitlen.rle_block_bits(zzr).sum()
+                if level == 3:
+                    return curr, bits + qrows.astype(jnp.int32).sum()
+                rb, _ = T.reconstruct_mode(qrows, qmats[row_qps][:, None],
+                                           preds, BLOCK, False)
+                recon = rb.transpose(0, 2, 1, 3).reshape(H, W)\
+                          .astype(jnp.uint8)
+                return recon, bits
+            ref, outs = jax.lax.scan(step, ref0, chunk)
+            return ref, outs
+        return run
+
+    names = ["scan floor (carry only)", "+ pallas full-search ME",
+             "+ DCT + quantize", "+ pricing", "+ reconstruct (true carry)"]
+    prev = None
+    for lvl in range(5):
+        run = make_scan(lvl)
+        ref = jnp.asarray(frames[0])
+        out = run(jnp.asarray(frames[:K]), ref)
+        jax.block_until_ready(out)
+        best = 1e9
+        for rep in range(3):
+            t0 = time.time()
+            ref = jnp.asarray(frames[rep % 3])
+            for n in range(0, len(frames) // K * K, K):
+                ref, _ = run(jnp.asarray(frames[n : n + K]), ref)
+            jax.block_until_ready(ref)
+            best = min(best, time.time() - t0)
+        nfr = len(frames) // K * K
+        ms = best / nfr * 1e3
+        d = f" (+{ms - prev:.2f})" if prev is not None else ""
+        print(f"  L{lvl} {names[lvl]:32s} {ms:6.2f} ms/frame{d}", flush=True)
+        prev = ms
 
 
 if __name__ == "__main__":
