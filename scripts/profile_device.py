@@ -100,6 +100,8 @@ def main():
     if not sections & {3, 4}:
         if 5 in sections:
             _section5(args, jax, jnp, frames, K, row_qps, nbr, nbc, L)
+        if 6 in sections:
+            _section6(args, jax, jnp, frames, K, row_qps)
         return
 
     # --- stacked inputs for micro-ops: one chunk's worth of real data
@@ -220,6 +222,70 @@ def main():
 
     if 5 in sections:
         _section5(args, jax, jnp, frames, K, row_qps, nbr, nbc, L)
+
+
+def _section6(args, jax, jnp, frames, K, row_qps):
+    # (6) intra vs pure-P split of the production chunk chain.  Run alone
+    # in a fresh process (same pollution caveat as section 5).
+    print("(6) intra / pure-P split of the production chain:", flush=True)
+    from basic_video_codec_tpu.models.chunk import encode_chunk
+    from basic_video_codec_tpu.ops.intra import intra_encode_frame
+
+    budget0 = jnp.float32(0)
+    tblq = jnp.zeros(1, jnp.int32)
+    tblb = jnp.zeros(1, jnp.float32)
+    iqp = jnp.int32(QP)
+
+    # (a) intra_encode_frame alone, chained through the recon output
+    @jax.jit
+    def intra_chain(curr):
+        recon, _, art, qdct, smalls = intra_encode_frame(
+            curr, row_qps, budget0, tblq, tblb, iqp, BLOCK, False)
+        return recon
+    x = jnp.asarray(frames[0])
+    out = intra_chain(x)
+    jax.block_until_ready(out)
+    best = 1e9
+    n = 12
+    for rep in range(3):
+        t0 = time.time()
+        y = jnp.asarray(frames[rep])
+        for i in range(n):
+            y = intra_chain(y)
+        jax.block_until_ready(y)
+        best = min(best, time.time() - t0)
+    print(f"  intra_encode_frame (chained)      {best / n * 1e3:6.2f} "
+          f"ms/frame", flush=True)
+
+    # (b) production chunk, first_is_intra=False for every chunk (pure P)
+    def run_chunks(first_intra_first_chunk):
+        ref = jnp.full((H, W), 128, jnp.uint8)
+        hp = jnp.zeros((2 * H, 2 * W), jnp.uint8)
+        n = 0
+        while n < len(frames):
+            pos = n % IPERIOD
+            k = min(K, IPERIOD - pos, len(frames) - n)
+            c = jnp.asarray(frames[n : n + k])
+            dev = encode_chunk(c, ref, hp, row_qps, budget0, tblq, tblb,
+                               iqp, BLOCK, R, False, False, False,
+                               first_intra_first_chunk and pos == 0,
+                               compact=True, q4=True, tail=True)
+            ref, hp = dev[2], dev[3]
+            n += k
+        return ref
+
+    for name, fi in (("pure-P production chunks", False),
+                     ("production chunks (I+P)", True)):
+        ref = run_chunks(fi)
+        jax.block_until_ready(ref)
+        best = 1e9
+        for rep in range(3):
+            t0 = time.time()
+            ref = run_chunks(fi)
+            ref.block_until_ready()
+            best = min(best, time.time() - t0)
+        print(f"  {name:34s}{best / len(frames) * 1e3:6.2f} ms/frame",
+              flush=True)
 
 
 def _section5(args, jax, jnp, frames, K, row_qps, nbr, nbc, L):
