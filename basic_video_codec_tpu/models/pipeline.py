@@ -476,7 +476,7 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
             )
             write_y_only_frame(res_w_fh, f.res_w_mc)
             write_y_only_frame(res_wo_fh, f.res_wo_mc)
-            write_y_only_frame(qdct_fh, f.qdct.astype(np.int16))
+            write_y_only_frame(qdct_fh, np.asarray(f.qdct, np.int16))
             write_y_only_frame(recon_fh, f.recon)
             mv_fh.write(f.mv_line)
 
