@@ -69,15 +69,19 @@ def qdct_caps(nb: int, bs: int, qfrac: tuple = None) -> int:
 
 def qcap_fraction(ec) -> tuple:
     """Static prefix-cap sizing class for a config.  Measured qt peaks:
-    RC modes and fixed QP >= 5 stay under 3/8; fixed qp 3-4 reaches ~53%
-    of the plane on high-motion frames (5/8 covers it); fixed qp <= 2 can
-    fill the plane outright, so the cap is the whole plane — overflow
-    becomes impossible and the per-frame synchronous fallback never
-    fires."""
-    if ec.RCflag or ec.quantization_factor >= 5:
+    RC modes stay under 3/8 (the budget pushes QPs up on expensive frames);
+    FIXED QP has no such feedback, so its peaks are geometry-driven — qp 5
+    at block 16 / r=1 reaches ~49% of the plane on high-motion content
+    (3/8 overflowed EVERY frame there, a ~37 ms synchronous full-plane
+    fallback each), qp 3-4 reaches ~53% at r=4; fixed qp <= 2 can fill the
+    plane outright.  Tail-mode transfers fetch only USED bytes, so the
+    generous caps cost device pool allocation, not wire bytes."""
+    if ec.RCflag:
         return PREFIX_CAP_FRACTION
-    if ec.quantization_factor >= 3:
+    if ec.quantization_factor >= 5:
         return (5, 8)
+    if ec.quantization_factor >= 3:
+        return (3, 4)
     return (1, 1)
 
 

@@ -483,9 +483,11 @@ def test_fused_rebuild_matches_staged(tmp_path, monkeypatch, cfg):
 
 
 def test_qcap_fraction_classes():
-    """Prefix-cap sizing classes (measured qt peaks, PROFILE.md): RC and
-    qp>=5 carry 3/8; fixed qp 3-4 reach ~53% of the plane (5/8); fixed
-    qp<=2 can fill it (whole-plane cap — overflow impossible)."""
+    """Prefix-cap sizing classes (measured qt peaks, PROFILE.md): RC
+    carries 3/8 (budget feedback bounds prefixes); fixed qp>=5 reaches
+    ~49% at block 16 / r=1 (5/8); fixed qp 3-4 reach ~53% at r=4 (3/4);
+    fixed qp<=2 can fill the plane (whole-plane cap — overflow
+    impossible)."""
     from basic_video_codec_tpu.config import EncoderConfig
 
     def ec(**kw):
@@ -494,11 +496,11 @@ def test_qcap_fraction_classes():
         base.update(kw)
         return EncoderConfig(**base)
 
-    assert PK.qcap_fraction(ec()) == (3, 8)
+    assert PK.qcap_fraction(ec()) == (5, 8)
     assert PK.qcap_fraction(ec(RCflag=1, targetBR=100_000,
                                quantization_factor=2)) == (3, 8)
-    assert PK.qcap_fraction(ec(quantization_factor=4)) == (5, 8)
-    assert PK.qcap_fraction(ec(quantization_factor=3)) == (5, 8)
+    assert PK.qcap_fraction(ec(quantization_factor=4)) == (3, 4)
+    assert PK.qcap_fraction(ec(quantization_factor=3)) == (3, 4)
     assert PK.qcap_fraction(ec(quantization_factor=2)) == (1, 1)
     nb = (48 // 16) * (64 // 16)
     assert PK.qdct_caps(nb, 16, (1, 1)) == nb * 256  # whole plane
