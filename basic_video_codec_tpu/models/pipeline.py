@@ -719,6 +719,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     # otherwise dominate now that the payload is small.  Overflow-fallback
     # full planes are fetched here too, for the same reason (rare by
     # construction).
+    overflow_frames = [0]  # frames that needed a full-plane fallback fetch
+
     def submit_compact(futures, idx, curr, f, d_qdcts, d_arts, d_recons, k=None):
         # index the device stacks lazily — slicing dispatches a device
         # program, so it must only happen on the (rare) overflow path
@@ -733,6 +735,8 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                       and (f["an"] > ecap or jover) else None)
             r_full = (jax.device_get(sel(d_recons))
                       if f["rn"] > ecap or jover else None)
+        if q_full is not None or a_full is not None or r_full is not None:
+            overflow_frames[0] += 1
         reb = rebuilder.submit(f, q_full, r_full, a_full)
         futures.append(fin_pool.submit(
             _finalize_compact, idx, curr, f, ec, reb, a_full))
@@ -1118,6 +1122,15 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         if rebuilder is not None:
             rebuilder.shutdown()
         fin_pool.shutdown(wait=True)
+        if compact and n_read and overflow_frames[0] > max(n_read // 50, 2):
+            # results stay correct; this flags a mis-sized transport cap
+            # (ops/pack.qcap_fraction and friends are sized so this never
+            # fires on measured content classes — a hot report means a new
+            # class worth a cap bump, PROFILE.md §9)
+            logger.warning(
+                f"compact-transfer overflow on {overflow_frames[0]}/{n_read} "
+                f"frames: each costs a synchronous full-plane fetch "
+                f"(~40 ms on remote tunnels)")
         if STAGE_TIMER is not None:
             logger.info("stage breakdown (BVC_PROFILE):\n" + STAGE_TIMER.report())
 

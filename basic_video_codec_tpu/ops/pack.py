@@ -67,17 +67,37 @@ def qdct_caps(nb: int, bs: int, qfrac: tuple = None) -> int:
     return (cap + 7) // 8 * 8  # whole bytes for the 2-bit/nibble packings
 
 
+def rc_bits_per_coeff(ec) -> float:
+    """Rate-controlled budget density: target bits per frame over the
+    plane's coefficient count.  The budget bounds how many prefix slots a
+    frame can afford, so it is the right static classifier for RC caps —
+    QP itself is a runtime value under RC."""
+    w, h = ec.resolution
+    return ec.targetBR / getattr(ec, "frame_rate", 30) / float(w * h)
+
+
 def qcap_fraction(ec) -> tuple:
     """Static prefix-cap sizing class for a config.  Measured qt peaks:
-    RC modes stay under 3/8 (the budget pushes QPs up on expensive frames);
-    FIXED QP has no such feedback, so its peaks are geometry-driven — qp 5
-    at block 16 / r=1 reaches ~49% of the plane on high-motion content
-    (3/8 overflowed EVERY frame there, a ~37 ms synchronous full-plane
-    fallback each), qp 3-4 reaches ~53% at r=4; fixed qp <= 2 can fill the
-    plane outright.  Tail-mode transfers fetch only USED bytes, so the
-    generous caps cost device pool allocation, not wire bytes."""
+
+    * RC with a BINDING budget stays under 3/8 of the plane (the budget
+      pushes QPs up on expensive frames; the 2.4 Mbps CIF deliverable
+      peaks ~33%), but a generous budget floors QP at the table minimum
+      and prefixes reach ~86% (12 Mbps CIF measured qt 87k/101k, which
+      overflowed EVERY frame at 3/8) — so RC classes by budget density.
+    * FIXED QP has no feedback at all; its peaks are geometry-driven —
+      qp 5 at block 16 / r=1 reaches ~49% on high-motion content, qp 3-4
+      ~53% at r=4 (with r=1 headroom -> 3/4); fixed qp <= 2 can fill the
+      plane outright.
+
+    Tail-mode transfers fetch only USED bytes, so the generous caps cost
+    device pool allocation, not wire bytes."""
     if ec.RCflag:
-        return PREFIX_CAP_FRACTION
+        b = rc_bits_per_coeff(ec)
+        if b < 0.5:
+            return PREFIX_CAP_FRACTION
+        if b < 1.0:
+            return (3, 4)
+        return (1, 1)
     if ec.quantization_factor >= 5:
         return (5, 8)
     if ec.quantization_factor >= 3:
@@ -265,12 +285,16 @@ def q4e_cap(capq: int) -> int:
 
 def qdct_nibble_safe(ec) -> bool:
     """Nibble-packed qdct values: configs whose measured escape rate
-    (|v| > 7) stays a few percent — fixed QP >= 5 and every rate-controlled
-    mode (the deliverable config peaks at 726 escapes/frame vs a 2376-entry
-    cap; pathological low-QP content only costs full-plane fallbacks, never
-    correctness).  Fixed QP < 5 would escape-storm, so it stays on
-    whole-byte values."""
-    return ec.RCflag > 0 or ec.quantization_factor >= 5
+    (|v| > 7) stays a few percent — fixed QP >= 5 and budget-BOUND
+    rate-controlled modes (the 2.4 Mbps deliverable, budget density ~0.8
+    bits/coeff, peaks at ~1k escapes/frame vs a 4752-entry cap).  A
+    generous RC budget floors QP at the table minimum and the nibble
+    escapes storm like fixed low QP (12 Mbps CIF measured 18k first-level
+    + 6k deep escapes/frame), so rich budgets stay on whole-byte values,
+    like fixed QP < 5."""
+    if ec.RCflag > 0:
+        return rc_bits_per_coeff(ec) < 1.0
+    return ec.quantization_factor >= 5
 
 
 def pack_vs_base(plane: jnp.ndarray, base: jnp.ndarray, cap: int):

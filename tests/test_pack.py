@@ -497,8 +497,18 @@ def test_qcap_fraction_classes():
         return EncoderConfig(**base)
 
     assert PK.qcap_fraction(ec()) == (5, 8)
-    assert PK.qcap_fraction(ec(RCflag=1, targetBR=100_000,
-                               quantization_factor=2)) == (3, 8)
+    # RC classes by budget density (bits per coefficient per frame):
+    # 64x48 plane at 30 fps -> b = targetBR / 92160
+    assert PK.qcap_fraction(ec(RCflag=1, targetBR=40_000,
+                               quantization_factor=2)) == (3, 8)  # b=0.43
+    assert PK.qcap_fraction(ec(RCflag=1, targetBR=70_000,
+                               quantization_factor=2)) == (3, 4)  # b=0.76
+    assert PK.qcap_fraction(ec(RCflag=1, targetBR=200_000,
+                               quantization_factor=2)) == (1, 1)  # b=2.2
+    assert PK.qdct_nibble_safe(ec(RCflag=1, targetBR=70_000,
+                                  quantization_factor=2))
+    assert not PK.qdct_nibble_safe(ec(RCflag=1, targetBR=200_000,
+                                      quantization_factor=2))
     assert PK.qcap_fraction(ec(quantization_factor=4)) == (3, 4)
     assert PK.qcap_fraction(ec(quantization_factor=3)) == (3, 4)
     assert PK.qcap_fraction(ec(quantization_factor=2)) == (1, 1)
