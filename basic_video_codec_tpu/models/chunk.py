@@ -46,9 +46,10 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
     layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
                            jt, tail=tail, mvk=mvk, mvn=mvn, qfrac=qfrac)
     cap = layout.cape
+    mvd = layout.mvd
     rows = []
     # per-segment pool-field stacks, frame order: (jk, qv, qe, jn, qt, qn,
-    # jbz, jbn, j1z, j1n, re, rn, ae, an, qe4, qn4)
+    # jbz, jbn, j1z, j1n, re, rn, ae, an, qe4, qn4, mvz, mn)
     tails = []
     zi = jnp.zeros(1, jnp.int32)
     if intra_parts is not None:
@@ -58,6 +59,11 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
         meta_i, mv_z, modes_i = _meta_i(smalls_i, nb, nbr)
         if mvk == 2:
             mv_z = jnp.zeros(2 * nb, jnp.int32)
+        if mvd:
+            bm_i, mn_i, mvz_i = P.pack_mv_delta(mv_z)
+            mv_z = (bm_i, mn_i)
+        else:
+            mn_i, mvz_i = jnp.int32(0), jnp.zeros(0, jnp.uint8)
         jb_i, jk_i, jn_i, re_i, rn_i, ae_i, an_i = _pack_intra_recon(
             recon_i, qdct_i, smalls_i, bs, nb, nbr, nbc, cap, joint=True,
             tight=jt, capk=layout.capk)
@@ -83,7 +89,8 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
                       j1n_i[None] if tail else None,
                       re_i[None], rn_i[None], ae_i[None], an_i[None],
                       qp_i[3][None] if q4 else None,
-                      qp_i[4][None] if q4 else zi))
+                      qp_i[4][None] if q4 else zi,
+                      mvz_i[None], mn_i[None]))
     recons, arts, qdcts, smalls = p_parts
     if recons.shape[0] > 0:
         qp = _pack_qdct_stack(qdcts, bs, vdtype, q4, layout.capq)
@@ -110,22 +117,30 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
             meta, mv, modes = _meta_p(sm, nb, nbr)
             if mvk == 2:
                 mv = mv.reshape(-1, 3)[:, :2].reshape(-1)
-            return P.pack_row(bparts, r2, r3, meta, mv, modes, v, l, t,
+            if mvd:
+                bm, mn_, mvz = P.pack_mv_delta(mv)
+                mv = (bm, mn_)
+            else:
+                mn_, mvz = jnp.int32(0), jnp.zeros(0, jnp.uint8)
+            head = P.pack_row(bparts, r2, r3, meta, mv, modes, v, l, t,
                               e, n, bs=bs, mv8=mv8, mvn=mvn,
                               qe4=qen[0] if qen else None,
                               qn4=qen[1] if qen else None,
                               qe=qen[2] if qen else None,
                               qn=qen[3] if qen else None, tail=tail)
+            return head, mvz, mn_
 
         args = (cparts, re, rn, smalls, qv, ql, qt, ae, an)
         if q4:
             args = args + ((qp[3], qp[4], qp[5], qp[6]),)
-        rows.append(jax.vmap(row)(*args))
+        heads_p, mvzs_p, mns_p = jax.vmap(row)(*args)
+        rows.append(heads_p)
         zk = jnp.zeros(qt.shape[0], jnp.int32)
         tails.append((jk, qv, qp[5] if q4 else None, jn, qt,
                       qp[6] if q4 else zk,
                       jbz, jbn, j1z, j1n, re, rn, ae, an,
-                      qp[3] if q4 else None, qp[4] if q4 else zk))
+                      qp[3] if q4 else None, qp[4] if q4 else zk,
+                      mvzs_p, mns_p))
     heads = (jnp.concatenate(rows) if rows
              else jnp.zeros((0, layout.total), jnp.uint8))
     if not tail:
@@ -142,7 +157,8 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
         cat(4, True), cat(5, True), cat(6), cat(7, True), cat(8),
         cat(9, True), res=cat(10), rns=cat(11, True), aes=cat(12),
         ans=cat(13, True), qe4s=cat(14) if q4 else None,
-        qn4s=cat(15, True))
+        qn4s=cat(15, True), mvzs=cat(16) if mvd else None,
+        mns=cat(17, True) if mvd else None)
     # ONE fused buffer [K*headB + pool]: the host fetches a single
     # predictively-sized prefix per chunk (heads + used tail bytes) — one
     # d2h wait instead of two, and round-trip spikes through the relay hit
@@ -389,6 +405,11 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
         mv = jnp.where(is_i, 0, payload[: 3 * nb])
         if mvk == 2:
             mv = mv.reshape(-1, 3)[:, :2].reshape(-1)
+        if layout.mvd:
+            bm_, mn_, mvz_ = P.pack_mv_delta(mv)
+            mv = (bm_, mn_)
+        else:
+            mn_, mvz_ = jnp.int32(0), jnp.zeros(0, jnp.uint8)
         modes = jnp.where(is_i, payload[:nb], 0).astype(jnp.uint8)
         pred = pred_u8.astype(jnp.int32)
         x = P.exact_x_blocks(qdct, rq, bs)
@@ -416,16 +437,18 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
         qe4_ = qp_[3] if q4 else jnp.zeros(0, jnp.uint8)
         qn4_ = qp_[4] if q4 else jnp.int32(0)
         return (head, jk, qp_[0], qe_, jn, qp_[2], qn_, jbz, jbn, j1z, j1n,
-                re, rn, ae, an, qe4_, qn4_)
+                re, rn, ae, an, qe4_, qn4_, mvz_, mn_)
 
     (heads, jks, qvs, qes, jns, qts, qns, jbzs, jbns, j1zs, j1ns, res, rns,
-     aes, ans, qe4s, qn4s) = jax.vmap(row)(recons, arts, qdcts, smalls,
-                                           preds)
+     aes, ans, qe4s, qn4s, mvzs, mns) = jax.vmap(row)(recons, arts, qdcts,
+                                                      smalls, preds)
     if not tail:
         return heads
     pool = P.pack_tail_pool(layout, jks, qvs, qes if q4 else None,
                             jns, qts, qns, jbzs, jbns, j1zs, j1ns,
-                            res, rns, aes, ans, qe4s if q4 else None, qn4s)
+                            res, rns, aes, ans, qe4s if q4 else None, qn4s,
+                            mvzs=mvzs if layout.mvd else None,
+                            mns=mns if layout.mvd else None)
     # fused [K*headB + pool] buffer: one predictively-sized fetch per chunk
     # (:func:`_pack_chunk_rows` has the rationale)
     return jnp.concatenate([heads.reshape(-1), pool])

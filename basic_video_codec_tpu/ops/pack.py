@@ -350,6 +350,26 @@ def _compact_bytes(mask, plane_flat, cap):
     return out[:cap], mask.sum().astype(jnp.int32)
 
 
+def pack_mv_delta(mv):
+    """Delta-bitmap MV transport (``mvd`` layouts: nibble-safe + tail mode).
+
+    ``mv`` is the flat [2*nb] (dx, dy) vector.  Each block's pair packs
+    into one byte (two signed nibbles, as the plain ``mvn`` field); most
+    consecutive blocks share their MV on real content (global/smooth
+    motion; intra rows are all-zero), so the head carries only a
+    changed-vs-previous-block bitmap + count and the changed BYTES ride
+    the tail pool at used size.  The host rebuilds by forward-filling
+    (:meth:`FrameLayout._mv_delta`).  Returns ``(bitmap u8 [ceil(nb/8)],
+    mn i32, mvz u8 [nb])`` — the cap is the full field, so overflow is
+    impossible."""
+    pairs = mv.reshape(-1, 2)
+    b = ((pairs[:, 0] & 15) | ((pairs[:, 1] & 15) << 4)).astype(jnp.uint8)
+    prev = jnp.concatenate([jnp.zeros(1, jnp.uint8), b[:-1]])
+    nz = b != prev
+    mvz, mn = _compact_bytes(nz, b, b.shape[0])
+    return _bitmap_of(nz), mn, mvz
+
+
 def _pack3(vals, n_groups):
     """3-bit pack: int [8*n_groups] (values 0..7) -> u8 [3*n_groups]
     (little-endian bit order, 8 values per 3 bytes)."""
@@ -487,6 +507,8 @@ def tail_pool_cap(layout) -> int:
                 + layout.j1C + layout.cape)  # jk + jbz + j1z + ae
     if layout.q4:
         cap += layout.capq4 // 2 + 2 * layout.capqe
+    if layout.mvd:
+        cap += layout.nb  # changed-MV bytes (cap = the full field)
     return cap
 
 
@@ -529,7 +551,8 @@ def split_bitmap(jb):
 
 def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs=None,
                    jbns=None, j1zs=None, j1ns=None, res=None, rns=None,
-                   aes=None, ans=None, qe4s=None, qn4s=None):
+                   aes=None, ans=None, qe4s=None, qn4s=None, mvzs=None,
+                   mns=None):
     """Chunk-level compaction of the variable-size transfer fields.
 
     The cap-padded fields (``j1z``/``jbz`` bitmap bytes, ``jk`` kind lists,
@@ -537,7 +560,7 @@ def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs=None,
     escape levels) average a small fraction of their caps on typical
     content, so the fixed-size row wastes most of the d2h bytes of a
     transfer-bound pipeline.  This packs each frame's USED bytes — in
-    field order [j1z, jbz, jk, re, ae, qv, qe4, qe] — contiguously into
+    field order [j1z, jbz, jk, re, ae, qv, qe4, qe, mvz] — contiguously into
     one chunk-wide pool; the host re-derives every offset from the head
     counts (:meth:`FrameLayout.tail_sizes`) and fetches only
     ``pool[:bucket(total)]``.
@@ -555,7 +578,8 @@ def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs=None,
     u_qv = layout.qv_used(qts)
     u_qe4 = layout.qe4_used(qn4s) if qe4s is not None else zeros
     u_qe = layout.qe_used(qns) if layout.q4 else zeros
-    sizes = u_j1 + u_jb + u_jk + u_re + u_ae + u_qv + u_qe4 + u_qe
+    u_mv = layout.mv_used(mns) if mvzs is not None else zeros
+    sizes = u_j1 + u_jb + u_jk + u_re + u_ae + u_qv + u_qe4 + u_qe + u_mv
     offs = jnp.cumsum(sizes) - sizes
     cap = k * tail_pool_cap(layout)
     pool = jnp.zeros(cap + 1, jnp.uint8)
@@ -580,6 +604,9 @@ def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs=None,
         base = base + u_qe4
     if qes is not None:
         pool = scatter(pool, _as_bytes2d(qes), base, u_qe)
+        base = base + u_qe
+    if mvzs is not None:
+        pool = scatter(pool, mvzs, base, u_mv)
     return pool[:cap]
 
 
@@ -620,7 +647,11 @@ def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
     cparts = codes if isinstance(codes, tuple) else (codes,)
     parts = [*cparts] + ([] if tail else [re]) + [rn, meta]
     if mv is not None:
-        if mvn:
+        if mvn and tail:
+            # mvd layout: ``mv`` is pack_mv_delta's (bitmap, mn); the
+            # changed bytes travel in the tail pool
+            parts += [mv[0], mv[1]]
+        elif mvn:
             pairs = mv.reshape(-1, 2)
             parts.append(((pairs[:, 0] & 15) | ((pairs[:, 1] & 15) << 4))
                          .astype(jnp.uint8))
@@ -731,7 +762,13 @@ class FrameLayout:
             sizes = [("rc", h * w // 4)]
         sizes += (([] if tail else [("re", self.cape)]) + [("rn", 4)]
                   + [("meta", (3 + 2 * nbr) * 4)])
-        if with_mv:
+        # mvd: nibble-safe MV fields in tail mode travel as a
+        # changed-vs-previous-block bitmap (head) + compacted changed bytes
+        # (tail pool) — see :func:`pack_mv_delta`
+        self.mvd = bool(with_mv and mvn and tail)
+        if self.mvd:
+            sizes += [("mvb", nbm), ("mn", 4)]
+        elif with_mv:
             sizes.append(("mv", nb if mvn
                           else mvk * nb * (1 if mv8 else 2)))
         sizes += ([("modes", nbm2)]
@@ -754,10 +791,10 @@ class FrameLayout:
 
     # -- tail-mode size formulas (host ints; device twins below) ----------
     def tail_sizes(self, j1n: int, jbn: int, jn: int, qt: int, qn4: int,
-                   qn: int, rn: int, an: int) -> tuple:
+                   qn: int, rn: int, an: int, mn: int = 0) -> tuple:
         """(j1_bytes, jb_bytes, jk_bytes, re_bytes, ae_bytes, qv_bytes,
-        qe4_bytes, qe_bytes) of one frame's pool segment, from the head
-        counts — bit-identical to the device formulas used by
+        qe4_bytes, qe_bytes, mv_bytes) of one frame's pool segment, from
+        the head counts — bit-identical to the device formulas used by
         :func:`pack_tail_pool` (overflowing counts clamp at the caps; the
         pipeline falls back to full planes for those frames, but the pool
         walk must still agree on every offset)."""
@@ -770,7 +807,8 @@ class FrameLayout:
                 else min(qt, self.capq) * self.vbytes)
         u_qe4 = (min(qn4, self.capq4) + 1) // 2 if self.q4 else 0
         u_qe = 2 * min(qn, self.capqe) if self.q4 else 0
-        return u_j1, u_jb, u_jk, u_re, u_ae, u_qv, u_qe4, u_qe
+        u_mv = min(mn, self.nb) if self.mvd else 0
+        return u_j1, u_jb, u_jk, u_re, u_ae, u_qv, u_qe4, u_qe, u_mv
 
     def jk_used(self, jn):
         return (jnp.minimum(jn, self.capk) + 7) // 8 * 3
@@ -785,8 +823,11 @@ class FrameLayout:
     def qe_used(self, qn):
         return 2 * jnp.minimum(qn, self.capqe)
 
+    def mv_used(self, mns):
+        return jnp.minimum(mns, self.nb)
+
     def head_counts(self, buf) -> tuple:
-        """(j1n, jbn, jn, qt, qn4, qn, rn, an) from a head row (ints)."""
+        """(j1n, jbn, jn, qt, qn4, qn, rn, an, mn) from a head row (ints)."""
         wa = self.with_art and self.tail
         j1n = int(self._f(buf, "j1n", np.int32)[0]) if wa else 0
         jbn = int(self._f(buf, "jbn", np.int32)[0]) if wa else 0
@@ -796,7 +837,8 @@ class FrameLayout:
         qn = int(self._f(buf, "qn", np.int32)[0]) if self.q4 else 0
         rn = int(self._f(buf, "rn", np.int32)[0])
         an = int(self._f(buf, "an", np.int32)[0]) if self.with_art else 0
-        return j1n, jbn, jn, qt, qn4, qn, rn, an
+        mn = int(self._f(buf, "mn", np.int32)[0]) if self.mvd else 0
+        return j1n, jbn, jn, qt, qn4, qn, rn, an, mn
 
     def _f(self, buf, name, dtype):
         s, e = self.offsets[name]
@@ -807,12 +849,7 @@ class FrameLayout:
         zero reference column for 2-component (single-reference) layouts
         and expands the nibble-pair packing (``mvn``)."""
         if self.mvn:
-            b = self._f(buf, "mv", np.uint8).astype(np.int16)
-            out = np.zeros((b.shape[0], 3), np.int16)
-            out[:, 0] = (b & 15) - ((b & 8) << 1)          # sign-extend dx
-            hi = b >> 4
-            out[:, 1] = hi - ((hi & 8) << 1)               # sign-extend dy
-            return out.reshape(-1)
+            return self._mv_nibbles(self._f(buf, "mv", np.uint8))
         m = self._f(buf, "mv", np.int8 if self.mv8 else np.int16)
         if self.mvk == 3:
             return m
@@ -820,6 +857,28 @@ class FrameLayout:
         out = np.zeros((m2.shape[0], 3), m.dtype)
         out[:, :2] = m2
         return out.reshape(-1)
+
+    def _mv_nibbles(self, b):
+        """Nibble-pair bytes [nb] -> flat [(x, y, 0) * nb] int16."""
+        b = b.astype(np.int16)
+        out = np.zeros((b.shape[0], 3), np.int16)
+        out[:, 0] = (b & 15) - ((b & 8) << 1)              # sign-extend dx
+        hi = b >> 4
+        out[:, 1] = hi - ((hi & 8) << 1)                   # sign-extend dy
+        return out.reshape(-1)
+
+    def _mv_delta(self, buf, seg):
+        """mvd inverse: head bitmap + pooled changed bytes -> MV field
+        (forward-fill of the last changed byte; zero before the first)."""
+        mask = np.unpackbits(self._f(buf, "mvb", np.uint8),
+                             bitorder="little")[: self.nb].astype(bool)
+        mn = min(int(self._f(buf, "mn", np.int32)[0]), self.nb)
+        b = np.zeros(self.nb, np.uint8)
+        b[np.flatnonzero(mask)[:mn]] = seg[:mn]
+        last = np.maximum.accumulate(
+            np.where(mask, np.arange(self.nb), -1))
+        b = np.where(last >= 0, b[np.maximum(last, 0)], 0).astype(np.uint8)
+        return self._mv_nibbles(b)
 
     def _qv(self, qv_bytes, qe4_bytes, qe_bytes):
         """qv bytes as int16 values (expands the ``q4`` 2-bit code stream
@@ -849,9 +908,10 @@ class FrameLayout:
     def split(self, buf: np.ndarray, tail: np.ndarray | None = None) -> dict:
         """uint8 [total] (+ the frame's pool segment in ``tail`` mode) ->
         field views (zero-copy except modes)."""
+        mv_seg = None
         if self.tail:
-            (u_j1, u_jb, u_jk, u_re, u_ae, u_qv, u_qe4,
-             u_qe) = self.tail_sizes(*self.head_counts(buf))
+            (u_j1, u_jb, u_jk, u_re, u_ae, u_qv, u_qe4, u_qe,
+             u_mv) = self.tail_sizes(*self.head_counts(buf))
             p = u_j1 + u_jb
             jk = tail[p : p + u_jk]
             p += u_jk
@@ -862,6 +922,9 @@ class FrameLayout:
             p += u_qv
             qe4_b = tail[p : p + u_qe4]
             qe_b = tail[p + u_qe4 : p + u_qe4 + u_qe]
+            if self.mvd:
+                p += u_qe4 + u_qe
+                mv_seg = tail[p : p + u_mv]
             jb = None
             if self.with_art:
                 # re-inflate the two-level bitmap from the presence bits +
@@ -898,7 +961,8 @@ class FrameLayout:
             "re": re,
             "rn": int(self._f(buf, "rn", np.int32)[0]),
             "meta": self._f(buf, "meta", np.int32),
-            "mv": (self._mv(buf) if self.with_mv else None),
+            "mv": (self._mv_delta(buf, mv_seg) if self.mvd
+                   else self._mv(buf) if self.with_mv else None),
             "modes": np.unpackbits(
                 self._f(buf, "modes", np.uint8)[: self.nbm],
                 bitorder="little")[: self.nb],

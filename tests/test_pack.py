@@ -617,3 +617,76 @@ def test_tail_row_pool_roundtrip(q4):
             nqv = min(wk["qt"], lay.capq)
             assert np.array_equal(f["qv_raw"].view(np.int16)[:nqv],
                                   wk["qv"][:nqv])
+
+
+def test_tail_mvd_roundtrip():
+    """mvd transport (nibble-safe MV + tail mode): the head's
+    changed-vs-previous bitmap + pooled changed bytes must invert through
+    FrameLayout.split for all-zero, piecewise-constant and dense MV
+    fields (forward-fill semantics, zero before the first change)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    h, w, bs = 32, 64, 8
+    nbr = h // bs
+    nb = nbr * (w // bs)
+    lay = PK.FrameLayout(h, w, bs, 2, True, True, tail=True, mvk=2,
+                         mvn=True)
+    assert lay.mvd
+    K = 3
+    heads, tails_dev, want = [], [], []
+    for k in range(K):
+        jb = np.zeros(h * w // 8, np.uint8)
+        jn = np.int32(0)
+        jk = np.zeros(3 * lay.capk // 8, np.uint8)
+        rn = an = np.int32(0)
+        re = np.zeros(lay.cape, np.uint8)
+        ae = np.zeros(lay.cape, np.uint8)
+        meta = rng.integers(-2 ** 30, 2 ** 30, 3 + 2 * nbr).astype(np.int32)
+        if k == 0:
+            mv2 = np.zeros((nb, 2), np.int32)          # intra-row zeros
+        elif k == 1:                                    # piecewise-constant
+            mv2 = np.repeat(rng.integers(-8, 8, (nb // 8 + 1, 2)),
+                            8, axis=0)[:nb].astype(np.int32)
+        else:                                           # every block changes
+            mv2 = rng.integers(-8, 8, (nb, 2)).astype(np.int32)
+            mv2[1:] += (np.diff(mv2[:, 0]) == 0)[:, None] * 0  # keep random
+        qv = rng.integers(-3000, 3000, lay.capq).astype(np.int16)
+        ql = rng.integers(0, 64, nb).astype(np.int32)
+        qt = np.int32(rng.integers(0, lay.capq))
+        modes = rng.integers(0, 2, nb).astype(np.uint8)
+        j2, j1z, j1n, jbz, jbn = (np.asarray(a) for a in PK.split_bitmap(
+            jnp.asarray(jb)))
+        bm, mn, mvz = (np.asarray(a) for a in PK.pack_mv_delta(
+            jnp.asarray(mv2.reshape(-1))))
+        head = np.asarray(PK.pack_row(
+            (jnp.asarray(j2), jnp.asarray(j1n), jnp.asarray(jbn),
+             jnp.asarray(jn)),
+            jnp.asarray(re), jnp.asarray(rn), jnp.asarray(meta),
+            (jnp.asarray(bm), jnp.asarray(mn)), jnp.asarray(modes),
+            jnp.asarray(qv), jnp.asarray(ql), jnp.asarray(qt),
+            jnp.asarray(ae), jnp.asarray(an), bs=bs, mvn=True, tail=True))
+        heads.append(head)
+        tails_dev.append((jk, qv, jn, qt, jbz, jbn, j1z, j1n, re, rn,
+                          ae, an, mvz, mn))
+        exp = np.zeros((nb, 3), np.int16)
+        exp[:, :2] = mv2
+        want.append(dict(mv=exp.reshape(-1), meta=meta, modes=modes,
+                         mn=int(mn)))
+    stk = lambda i: jnp.asarray(np.stack([t[i] for t in tails_dev]))
+    zk = jnp.zeros(K, jnp.int32)
+    pool = np.asarray(PK.pack_tail_pool(
+        lay, stk(0), stk(1), None, stk(2), stk(3), zk, stk(4), stk(5),
+        stk(6), stk(7), res=stk(8), rns=stk(9), aes=stk(10), ans=stk(11),
+        mvzs=stk(12), mns=stk(13)))
+    pos = 0
+    for k in range(K):
+        u = lay.tail_sizes(*lay.head_counts(heads[k]))
+        seg = pool[pos : pos + sum(u)]
+        pos += sum(u)
+        f = lay.split(heads[k], seg)
+        assert np.array_equal(f["mv"], want[k]["mv"]), k
+        assert np.array_equal(f["meta"], want[k]["meta"])
+        assert np.array_equal(f["modes"], want[k]["modes"])
+        assert u[-1] == min(want[k]["mn"], nb)
+    assert pos <= K * PK.tail_pool_cap(lay)
