@@ -649,7 +649,12 @@ def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
     if mv is not None:
         if mvn and tail:
             # mvd layout: ``mv`` is pack_mv_delta's (bitmap, mn); the
-            # changed bytes travel in the tail pool
+            # changed bytes travel in the tail pool.  A raw flat MV array
+            # under this flag combo would be silently indexed as a tuple
+            # and emit a malformed head row — reject it at trace time.
+            assert isinstance(mv, tuple), (
+                "mvd layout (mvn and tail) requires pack_mv_delta's "
+                "(bitmap, mn) tuple, not a raw MV array")
             parts += [mv[0], mv[1]]
         elif mvn:
             pairs = mv.reshape(-1, 2)

@@ -38,7 +38,9 @@ def calculate_constant_row_bit_budget(remaining_bits, row_idx, ec) -> float:
 def calculate_proportional_row_bit_budget(frame, row_idx, ec):
     prev_pass_frame = frame.prev_pass_frame
     if prev_pass_frame is None:
-        raise ValueError("cant find proportional bit budget as prev_pass_frame not defined")
+        raise ValueError(
+            "proportional row budget needs a first-pass frame: "
+            "prev_pass_frame is None (two-pass RC only)")
     bit_usage_proportion = prev_pass_frame.bits_per_row[row_idx] / sum(prev_pass_frame.bits_per_row)
     return bit_budget_per_frame(ec) * bit_usage_proportion, bit_usage_proportion
 

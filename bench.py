@@ -14,6 +14,7 @@ import json
 import logging
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -59,20 +60,24 @@ def main():
 
         run(WARMUP_FRAMES)            # compile the chunked I+P programs
         # steady-state, end-to-end incl. file IO
-        best = float("inf")
+        times = []
         t_start = time.time()
-        reps = 0
-        while reps < MIN_REPS or (time.time() - t_start < SAMPLE_SECONDS
-                                  and reps < MAX_REPS):
-            best = min(best, run(BENCH_FRAMES))
-            reps += 1
-        fps = BENCH_FRAMES / best
+        while len(times) < MIN_REPS or (time.time() - t_start < SAMPLE_SECONDS
+                                        and len(times) < MAX_REPS):
+            times.append(run(BENCH_FRAMES))
+        fps = BENCH_FRAMES / min(times)
+        # the median makes tunnel-weather variance visible next to the
+        # best-of headline (r01->r02 driver benches spanned 63->192 fps)
+        median_fps = BENCH_FRAMES / statistics.median(times)
 
         print(json.dumps({
             "metric": "CIF P-frame encode throughput (full-search ME r=2, block 8, end-to-end)",
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / BASELINE_FPS, 1),
+            "median": round(median_fps, 2),
+            "median_vs_baseline": round(median_fps / BASELINE_FPS, 1),
+            "reps": len(times),
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -650,7 +650,10 @@ def test_tail_mvd_roundtrip():
                             8, axis=0)[:nb].astype(np.int32)
         else:                                           # every block changes
             mv2 = rng.integers(-8, 8, (nb, 2)).astype(np.int32)
-            mv2[1:] += (np.diff(mv2[:, 0]) == 0)[:, None] * 0  # keep random
+            # alternate x between -1 and 1 so every packed byte differs
+            # from its predecessor: the dense worst case (mn == nb),
+            # asserted below
+            mv2[:, 0] = (np.arange(nb, dtype=np.int32) % 2) * 2 - 1
         qv = rng.integers(-3000, 3000, lay.capq).astype(np.int16)
         ql = rng.integers(0, 64, nb).astype(np.int32)
         qt = np.int32(rng.integers(0, lay.capq))
@@ -659,6 +662,8 @@ def test_tail_mvd_roundtrip():
             jnp.asarray(jb)))
         bm, mn, mvz = (np.asarray(a) for a in PK.pack_mv_delta(
             jnp.asarray(mv2.reshape(-1))))
+        if k == 2:
+            assert int(mn) == nb  # the dense worst case really is dense
         head = np.asarray(PK.pack_row(
             (jnp.asarray(j2), jnp.asarray(j1n), jnp.asarray(jbn),
              jnp.asarray(jn)),
