@@ -38,11 +38,53 @@ Device-side packing is pure vector work (cumsum + one scatter per plane);
 host-side unpacking is vectorized NumPy on the finalize worker pool.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 PREFIX_CAP_FRACTION = 3, 8  # capacity = 3/8 of the plane's coefficients
+
+# Stream-compaction implementation: "sort", "scatter", or "auto" (default).
+# On the TPU backend a frame-sized scatter costs ~0.7 ms while a stable
+# sort by the drop flag does the same compaction in ~0.18 ms (measured;
+# PROFILE.md §10) — the packers were the largest device cost of the
+# deliverable config before this switch.  On the CPU backend the ranking
+# inverts (sort ~9x slower), so "auto" picks by backend.  Outputs are
+# byte-identical either way (asserted in tests/test_pack.py).
+_COMPACT_MODE = os.environ.get("BVC_SORT_COMPACT", "auto")
+
+
+def _use_sort_compaction() -> bool:
+    if _COMPACT_MODE == "1":
+        return True
+    if _COMPACT_MODE == "0":
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def compact_stream(keep: jnp.ndarray, payloads: tuple, cap: int):
+    """Stream compaction: each payload's ``keep`` elements move to the
+    front in original order, truncated to ``cap``, zeros beyond the kept
+    count.  ``keep`` is bool [n]; payloads are 1-D [n] arrays (n >= cap).
+
+    Returns ``(n_keep int32, out_0, ..., out_m)`` with ``out_i`` shaped
+    [cap].  The sort and scatter implementations produce identical bytes
+    (see :data:`_COMPACT_MODE`); both vmap cleanly over frames."""
+    n = keep.sum().astype(jnp.int32)
+    if _use_sort_compaction():
+        sorted_ = jax.lax.sort(((~keep).astype(jnp.uint8),) + tuple(payloads),
+                               dimension=0, is_stable=True, num_keys=1)[1:]
+        live = jnp.arange(cap, dtype=jnp.int32) < n
+        outs = [jnp.where(live, o[:cap], jnp.zeros((), o.dtype))
+                for o in sorted_]
+    else:
+        off = jnp.cumsum(keep) - keep
+        idx = jnp.where(keep & (off < cap), off, cap)
+        outs = [jnp.zeros(cap + 1, p.dtype).at[idx].set(p)[:cap]
+                for p in payloads]
+    return (n, *outs)
 # Escape lists hold only float-vs-fixed-point rounding disagreements (both
 # the recon codes and the art codes are based on integer-exact guesses), so
 # the capacity is a small fraction of the plane (measured: <= a handful of
@@ -174,12 +216,13 @@ def unpack_input_chunk(buf: jnp.ndarray, k: int, h: int, w: int) -> jnp.ndarray:
 
     def one(nibf, escf):
         is_esc = nibf == -8
-        rank = jnp.cumsum(is_esc) - is_esc
-        # pixel position of escape #r (unused slots -> dump index hw)
-        pos = jnp.full(cap + 1, hw, jnp.int32).at[
-            jnp.where(is_esc, rank, cap)
-        ].set(jnp.arange(hw, dtype=jnp.int32))
-        esc_plane = jnp.zeros(hw + 1, jnp.int32).at[pos[:cap]].set(
+        # pixel position of escape #r (unused slots -> dump index hw);
+        # compact_stream replaces the plane-sized scatter (PROFILE.md §10)
+        n, pos = compact_stream(is_esc, (jnp.arange(hw, dtype=jnp.int32),),
+                                cap)
+        live = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(n, cap)
+        pos = jnp.where(live, pos, hw)
+        esc_plane = jnp.zeros(hw + 1, jnp.int32).at[pos].set(
             escf.astype(jnp.int32))[:hw]
         d = jnp.where(is_esc, esc_plane, nibf)
         px = 128 + jnp.cumsum(d.reshape(h, w), axis=1)
@@ -222,48 +265,39 @@ def pack_qdct(qdct: jnp.ndarray, bs: int, cap: int, vdtype, q4: bool = False):
     )
     nz = scans != 0
     lens = jnp.where(nz.any(axis=1), L - jnp.argmax(nz[:, ::-1], axis=1), 0)
-    offs = jnp.cumsum(lens) - lens  # exclusive prefix sum
-    total = offs[-1] + lens[-1]
+    total = lens.sum()
     k = jnp.arange(L, dtype=lens.dtype)
-    idx = offs[:, None] + k[None, :]
-    keep = (k[None, :] < lens[:, None]) & (idx < cap)
-    idx = jnp.where(keep, idx, cap)  # cap = dump slot, sliced off below
+    # kept (block-major, scan-minor) order IS the prefix-stream order, so
+    # one compaction lays the stream out directly (compact_stream)
+    keep = (k[None, :] < lens[:, None]).reshape(-1)
     if not q4:
-        vals = jnp.zeros(cap + 1, vdtype).at[idx.reshape(-1)].set(
-            scans.astype(vdtype).reshape(-1)
-        )
-        return vals[:cap], lens.astype(jnp.int32), total.astype(jnp.int32)
+        _, vals = compact_stream(keep, (scans.astype(vdtype).reshape(-1),),
+                                 cap)
+        return vals, lens.astype(jnp.int32), total.astype(jnp.int32)
 
-    # level 1: 2-bit codes over the whole prefix stream
-    c = jnp.where(scans == 0, 0,
-                  jnp.where(scans == 1, 1, jnp.where(scans == -1, 2, 3)))
-    cflat = jnp.zeros(cap + 1, jnp.int32).at[idx.reshape(-1)].set(
-        c.reshape(-1))[:cap]
-    c4 = cflat.reshape(-1, 4)  # reshape + column ops, NOT strided slices
+    # the compacted prefix VALUES once; codes and both escape levels then
+    # derive from cap-sized streams instead of plane-sized ones
+    _, s = compact_stream(keep, (scans.astype(jnp.int16).reshape(-1),), cap)
+    # level 1: 2-bit codes over the prefix stream (s is zero-filled beyond
+    # the stream, so positions past min(total, cap) code to 0 — exactly the
+    # scatter layout's zero padding)
+    c = jnp.where(s == 0, 0, jnp.where(s == 1, 1, jnp.where(s == -1, 2, 3)))
+    c4 = c.reshape(-1, 4)  # reshape + column ops, NOT strided slices
     vals2 = (c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4)
              | (c4[:, 3] << 6)).astype(jnp.uint8)
-    # level 2: |v| >= 2 compacted to stream order (idx monotonic over kept
-    # (block, k), so ranks are stream positions).  The int16 values land
-    # in the compacted list too, so the deep-escape extraction below works
-    # on cap4 elements instead of a second full-plane cumsum+scatter.
-    esc1 = ((c == 3) & keep).reshape(-1)
-    e1off = jnp.cumsum(esc1) - esc1
-    qn4 = esc1.sum().astype(jnp.int32)
+    # level 2: |v| >= 2 values in stream order, counted within the cap
+    # window (beyond-cap escapes are already covered by the qt > cap
+    # overflow check the host does first)
+    qn4 = (c == 3).sum().astype(jnp.int32)
     cap4 = q4e_cap(cap)
-    e1idx = jnp.where(esc1 & (e1off < cap4), e1off, cap4)
-    s1 = jnp.zeros(cap4 + 1, jnp.int16).at[e1idx].set(
-        scans.astype(jnp.int16).reshape(-1))[:cap4]
+    _, s1 = compact_stream(c == 3, (s,), cap4)
     live = jnp.arange(cap4, dtype=jnp.int32) < qn4
     deep = ((s1 > 7) | (s1 < -7)) & live
     nib = jnp.where(deep, -8, s1).astype(jnp.int32) & 15
     n2 = nib.reshape(-1, 2)
     qe4 = (n2[:, 0] | (n2[:, 1] << 4)).astype(jnp.uint8)
     # level 3: sentinel (|v| > 7) true values, compacted from the cap4 list
-    eoff = jnp.cumsum(deep) - deep
-    qn = deep.sum().astype(jnp.int32)
-    capqe = qe_cap(cap)
-    eidx = jnp.where(deep & (eoff < capqe), eoff, capqe)
-    qe = jnp.zeros(capqe + 1, jnp.int16).at[eidx].set(s1)[:capqe]
+    qn, qe = compact_stream(deep, (s1,), qe_cap(cap))
     return (vals2, lens.astype(jnp.int32), total.astype(jnp.int32),
             qe4, qn4, qe, qn)
 
@@ -310,10 +344,8 @@ def pack_vs_base(plane: jnp.ndarray, base: jnp.ndarray, cap: int):
     codes2 = (cf[:, 0] | (cf[:, 1] << 2) | (cf[:, 2] << 4) | (cf[:, 3] << 6)
               ).astype(jnp.uint8)
     esc_mask = code == 3
-    eoff = jnp.cumsum(esc_mask) - esc_mask
-    idx = jnp.where(esc_mask & (eoff < cap), eoff, cap)
-    esc = jnp.zeros(cap + 1, jnp.uint8).at[idx].set(plane.reshape(-1))
-    return codes2, esc[:cap], esc_mask.sum().astype(jnp.int32)
+    n_esc, esc = compact_stream(esc_mask, (plane.reshape(-1),), cap)
+    return codes2, esc, n_esc
 
 
 # Joint recon+art correction states.  round(...) and trunc(...) flip at
@@ -344,10 +376,8 @@ def _code_vs(plane, base):
 
 
 def _compact_bytes(mask, plane_flat, cap):
-    off = jnp.cumsum(mask) - mask
-    idx = jnp.where(mask & (off < cap), off, cap)
-    out = jnp.zeros(cap + 1, jnp.uint8).at[idx].set(plane_flat)
-    return out[:cap], mask.sum().astype(jnp.int32)
+    n, out = compact_stream(mask, (plane_flat,), cap)
+    return out, n
 
 
 def pack_mv_delta(mv):
@@ -404,20 +434,24 @@ def pack_joint(recon, guess_r, art, guess_a, cap, art_valid=None,
                             J_BESC)))
     esc_r = (state == J_RESC) | (state == J_BESC)
     esc_a = (state == J_AESC) | (state == J_BESC)
-    re, rn = _compact_bytes(esc_r, recon.reshape(-1), cap)
-    ae, an = _compact_bytes(esc_a, art.reshape(-1), cap)
+    rn = esc_r.sum().astype(jnp.int32)
+    an = esc_a.sum().astype(jnp.int32)
     nz = state != 0
-    n_px = nz.shape[0]
     weights = (1 << jnp.arange(8, dtype=jnp.uint32))[None, :]
     jb = (nz.reshape(-1, 8).astype(jnp.uint32) * weights).sum(
         axis=1).astype(jnp.uint8)
     if capk is None:
         capk = jk_cap(recon.shape[0], recon.shape[1], tight)
-    off = jnp.cumsum(nz) - nz
-    kidx = jnp.where(nz & (off < capk), off, capk)
-    kinds = jnp.zeros(capk + 8, jnp.int32).at[kidx].set(state)[:capk]
-    jk = _pack3(kinds, capk // 8)
-    jn = nz.sum().astype(jnp.int32)
+    # ONE plane-sized compaction carries the kind and both planes' bytes;
+    # the escape lists then compact from the capk-sized stream (escapes
+    # are a subset of the nonzero pixels, so nothing is lost while
+    # jn <= capk — and a kind-list overflow falls back to full planes)
+    jn, st_c, re_c, ae_c = compact_stream(
+        nz, (state.astype(jnp.uint8), recon.reshape(-1), art.reshape(-1)),
+        capk)
+    jk = _pack3(st_c.astype(jnp.int32), capk // 8)
+    _, re = compact_stream((st_c == J_RESC) | (st_c == J_BESC), (re_c,), cap)
+    _, ae = compact_stream((st_c == J_AESC) | (st_c == J_BESC), (ae_c,), cap)
     return jb, jk, jn, re, rn, ae, an
 
 
@@ -535,18 +569,12 @@ def split_bitmap(jb):
     ``(j2, j1z, j1n, jbz, jbn)``."""
     c = jb.shape[0]
     nz = jb != 0
-    off = jnp.cumsum(nz) - nz
-    idx = jnp.where(nz, off, c)
-    jbz = jnp.zeros(c + 1, jnp.uint8).at[idx].set(jb)[:c]
+    jbn, jbz = compact_stream(nz, (jb,), c)
     j1 = _bitmap_of(nz)
-    c1 = j1.shape[0]
     nz1 = j1 != 0
-    off1 = jnp.cumsum(nz1) - nz1
-    idx1 = jnp.where(nz1, off1, c1)
-    j1z = jnp.zeros(c1 + 1, jnp.uint8).at[idx1].set(j1)[:c1]
+    j1n, j1z = compact_stream(nz1, (j1,), j1.shape[0])
     j2 = _bitmap_of(nz1)
-    return (j2, j1z, nz1.sum().astype(jnp.int32), jbz,
-            nz.sum().astype(jnp.int32))
+    return j2, j1z, j1n, jbz, jbn
 
 
 def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs=None,
@@ -580,8 +608,36 @@ def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs=None,
     u_qe = layout.qe_used(qns) if layout.q4 else zeros
     u_mv = layout.mv_used(mns) if mvzs is not None else zeros
     sizes = u_j1 + u_jb + u_jk + u_re + u_ae + u_qv + u_qe4 + u_qe + u_mv
-    offs = jnp.cumsum(sizes) - sizes
     cap = k * tail_pool_cap(layout)
+    fields = [(f, u) for f, u in (
+        (j1zs, u_j1), (jbzs, u_jb), (jks, u_jk), (res, u_re), (aes, u_ae),
+        (_as_bytes2d(qvs), u_qv),
+        (qe4s, u_qe4),
+        (_as_bytes2d(qes) if qes is not None else None, u_qe),
+        (mvzs, u_mv),
+    ) if f is not None]
+
+    if _use_sort_compaction():
+        # the pool IS one big compaction: concatenating the cap-padded
+        # fields per frame in field order and dropping the unused bytes
+        # yields exactly the [frame][field][used] layout — one chunk-wide
+        # stable sort instead of nine scatters (~0.15 ms/frame total,
+        # PROFILE.md §10)
+        srcs, keeps = [], []
+        for f, u in fields:
+            ar = jnp.arange(f.shape[1], dtype=jnp.int32)
+            srcs.append(f)
+            keeps.append(ar[None, :] < u[:, None])
+        src = jnp.concatenate(srcs, axis=1).reshape(-1)
+        keep = jnp.concatenate(keeps, axis=1).reshape(-1)
+        if src.shape[0] < cap:  # layout variants whose field set is narrower
+            pad = cap - src.shape[0]
+            src = jnp.concatenate([src, jnp.zeros(pad, jnp.uint8)])
+            keep = jnp.concatenate([keep, jnp.zeros(pad, bool)])
+        _, pool = compact_stream(keep, (src,), cap)
+        return pool
+
+    offs = jnp.cumsum(sizes) - sizes
     pool = jnp.zeros(cap + 1, jnp.uint8)
 
     def scatter(pool, field, base, used):
@@ -592,21 +648,9 @@ def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs=None,
         return pool.at[idx.reshape(-1)].set(field.reshape(-1))
 
     base = zeros
-    for field, used in ((j1zs, u_j1), (jbzs, u_jb), (jks, u_jk),
-                        (res, u_re), (aes, u_ae)):
-        if field is not None:
-            pool = scatter(pool, field, base, used)
-            base = base + used
-    pool = scatter(pool, _as_bytes2d(qvs), base, u_qv)
-    base = base + u_qv
-    if qe4s is not None:
-        pool = scatter(pool, qe4s, base, u_qe4)
-        base = base + u_qe4
-    if qes is not None:
-        pool = scatter(pool, _as_bytes2d(qes), base, u_qe)
-        base = base + u_qe
-    if mvzs is not None:
-        pool = scatter(pool, mvzs, base, u_mv)
+    for field, used in fields:
+        pool = scatter(pool, field, base, used)
+        base = base + used
     return pool[:cap]
 
 

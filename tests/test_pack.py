@@ -695,3 +695,57 @@ def test_tail_mvd_roundtrip():
         assert np.array_equal(f["modes"], want[k]["modes"])
         assert u[-1] == min(want[k]["mn"], nb)
     assert pos <= K * PK.tail_pool_cap(lay)
+
+
+def test_compact_stream_sort_scatter_parity(monkeypatch):
+    """The sort- and scatter-based compact_stream implementations must be
+    byte-identical (the TPU backend runs sort, the CPU backend scatter —
+    both feed the same host parsers and cross-backend artifact tests)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    for n, cap, dens in ((1024, 768, 0.3), (4096, 4096, 0.02),
+                         (520, 64, 0.9), (256, 256, 0.0)):
+        keep = jnp.asarray(rng.random(n) < dens)
+        p8 = jnp.asarray(rng.integers(0, 256, n), dtype=jnp.uint8)
+        p16 = jnp.asarray(rng.integers(-3000, 3000, n), dtype=jnp.int16)
+        outs = {}
+        for mode in ("0", "1"):
+            monkeypatch.setattr(PK, "_COMPACT_MODE", mode)
+            outs[mode] = PK.compact_stream(keep, (p8, p16), cap)
+        for a, b in zip(outs["0"], outs["1"]):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (n, cap)
+
+
+def test_pack_qdct_and_joint_sort_scatter_parity(monkeypatch):
+    """Whole-packer parity between the two compaction implementations:
+    pack_qdct (q4 three-level split), pack_joint, split_bitmap,
+    pack_mv_delta over random content."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    h, w, bs = 64, 96, 8
+    nb = (h // bs) * (w // bs)
+    q = _random_qdct(rng, h, w, bs, density=0.25, lo=-40, hi=40)
+    capq = PK.qdct_caps(nb, bs, (3, 8))
+    recon = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    gr = (recon.astype(np.int32)
+          + rng.integers(-2, 3, (h, w))).astype(np.int32)
+    art = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    ga = (art.astype(np.int32) + rng.integers(-2, 3, (h, w))).astype(np.int32)
+    jb = (rng.integers(0, 256, h * w // 8)
+          * (rng.random(h * w // 8) < 0.2)).astype(np.uint8)
+    mv = rng.integers(-7, 8, 2 * nb).astype(np.int32)
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setattr(PK, "_COMPACT_MODE", mode)
+        outs[mode] = (
+            PK.pack_qdct(jnp.asarray(q), bs, capq, jnp.int16, True)
+            + PK.pack_joint(jnp.asarray(recon), jnp.asarray(gr),
+                            jnp.asarray(art), jnp.asarray(ga),
+                            PK.esc_cap(h, w))
+            + PK.split_bitmap(jnp.asarray(jb))
+            + PK.pack_mv_delta(jnp.asarray(mv))
+        )
+    for i, (a, b) in enumerate(zip(outs["0"], outs["1"])):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), i
