@@ -5,13 +5,12 @@ base, +nRefFrames=4, +fracME, +fastME, and all features — each overlaid
 against the base RD curve with timing labels.
 """
 
-import copy
 import os
 
 from ..config import EncoderConfig, InputParameters
 from ..io.fileio import FileIOHelper
 from ..metrics.rd_curves import plot_RD_curves_metrics
-from .pipeline_run import encode_plot_decode
+from ..models.batch import encode_videos_batched
 
 SERIES = [
     ("base", {}),
@@ -26,9 +25,11 @@ def run_ablation(y_only_file, width=352, height=288, qps=(1, 4, 7, 10),
                  num_frames=10, out_dir="results/ablation", backend="auto",
                  plots=True):
     os.makedirs(out_dir, exist_ok=True)
-    all_metric_files = {}
+    # Build every (series, QP) cell up front and batch-encode: each series'
+    # QP sweep shares one vmapped device program where eligible
+    # (models/batch.py); nRefFrames>1 series fall back to serial encodes.
+    cells = []
     for name, overrides in SERIES:
-        metric_files = []
         for qp in qps:
             kwargs = dict(block_size=16, search_range=4, I_Period=8,
                           quantization_factor=qp, resolution=(width, height),
@@ -36,10 +37,12 @@ def run_ablation(y_only_file, width=352, height=288, qps=(1, 4, 7, 10),
             kwargs.update(overrides)
             ec = EncoderConfig(**kwargs)
             params = InputParameters(y_only_file, width, height, ec, num_frames)
-            metric_files.append(
-                encode_plot_decode(params, results_csv_path=None, plots=False, decode=False)
-            )
-        all_metric_files[name] = metric_files
+            cells.append((name, params))
+    encode_videos_batched([c[1] for c in cells], results_csv_path=None)
+    all_metric_files = {}
+    for name, params in cells:
+        all_metric_files.setdefault(name, []).append(
+            FileIOHelper(params, create_dirs=False).get_metrics_csv_file_name())
 
     if plots:
         base_files = all_metric_files["base"]

@@ -8,7 +8,6 @@ committed results), and renders RD / bit-count plots.
 
 import csv
 import os
-import time
 
 import matplotlib
 
@@ -19,7 +18,7 @@ from matplotlib import pyplot as plt
 from ..config import EncoderConfig, InputParameters
 from ..io.fileio import FileIOHelper
 from ..metrics.plots import read_metrics_from_csv
-from .pipeline_run import encode_plot_decode
+from ..models.batch import encode_videos_batched
 
 DEFAULT_QPS = {8: [0, 3, 6, 9], 16: [1, 4, 7, 10]}
 
@@ -39,7 +38,13 @@ def run_sweep(
 ):
     qp_values = qp_values or DEFAULT_QPS
     os.makedirs(output_dir, exist_ok=True)
-    results = []
+
+    # Build every sweep cell up front, then hand the whole set to the
+    # batched encoder: cells sharing (block size, I_Period, features) and
+    # differing only in QP run as ONE vmapped device program with one
+    # shared input upload (models/batch.py) — vs the reference's serial
+    # per-cell loop (assign1/ex4_plots.py:131-257).
+    cells = []
     for bs in block_sizes:
         for i_period in i_periods:
             for qp in qp_values[bs]:
@@ -48,18 +53,20 @@ def run_sweep(
                     quantization_factor=qp, resolution=(width, height), backend=backend,
                 )
                 params = InputParameters(y_only_file, width, height, ec, num_frames)
-                t0 = time.time()
-                metrics_csv = encode_plot_decode(
-                    params, results_csv_path=os.path.join(output_dir, "results.csv"),
-                    plots=False, decode=False,
-                )
-                elapsed = time.time() - t0
-                idx, is_i, mae, psnr, fbytes, fbits = read_metrics_from_csv(metrics_csv)
-                results.append({
-                    "block_size": bs, "qp": qp, "I_Period": i_period,
-                    "psnr_values": psnr, "bit_counts": [int(b * 8) for b in fbytes],
-                    "total_bit_count": int(fbits[-1]), "elapsed_time": elapsed,
-                })
+                cells.append((bs, i_period, qp, params))
+
+    batch_res = encode_videos_batched(
+        [c[3] for c in cells],
+        results_csv_path=os.path.join(output_dir, "results.csv"))
+    results = []
+    for (bs, i_period, qp, params), elapsed in zip(cells, batch_res.elapsed):
+        metrics_csv = FileIOHelper(params, create_dirs=False).get_metrics_csv_file_name()
+        idx, is_i, mae, psnr, fbytes, fbits = read_metrics_from_csv(metrics_csv)
+        results.append({
+            "block_size": bs, "qp": qp, "I_Period": i_period,
+            "psnr_values": psnr, "bit_counts": [int(b * 8) for b in fbytes],
+            "total_bit_count": int(fbits[-1]), "elapsed_time": elapsed,
+        })
 
     out_csv = os.path.join(output_dir, "rd_experiment_results.csv")
     with open(out_csv, "w", newline="") as f:

@@ -408,9 +408,83 @@ def _finalize_compact(index, curr, f, ec, rebuilt, a_full=None) -> _Finalized:
                             prev_recon=oldest)
 
 
+class _EncodeSink:
+    """Per-run artifact writer: the seven output files, metrics rows, the
+    host mirror of the reference deque (for res_wo_mc: curr minus OLDEST
+    reference, reference PFrame.py:103,116) and the bitstream framing
+    (golden/encoder.py spec).  Extracted from :func:`encode_video` so the
+    batched multi-config lane (models/batch.py) writes byte-identical
+    artifacts through the same code.  ``write`` must be called in frame
+    order (one writer thread per pipeline)."""
+
+    def __init__(self, params: InputParameters):
+        from contextlib import ExitStack
+
+        ec = params.encoder_config
+        self.ec = ec
+        file_io = FileIOHelper(params)
+        # overwrite_open: "w" semantics without the truncate-at-open
+        # writeback stall on just-rewritten artifact trees (io/fileio)
+        self._stack = ExitStack()
+        en = self._stack.enter_context
+        self.mv_fh = en(overwrite_open(file_io.get_mv_file_name(), text=True))
+        self.qdct_fh = en(overwrite_open(
+            file_io.get_quant_dct_coff_fh_file_name()))
+        self.res_w_fh = en(overwrite_open(
+            file_io.get_residual_w_mc_file_name()))
+        self.res_wo_fh = en(overwrite_open(
+            file_io.get_residual_wo_mc_file_name()))
+        self.recon_fh = en(overwrite_open(
+            file_io.get_mc_reconstructed_file_name()))
+        self.encoded_fh = en(overwrite_open(file_io.get_encoded_file_name()))
+        metrics_fh = en(overwrite_open(
+            file_io.get_metrics_csv_file_name(), text=True, newline=""))
+        self.metrics_writer = csv.writer(metrics_fh)
+        self.metrics_writer.writerow(FrameMetrics.get_header())
+        self.start_time = time.time()
+        pw0, ph0 = padded_dims(params.width, params.height, ec.block_size)
+        self.recon_history: deque = deque(
+            [np.full((ph0, pw0), 128, np.uint8)], maxlen=ec.nRefFrames)
+
+    def write(self, f: _Finalized, dispatch_dt: float):
+        if f.is_iframe():
+            self.recon_history.clear()
+        elif f.res_wo_mc is None:
+            f.res_wo_mc = _wrap_diff_u8(f.curr, self.recon_history[0])
+        self.recon_history.append(f.recon)
+        frame_psnr = f.psnr if f.psnr is not None else psnr(f.curr, f.recon)
+        encoded_fh = self.encoded_fh
+        start_idx = encoded_fh.tell()
+        encoded_fh.write(f.mode.to_bytes(1))
+        encoded_fh.write(((f.pred_bits + 7) // 8).to_bytes(2))
+        encoded_fh.write(f.pred_bytes)
+        encoded_fh.write(((f.dct_bits + 7) // 8).to_bytes(3))
+        encoded_fh.write(f.dct_bytes)
+        frame_bytes = encoded_fh.tell() - start_idx
+        self.metrics_writer.writerow(
+            FrameMetrics(
+                f.index, f.mode, f.avg_mae, f.comparisons, frame_psnr,
+                frame_bytes, encoded_fh.tell() * 8,
+                dispatch_dt + f.host_dt, time.time() - self.start_time,
+            ).to_csv_row()
+        )
+        logger.info(
+            f"{f.index:2}: {'INTRA' if f.is_iframe() else 'INTER'} "
+            f" mae [{round(f.avg_mae, 2):6.2f}] psnr [{round(frame_psnr, 2):6.2f}], "
+            f"size: [{frame_bytes:6}]"
+        )
+        write_y_only_frame(self.res_w_fh, f.res_w_mc)
+        write_y_only_frame(self.res_wo_fh, f.res_wo_mc)
+        write_y_only_frame(self.qdct_fh, np.asarray(f.qdct, np.int16))
+        write_y_only_frame(self.recon_fh, f.recon)
+        self.mv_fh.write(f.mv_line)
+
+    def close(self):
+        self._stack.close()
+
+
 def encode_video(params: InputParameters, results_csv_path: str | None = "results.csv"):
     ec = params.encoder_config
-    file_io = FileIOHelper(params)
     y_size = params.width * params.height
     bs = ec.block_size
 
@@ -418,67 +492,13 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
     tbl_np = _table_arrays(ec)
     tbl = (jnp.asarray(tbl_np[0]), jnp.asarray(tbl_np[1]))
 
-    # overwrite_open: "w" semantics without the truncate-at-open writeback
-    # stall on just-rewritten artifact trees (io/fileio.overwrite_open)
-    with open(params.y_only_file, "rb") as f_in, \
-         overwrite_open(file_io.get_mv_file_name(), text=True) as mv_fh, \
-         overwrite_open(file_io.get_quant_dct_coff_fh_file_name()) as qdct_fh, \
-         overwrite_open(file_io.get_residual_w_mc_file_name()) as res_w_fh, \
-         overwrite_open(file_io.get_residual_wo_mc_file_name()) as res_wo_fh, \
-         overwrite_open(file_io.get_mc_reconstructed_file_name()) as recon_fh, \
-         overwrite_open(file_io.get_encoded_file_name()) as encoded_fh, \
-         overwrite_open(file_io.get_metrics_csv_file_name(), text=True,
-                        newline="") as metrics_fh:
-
-        metrics_writer = csv.writer(metrics_fh)
-        metrics_writer.writerow(FrameMetrics.get_header())
-        start_time = time.time()
-
-        # host mirror of the reference deque, for the res_wo_mc artifact
-        # (curr minus OLDEST reference, reference PFrame.py:103,116) — the
-        # writer sees final frames in order, exactly like the device deque
-        # (padded geometry, like every plane in the pipeline)
-        pw0, ph0 = padded_dims(params.width, params.height, bs)
-        recon_history: deque = deque(
-            [np.full((ph0, pw0), 128, np.uint8)],
-            maxlen=ec.nRefFrames,
-        )
+    sink = _EncodeSink(params)
+    start_time = sink.start_time
+    with open(params.y_only_file, "rb") as f_in:
 
         def write_out(f: _Finalized, dispatch_dt: float):
             with _stage("write artifacts"):
-                _write_out(f, dispatch_dt)
-
-        def _write_out(f: _Finalized, dispatch_dt: float):
-            if f.is_iframe():
-                recon_history.clear()
-            elif f.res_wo_mc is None:
-                f.res_wo_mc = _wrap_diff_u8(f.curr, recon_history[0])
-            recon_history.append(f.recon)
-            frame_psnr = f.psnr if f.psnr is not None else psnr(f.curr, f.recon)
-            start_idx = encoded_fh.tell()
-            encoded_fh.write(f.mode.to_bytes(1))
-            encoded_fh.write(((f.pred_bits + 7) // 8).to_bytes(2))
-            encoded_fh.write(f.pred_bytes)
-            encoded_fh.write(((f.dct_bits + 7) // 8).to_bytes(3))
-            encoded_fh.write(f.dct_bytes)
-            frame_bytes = encoded_fh.tell() - start_idx
-            metrics_writer.writerow(
-                FrameMetrics(
-                    f.index, f.mode, f.avg_mae, f.comparisons, frame_psnr,
-                    frame_bytes, encoded_fh.tell() * 8,
-                    dispatch_dt + f.host_dt, time.time() - start_time,
-                ).to_csv_row()
-            )
-            logger.info(
-                f"{f.index:2}: {'INTRA' if f.is_iframe() else 'INTER'} "
-                f" mae [{round(f.avg_mae, 2):6.2f}] psnr [{round(frame_psnr, 2):6.2f}], "
-                f"size: [{frame_bytes:6}]"
-            )
-            write_y_only_frame(res_w_fh, f.res_w_mc)
-            write_y_only_frame(res_wo_fh, f.res_wo_mc)
-            write_y_only_frame(qdct_fh, np.asarray(f.qdct, np.int16))
-            write_y_only_frame(recon_fh, f.recon)
-            mv_fh.write(f.mv_line)
+                sink.write(f, dispatch_dt)
 
         # Artifact/bitstream writing runs on ONE dedicated worker so disk IO
         # (~0.5 MB/frame across five files) overlaps the fetch/finalize
@@ -531,9 +551,12 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
                 # scan in every chunk variant)
                 _run_chunked(params, ec, f_in, tbl, write_async)
         finally:
-            while wq:
-                wq.popleft().result()
-            writer.shutdown(wait=True)
+            try:
+                while wq:
+                    wq.popleft().result()
+            finally:
+                writer.shutdown(wait=True)
+                sink.close()
 
     elapsed = time.time() - start_time
     _append_throughput(params, elapsed, results_csv_path)

@@ -1,0 +1,134 @@
+"""Batched multi-config encode (models/batch.py) conformance.
+
+The batch lane vmaps N same-shape fixed-QP configs into one device program
+(the SURVEY §7.7 "sweeps become vmapped batch encodes" item; reference
+analog: the serial sweep loop in assign1/ex4_plots.py:131-257).  Guarantee
+encoded here: every artifact a batched run writes is byte-identical to a
+serial ``encode_video`` run of the same config — batching changes wall
+time, never bytes.  (metrics.csv carries wall-clock columns, so it is
+compared field-wise excluding the two timing fields.)
+"""
+
+import csv
+import filecmp
+import logging
+import os
+
+import pytest
+
+from basic_video_codec_tpu.config import EncoderConfig, InputParameters
+from basic_video_codec_tpu.io.fileio import FileIOHelper
+from basic_video_codec_tpu.models.batch import (_batchable, _group_key,
+                                                encode_videos_batched)
+from basic_video_codec_tpu.models.pipeline import encode_video as serial_encode
+from basic_video_codec_tpu.tools import ygen
+
+logging.getLogger().setLevel(logging.ERROR)
+
+W, H, N = 64, 48, 6
+
+
+def _params(d, qp, **cfg):
+    base = dict(block_size=8, search_range=2, I_Period=4,
+                quantization_factor=qp, resolution=(W, H))
+    base.update(cfg)
+    return InputParameters(str(d / "t.y"), W, H, EncoderConfig(**base),
+                           frames_to_process=N)
+
+
+def _artifacts(params):
+    io = FileIOHelper(params, create_dirs=False)
+    return {
+        "encoded": io.get_encoded_file_name(),
+        "mv": io.get_mv_file_name(),
+        "qdct": io.get_quant_dct_coff_fh_file_name(),
+        "res_w": io.get_residual_w_mc_file_name(),
+        "res_wo": io.get_residual_wo_mc_file_name(),
+        "recon": io.get_mc_reconstructed_file_name(),
+        "metrics": io.get_metrics_csv_file_name(),
+    }
+
+
+def _assert_identical_trees(p_batch, p_serial, label):
+    a, b = _artifacts(p_batch), _artifacts(p_serial)
+    for key in ("encoded", "mv", "qdct", "res_w", "res_wo", "recon"):
+        assert filecmp.cmp(a[key], b[key], shallow=False), \
+            f"{label}: artifact {key!r} differs between batched and serial"
+    with open(a["metrics"]) as fa, open(b["metrics"]) as fb:
+        rows_a, rows_b = list(csv.reader(fa)), list(csv.reader(fb))
+    assert len(rows_a) == len(rows_b)
+    hdr = rows_a[0]
+    timing = {i for i, name in enumerate(hdr)
+              if "time" in name.lower() or "elapsed" in name.lower()}
+    assert timing, f"metrics header has no timing columns to mask: {hdr}"
+    for ra, rb in zip(rows_a, rows_b):
+        masked_a = [v for i, v in enumerate(ra) if i not in timing]
+        masked_b = [v for i, v in enumerate(rb) if i not in timing]
+        assert masked_a == masked_b, f"{label}: metrics row differs"
+
+
+def _make_pair(tmp_path, name, seed=11):
+    """Two dirs holding the same sequence: batch writes under b/, serial
+    under s/ (artifact paths derive from the .y location, so the trees
+    cannot collide)."""
+    y = ygen.moving_sequence(W, H, N, seed=seed)
+    dirs = []
+    for sub in ("b", "s"):
+        d = tmp_path / name / sub
+        d.mkdir(parents=True, exist_ok=True)
+        ygen.write_y_file(str(d / "t.y"), y)
+        dirs.append(d)
+    return dirs
+
+
+GROUPS = [
+    ("ip_fullsearch", dict(), [0, 3, 6]),
+    ("intra_only", dict(I_Period=1), [2, 5]),
+    ("fastme_b16", dict(block_size=16, search_range=4, fastME=True), [1, 7]),
+    ("fracme", dict(fracMeEnabled=True), [3, 6]),
+]
+
+
+@pytest.mark.parametrize("name,cfg,qps", GROUPS, ids=[g[0] for g in GROUPS])
+def test_batched_group_matches_serial(tmp_path, name, cfg, qps):
+    db, ds = _make_pair(tmp_path, name)
+    batch_runs = [_params(db, qp, **cfg) for qp in qps]
+    res = encode_videos_batched(batch_runs, results_csv_path=None)
+    assert res.n_batched == 1, "group should have batched into one program"
+    assert len(res.elapsed) == len(qps)
+    for qp in qps:
+        serial_encode(_params(ds, qp, **cfg), results_csv_path=None)
+    for qp, pb in zip(qps, batch_runs):
+        _assert_identical_trees(pb, _params(ds, qp, **cfg), f"{name} qp={qp}")
+
+
+def test_mixed_eligibility_falls_back_serial(tmp_path):
+    """nRefFrames>1 and RC runs are not batchable: they must fall back to
+    per-run serial encodes and still write correct artifact trees."""
+    db, ds = _make_pair(tmp_path, "mixed")
+    runs = [
+        _params(db, 3),
+        _params(db, 6),
+        _params(db, 3, nRefFrames=2),
+    ]
+    assert not _batchable(runs[2])
+    res = encode_videos_batched(runs, results_csv_path=None)
+    assert res.n_batched == 1  # the two fixed-QP nRef1 runs
+    for p in [_params(ds, 3), _params(ds, 6), _params(ds, 3, nRefFrames=2)]:
+        serial_encode(p, results_csv_path=None)
+    for pb, qp, cfg in [(runs[0], 3, {}), (runs[1], 6, {}),
+                        (runs[2], 3, dict(nRefFrames=2))]:
+        _assert_identical_trees(pb, _params(ds, qp, **cfg), f"mixed qp={qp}")
+
+
+def test_group_key_separates_shapes(tmp_path):
+    d = tmp_path / "k"
+    d.mkdir()
+    ygen.write_y_file(str(d / "t.y"), ygen.moving_sequence(W, H, N, seed=1))
+    a = _params(d, 1)
+    b = _params(d, 4)
+    c = _params(d, 1, block_size=16, search_range=4)
+    e = _params(d, 1, fastME=True)
+    assert _group_key(a) == _group_key(b)
+    assert _group_key(a) != _group_key(c)
+    assert _group_key(a) != _group_key(e)
