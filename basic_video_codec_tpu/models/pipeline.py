@@ -537,14 +537,25 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
             wq.append(writer.submit(_resolve_and_write, f, dispatch_dt))
 
         try:
-            if getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag > 1:
-                logger.warning(
-                    "parallel_gops ignored: RC 2/3 carries the previous "
-                    "frame's average QP across GOP boundaries (serial)")
-            if getattr(ec, "parallel_gops", 0) > 1 and ec.RCflag <= 1:
+            pg = getattr(ec, "parallel_gops", 0)
+            rc_shard_ok = (os.environ.get("BVC_COMPACT", "1") != "0"
+                           and params.height * params.width * 255 < 2 ** 31)
+            if pg > 1 and ec.RCflag > 1 and rc_shard_ok:
+                # multi-chip RC 2/3: whole GOPs one-per-device, chained by
+                # the single cross-GOP scalar (prev frame's average row QP)
+                # via speculative dispatch — byte-identical to serial
+                # (parallel/rc_gop.py, tests/test_parallel.py)
+                from ..parallel.rc_gop import run_two_pass_sharded
+
+                run_two_pass_sharded(params, ec, f_in, tbl_np, write_async)
+            elif pg > 1 and ec.RCflag <= 1:
                 # multi-chip: GOP batches sharded over the mesh's data axis
                 _run_gop_sharded(params, ec, f_in, tbl, write_async)
             else:
+                if pg > 1:
+                    logger.warning(
+                        "parallel_gops ignored: compact transport disabled "
+                        "or frame too large for the sharded RC path")
                 # GOP-chunked dispatch: one device program per GOP segment
                 # (RC 2/3 use the fused two-pass program, models/two_pass.py;
                 # nRefFrames > 1 carries a rolling reference stack through the
@@ -561,6 +572,12 @@ def encode_video(params: InputParameters, results_csv_path: str | None = "result
     elapsed = time.time() - start_time
     _append_throughput(params, elapsed, results_csv_path)
 
+
+# Observability hook: per-run transfer health, refreshed by each encode
+# (tests/test_fixture_conformance.py pins the overflow rate on the CIF
+# camera fixture; a rising rate means a transport cap class needs a bump,
+# PROFILE.md §9).
+LAST_RUN_STATS: dict = {}
 
 MAX_CHUNK = int(os.environ.get("BVC_CHUNK", "24"))
 # Dispatched-chunk pipeline depth: how many chunks may be in flight (device
@@ -1145,6 +1162,9 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         if rebuilder is not None:
             rebuilder.shutdown()
         fin_pool.shutdown(wait=True)
+        LAST_RUN_STATS.clear()
+        LAST_RUN_STATS.update(overflow_frames=overflow_frames[0],
+                              frames=n_read)
         if compact and n_read and overflow_frames[0] > max(n_read // 50, 2):
             # results stay correct; this flags a mis-sized transport cap
             # (ops/pack.qcap_fraction and friends are sized so this never

@@ -1,0 +1,276 @@
+"""Multi-chip RC 2/3 encode: a speculative GOP pipeline.
+
+Reference RC modes 2/3 carry exactly ONE scalar across GOP boundaries: the
+previous frame's average row QP (``int(mean(rows) - 0.1) + 1``, reference
+IFrame.py:35), which seeds the next frame's constant-QP first pass.  Every
+other piece of state resets at a GOP start — the I-frame rebuilds the
+reference stack from scratch (models/two_pass.py ``first_is_intra`` ignores
+the incoming stack entirely) — so GOP g's whole device program is a pure
+function of (its frames, one int32 seed).
+
+This module runs whole GOPs one-per-device, *speculatively*:
+
+* each GOP dispatches immediately to its device with a PREDICTED seed (the
+  most recently realized average, or the config-derived seed before any is
+  known);
+* when GOP g-1's realized scalar lands (a 4-byte async fetch) the
+  prediction is checked.  Hit: the outputs are exact — the program is the
+  identical serial two-pass chunk program
+  (models/two_pass.encode_chunk_two_pass), so same inputs give the same
+  bits.  Miss: the GOP re-dispatches with the corrected seed before any of
+  its artifacts are consumed;
+* artifacts are fetched, finalized and written strictly in GOP order, and
+  only after the GOP's seed is confirmed — so the artifact tree is
+  byte-identical to a serial run in every case (tests/test_parallel.py
+  asserts this for RC2 and RC3).
+
+The average row QP converges to the table QP that fits the per-frame budget
+and is then constant on steady content, so the predictor hits almost
+always; a scene cut costs at most one re-dispatch of one GOP.  On hits all
+devices compute concurrently; the serial chain only re-appears on misses.
+This design replaces the reference's inherently serial two-pass loop
+(reference encoder.py:85-98) with TPU-native speculation instead of trying
+to translate it.
+"""
+
+import os
+import time
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import pack as PK
+from ..rc.rate_control import bit_budget_per_frame
+from ..utils.frame_utils import pad_frame, padded_dims
+from ..utils.logger import get_logger
+
+logger = get_logger()
+
+
+class _GopRec:
+    __slots__ = ("g", "dev_idx", "seed", "confirmed", "chunks", "avg_out",
+                 "inputs", "dispatch_dt", "n_frames")
+
+    def __init__(self, g, dev_idx):
+        self.g = g
+        self.dev_idx = dev_idx
+        self.chunks = []   # [(indices, frames_np, dev_out)]
+        self.inputs = []   # [(indices, frames_np, ubuf, pshape, first_is_intra)]
+        self.dispatch_dt = 0.0
+        self.n_frames = 0
+
+
+def run_two_pass_sharded(params, ec, f_in, tbl_np, write_out):
+    """Drive the speculative GOP pipeline for ``encode_video``.  Interface
+    mirrors models.pipeline._run_chunked: reads frames from ``f_in``, hands
+    finalized-frame futures to ``write_out`` in frame order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..models.pipeline import (INTER, MAX_CHUNK, _acct, _finalize_compact,
+                                   _prev_avg_qp, _rebuild_frame, _stage)
+    from ..models.two_pass import encode_chunk_two_pass
+
+    bs = ec.block_size
+    y_size = params.width * params.height
+    pw, ph = padded_dims(params.width, params.height, bs)
+    nbr_total = ec.resolution[1] // bs
+    frac = ec.fracMeEnabled
+    fast = ec.fastME
+    exact = getattr(ec, "exact_transform", False)
+    R = ec.nRefFrames
+    sr = max(ec.search_range, 0)
+    I = ec.I_Period
+    N = params.frames_to_process
+
+    # transport statics — identical to the serial two-pass path
+    # (models/pipeline._run_chunked), minus tail mode: the per-GOP fetch is
+    # one cap-padded buffer per chunk, like parallel/gop.py
+    int8q = PK.qdct_int8_safe(ec)
+    mv8 = PK.mv_int8_safe(ec)
+    q4 = PK.qdct_nibble_safe(ec)
+    qfrac = PK.qcap_fraction(ec)
+    vbytes = 1 if int8q else 2
+    mvk = 3 if R > 1 else 2
+    layout = PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4, False,
+                            tail=False, mvk=mvk, mvn=PK.mv_nibble_safe(ec),
+                            qfrac=qfrac)
+    qcap, qecap, ecap, jkcap, q4cap = (layout.capq, layout.capqe, layout.cape,
+                                       layout.capk, layout.capq4)
+    upack = os.environ.get("BVC_UPACK", "1") != "0"
+    ucap = PK.input_esc_cap(ph, pw)
+
+    try:
+        exp_p = float(ec.rc_lookup_table[ec.quantization_factor]["P"] * nbr_total)
+    except (KeyError, TypeError):
+        exp_p = float("inf")  # overage undefined -> never a scene change
+
+    D = max(1, min(len(jax.devices()), ec.parallel_gops))
+    devices = jax.devices()[:D]
+
+    # per-device constants (a jit program's args must share one device)
+    gray = np.full((ph, pw), 128, np.uint8)
+    refs0_np = np.zeros((R, ph, pw), np.uint8)
+    refs0_np[0] = 128
+    hps0_np = np.zeros((R, 2 * ph, 2 * pw), np.uint8)
+    if frac:
+        from ..ops.interp import build_half_pel
+
+        hps0_np[0] = np.asarray(build_half_pel(jnp.asarray(gray)))
+    consts = []
+    for d in devices:
+        put = lambda x: jax.device_put(x, d)  # noqa: E731
+        consts.append(dict(
+            refs0=put(refs0_np), hps0=put(hps0_np), nv0=put(np.int32(1)),
+            budget=put(np.float32(bit_budget_per_frame(ec))),
+            tbl0=put(tbl_np[0]), tbl1=put(tbl_np[1]),
+            exp_p=put(np.float32(exp_p)),
+            iqp=put(np.int32(ec.quantization_factor)),
+        ))
+
+    fin_pool = ThreadPoolExecutor(max_workers=4)
+    inflight: deque = deque()
+    overflow_frames = [0]
+    miss_count = [0]
+    seed0 = int(_prev_avg_qp([ec.quantization_factor], ec))
+    chain_avg = [seed0]   # realized average entering the next undrained GOP
+    next_pred = [seed0]   # predictor for speculative dispatches
+
+    def _dispatch(rec: _GopRec, seed: int):
+        """(Re-)run every chunk of one GOP on its device, chained on-device
+        within the GOP; the artifact buffers and the final average-QP scalar
+        start their d2h copies immediately (speculative prefetch)."""
+        t0 = time.time()
+        c = consts[rec.dev_idx]
+        d = devices[rec.dev_idx]
+        ref, hp, nv = c["refs0"], c["hps0"], c["nv0"]
+        prev = jax.device_put(np.int32(seed), d)
+        rec.seed = seed
+        rec.chunks = []
+        for indices, frames_np, ubuf, pshape, fii in rec.inputs:
+            with _stage("dispatch: h2d asarray"):
+                fr = jax.device_put(ubuf if ubuf is not None else frames_np, d)
+            _acct("h2d MB", fr.nbytes)
+            dev, ref, hp, nv, prev = encode_chunk_two_pass(
+                fr, ref, hp, nv, prev, c["budget"], c["tbl0"], c["tbl1"],
+                c["exp_p"], c["iqp"], bs, sr, fast, frac, fii, exact=exact,
+                compact=True, int8q=int8q, mv8=mv8, q4=q4, tail=False,
+                packed_shape=pshape, qfrac=qfrac)
+            dev[4].copy_to_host_async()
+            rec.chunks.append((indices, frames_np, dev))
+        prev.copy_to_host_async()
+        rec.avg_out = prev
+        rec.dispatch_dt += time.time() - t0
+
+    def drain_one():
+        rec = inflight.popleft()
+        if not rec.confirmed:
+            # chain_avg now holds GOP g-1's realized average (set when it
+            # drained); a mispredicted GOP re-runs with the true seed
+            if rec.seed != chain_avg[0]:
+                miss_count[0] += 1
+                _dispatch(rec, chain_avg[0])
+            rec.confirmed = True
+        per_frame_dt = rec.dispatch_dt / max(rec.n_frames, 1)
+        hist: deque = deque([gray], maxlen=R)
+        for indices, frames_np, dev in rec.chunks:
+            with _stage("fetch (device_get)"):
+                packed = jax.device_get(dev[4])  # [k, layout.total]
+            _acct("d2h MB", packed.nbytes)
+            for k in range(len(indices)):
+                f = layout.split(packed[k])
+                with _stage("overflow fallback fetch"):
+                    jover = f["jn"] > jkcap
+                    q_full = (jax.device_get(dev[2][k])
+                              if f["qt"] > qcap or f["qn"] > qecap
+                              or f["qn4"] > q4cap else None)
+                    a_full = (jax.device_get(dev[1][k])
+                              if int(f["meta"][0]) == INTER
+                              and (f["an"] > ecap or jover) else None)
+                    r_full = (jax.device_get(dev[0][k])
+                              if f["rn"] > ecap or jover else None)
+                if q_full is not None or a_full is not None or r_full is not None:
+                    overflow_frames[0] += 1
+                rebuilt = _rebuild_frame(f, ec, hist, q_full, r_full, a_full)
+                fut = fin_pool.submit(_finalize_compact, indices[k],
+                                      frames_np[k], f, ec, rebuilt, a_full)
+                write_out(fut, per_frame_dt)
+        realized = int(jax.device_get(rec.avg_out))
+        chain_avg[0] = realized
+        next_pred[0] = realized
+
+    n_read = 0
+    truncated_tail = 0
+    g = 0
+    try:
+        while n_read < N:
+            # read one whole GOP (<= I_Period frames), split into chunks
+            rec = _GopRec(g, g % D)
+            gop_len = min(I, N - n_read)
+            got = 0
+            while got < gop_len:
+                k = min(MAX_CHUNK, gop_len - got)
+                raw = f_in.read(y_size * k)
+                n = len(raw) // y_size
+                truncated_tail = len(raw) % y_size
+                if n == 0:
+                    break
+                with _stage("prep: pad+stack"):
+                    frames_np = np.stack([
+                        pad_frame(np.frombuffer(
+                            raw[i * y_size : (i + 1) * y_size], np.uint8
+                        ).reshape(params.height, params.width), bs)
+                        for i in range(n)
+                    ])
+                ubuf = pshape = None
+                if upack:
+                    from ..entropy.native import pack_input_frames
+
+                    with _stage("prep: input pack"):
+                        ubuf = pack_input_frames(frames_np, ucap)
+                    if ubuf is not None:
+                        pshape = (n, ph, pw)
+                indices = list(range(n_read + got + 1, n_read + got + n + 1))
+                rec.inputs.append((indices, frames_np, ubuf, pshape, got == 0))
+                got += n
+                if truncated_tail or n < k:
+                    break
+            if got == 0:
+                break
+            rec.n_frames = got
+            if not inflight:
+                # every prior GOP drained: the chain value is exact
+                rec.confirmed = True
+                _dispatch(rec, chain_avg[0])
+            else:
+                rec.confirmed = False
+                _dispatch(rec, next_pred[0])
+            inflight.append(rec)
+            n_read += got
+            g += 1
+            while len(inflight) >= D:
+                drain_one()
+            if truncated_tail or got < gop_len:
+                break
+        while inflight:
+            drain_one()
+        if truncated_tail:
+            raise ValueError(
+                f"truncated frame: read {truncated_tail} of {y_size} bytes")
+    finally:
+        fin_pool.shutdown(wait=True)
+        from ..models import pipeline as _pl
+
+        _pl.LAST_RUN_STATS.clear()
+        _pl.LAST_RUN_STATS.update(overflow_frames=overflow_frames[0],
+                                  frames=n_read, rc_seed_misses=miss_count[0],
+                                  gops=g)
+        if n_read and overflow_frames[0] > max(n_read // 50, 2):
+            logger.warning(
+                f"compact-transfer overflow on {overflow_frames[0]}/{n_read} "
+                f"frames (sharded RC path)")
+        if miss_count[0]:
+            logger.info(
+                f"speculative RC pipeline: {miss_count[0]}/{g} GOP seed "
+                f"mispredictions (each cost one re-dispatch)")

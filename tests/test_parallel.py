@@ -114,7 +114,14 @@ class TestShardedEncodeVideo:
         dict(fastME=True, fracMeEnabled=True),       # feature combo
         dict(I_Period=1),                            # all-intra GOPs
         dict(nRefFrames=3, exact_transform=True),    # rolling-stack GOPs
-    ], ids=["fixed_qp", "rc1", "fastme_frac", "intra_only", "nref3"])
+        # RC 2/3: the speculative GOP pipeline (parallel/rc_gop.py) — the
+        # cross-GOP average-QP chain is speculated and re-dispatched on
+        # mispredictions, so the artifact tree must still be byte-identical
+        dict(RCflag=2, targetBR=480_000),            # RC2 two-pass
+        dict(RCflag=3, targetBR=480_000, fastME=True),  # RC3 deliverable-style
+        dict(RCflag=3, targetBR=240_000, nRefFrames=2),  # RC3 + rolling stack
+    ], ids=["fixed_qp", "rc1", "fastme_frac", "intra_only", "nref3",
+            "rc2", "rc3_fastme", "rc3_nref2"])
     def test_byte_identical_to_serial(self, tmp_path, cfg):
         import filecmp
 
