@@ -73,12 +73,38 @@ def main():
     print(f"warmup (compile + first d2h): {time.time() - t0:.1f}s", flush=True)
 
     # (a) device-only: chain all chunks, sync once on the final ref
+    fps_a = 0.0
     for rep in range(3):
         t0 = time.time()
         outs, ref = dispatch_all(frames)
         ref.block_until_ready()
         dt = time.time() - t0
+        fps_a = max(fps_a, args.frames / dt)
         print(f"(a) device-only chain: {dt:.3f}s = {args.frames / dt:.1f} fps", flush=True)
+
+    # (f) utilization accounting: arithmetic the codec ISSUES per frame vs
+    # chip peak.  The point of the numbers is their smallness: one CIF
+    # stream cannot feed the chip — the batched sweep lane
+    # (models/batch.py, scripts/profile_batch.py) is how the headroom gets
+    # spent.  Work model (ops/me.py, ops/transform.py):
+    #   SAD: (2r+1)^2 candidates x (|diff| + add) over the whole frame
+    #   DCT: D@X@D' fwd + inv = 2 matmuls each of 2*bs^3 FLOP per block
+    kind = jax.devices()[0].device_kind
+    peaks = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12, "v5p": 459e12,
+             "v6": 918e12}
+    peak = next((v for s, v in peaks.items() if s in kind.lower()), None)
+    sad_ops = (2 * R + 1) ** 2 * 2 * H * W            # int ops / frame
+    dct_flop = 2 * (2 * 2 * BLOCK ** 3) * (H * W // BLOCK ** 2)  # fwd+inv
+    print(f"(f) device kind: {kind}; issued work at {fps_a:.0f} fps device-only:",
+          flush=True)
+    print(f"(f)   SAD {sad_ops * fps_a / 1e9:.2f} Gop/s, "
+          f"DCT {dct_flop * fps_a / 1e9:.2f} GFLOP/s "
+          f"({(sad_ops + dct_flop) * fps_a / 1e9:.2f} G total)", flush=True)
+    if peak:
+        print(f"(f)   vs ~{peak / 1e12:.0f} TFLOP/s bf16 peak: "
+              f"{(sad_ops + dct_flop) * fps_a / peak * 100:.4f}% MFU "
+              f"-> headroom is spent by batching (profile_batch.py)",
+              flush=True)
 
     # (b) + fetch everything
     def fetch(outs):
