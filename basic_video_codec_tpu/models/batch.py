@@ -6,9 +6,16 @@ sweep loops (block size, I_Period, QP) cells and pays a full encode per cell
 is transfer/host-bound while the chip idles, so the cheapest large
 multiplier on aggregate throughput is batching: configs that share every
 shape-determining knob (resolution, block size, search, features, I_Period)
-and differ only in QP are vmapped into ONE chunk program — the input frames
-upload once per chunk (``in_axes=None``) and every config's outputs come
-back in one batched fetch round.
+are vmapped into ONE chunk program.  Two batched axes exist:
+
+* **QP sweep** (same input stream): the frames upload once per chunk
+  (``in_axes=None``) and every config's outputs come back in one batched
+  fetch round — the RD-sweep/ablation drivers' case.
+* **Multi-stream serving** (different ``y_only_file``s, same shapes): each
+  config carries its own frame batch (``in_axes=0``) — N independent
+  sequences encode concurrently on one chip.  Input packing is skipped
+  (packed buffers have content-dependent lengths that cannot stack); raw
+  uploads ride the cheap h2d direction.
 
 The batch lane reuses the serial pipeline's machinery end-to-end: the same
 chunk programs (models/chunk.py) under ``jax.vmap``, the same compact
@@ -38,7 +45,7 @@ from ..golden.encoder import _append_throughput, _load_rc_table
 from ..ops import pack as PK
 from ..utils.frame_utils import pad_frame, padded_dims
 from ..utils.logger import get_logger
-from .chunk import encode_chunk, encode_chunk_intra_only
+from .chunk import encode_chunk, encode_chunk_intra_only, encode_chunk_mixed
 from .pipeline import (DEPTH, INTER, INTRA, MAX_CHUNK, _bucket, _EncodeSink,
                        _finalize_compact, _ReconRebuilder, _stage,
                        _table_arrays)
@@ -48,11 +55,21 @@ logger = get_logger()
 
 def _group_key(params: InputParameters):
     """Configs in one batch group must agree on everything that shapes the
-    device program or the chunk schedule; QP is the batched axis."""
+    device program or the chunk schedule; QP, I_Period and the INPUT STREAM
+    are the batched axes:
+
+    * different QPs ride per-config row-QP vectors,
+    * different I_Periods ride per-frame traced intra flags — a group with
+      mixed GOP structures uses the runtime-mode chunk program
+      (models/chunk.encode_chunk_mixed) whose chunks also stop being capped
+      at one GOP,
+    * different ``y_only_file``s are the multi-stream serving case
+      (N independent sequences per chip), uploaded with ``in_axes=0``
+      instead of a shared broadcast."""
     ec = params.encoder_config
-    return (os.path.abspath(params.y_only_file), params.width, params.height,
+    return (params.width, params.height,
             params.frames_to_process, ec.block_size, ec.search_range,
-            ec.I_Period, bool(ec.fastME), bool(ec.fracMeEnabled),
+            bool(ec.fastME), bool(ec.fracMeEnabled),
             bool(getattr(ec, "exact_transform", False)))
 
 
@@ -101,28 +118,39 @@ def encode_videos_batched(runs, results_csv_path: str | None = "results.csv"):
 
 
 @lru_cache(maxsize=None)
-def _batch_fn(intra_only: bool, bs: int, search_range: int, fast: bool,
+def _batch_fn(kind: str, bs: int, search_range: int, fast: bool,
               frac: bool, exact: bool, int8q: bool, mv8: bool, q4: bool,
               tail: bool, packed_shape: tuple | None, qfrac: tuple | None,
-              first_is_intra: bool):
+              first_is_intra: bool, shared_input: bool = True):
     """Jitted vmap of the serial chunk program over the config axis: frames
-    (and the RC scalars, unused at RCflag 0) broadcast; refs / half-pel
-    planes / row QPs / initial QPs carry one entry per config."""
-    if intra_only:
-        def one(frames, ref, hp, row_qps, iqp, budget0, tblq, tblb):
+    (and the RC scalars, unused at RCflag 0) broadcast when every config
+    encodes the same stream (``shared_input``), batched otherwise
+    (multi-stream serving); refs / half-pel planes / row QPs / initial QPs —
+    and for the mixed lane the per-frame intra flags — carry one entry per
+    config.  ``kind``: 'intra_all' | 'gop' | 'mixed'."""
+    if kind == "intra_all":
+        def one(frames, ref, hp, is_i, row_qps, iqp, budget0, tblq, tblb):
             return encode_chunk_intra_only(
                 frames, row_qps, budget0, tblq, tblb, iqp, bs, False,
                 exact=exact, compact=True, int8q=int8q, q4=q4, tail=tail,
                 packed_shape=packed_shape, qfrac=qfrac)
+    elif kind == "mixed":
+        def one(frames, ref, hp, is_i, row_qps, iqp, budget0, tblq, tblb):
+            return encode_chunk_mixed(
+                frames, ref, hp, is_i, row_qps, budget0, tblq, tblb, iqp,
+                bs, search_range, False, fast, frac, exact=exact,
+                compact=True, int8q=int8q, mv8=mv8, q4=q4, tail=tail,
+                packed_shape=packed_shape, qfrac=qfrac)
     else:
-        def one(frames, ref, hp, row_qps, iqp, budget0, tblq, tblb):
+        def one(frames, ref, hp, is_i, row_qps, iqp, budget0, tblq, tblb):
             return encode_chunk(
                 frames, ref, hp, row_qps, budget0, tblq, tblb, iqp, bs,
                 search_range, False, fast, frac, first_is_intra, exact=exact,
                 compact=True, int8q=int8q, mv8=mv8, q4=q4, tail=tail,
                 packed_shape=packed_shape, qfrac=qfrac)
 
-    vm = jax.vmap(one, in_axes=(None, 0, 0, 0, 0, None, None, None))
+    vm = jax.vmap(one, in_axes=(None if shared_input else 0,
+                                0, 0, 0, 0, 0, None, None, None))
     return jax.jit(vm)
 
 
@@ -152,7 +180,12 @@ def _encode_group(runs, results_csv_path):
     n_total = runs[0].frames_to_process
     frac = ec0.fracMeEnabled
     exact = getattr(ec0, "exact_transform", False)
-    intra_only = ec0.I_Period == 1
+    ips = sorted({ec.I_Period for ec in ecs})
+    intra_only = ips == [1]
+    # configs with DIFFERENT GOP structures share one program through the
+    # runtime-mode lane: per-frame intra flags are traced per config, and
+    # chunks stop being capped at one GOP (MAX_CHUNK frames per dispatch)
+    mixed = len(ips) > 1
     for ec in ecs:
         _load_rc_table(ec)
     tbl_np = _table_arrays(ec0)
@@ -170,6 +203,12 @@ def _encode_group(runs, results_csv_path):
     if intra_only:
         layout = PK.FrameLayout(ph, pw, bs, vbytes, False, False, q4=q4,
                                 tail=tail_mode, qfrac=qfrac)
+    elif mixed:
+        # runtime-mode rows (mode is a traced value): every row carries both
+        # mv and art fields, no joint-kind transport (pipeline "mixed" lane)
+        layout = PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
+                                False, tail=tail_mode, mvk=2, mvn=mvn,
+                                qfrac=qfrac)
     else:
         layout = PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4, jt,
                                 tail=tail_mode, mvk=2, mvn=mvn, qfrac=qfrac)
@@ -239,29 +278,13 @@ def _encode_group(runs, results_csv_path):
         return sl
 
     def submit_frames(c, kind, dev, bufs, indices, currs):
-        """Parse one config's fetched prefix, rebuild + finalize each frame,
-        hand them to the writer.  Mirrors pipeline.parse_compact /
-        finish_compact for the batch shapes ([C, ...] device stacks)."""
+        """Rebuild + finalize one config's frames from its parsed
+        (heads, segs, tail bytes) and hand them to the writer.  Mirrors
+        pipeline.finish_compact for the batch shapes ([C, ...] stacks);
+        head parsing and tail top-ups happen batched in fetch_round."""
         k = len(indices)
-        base = k * layout.total
-        heads = bufs[:base].reshape(k, layout.total)
-        if tail_mode:
-            sizes = [sum(layout.tail_sizes(*layout.head_counts(heads[i])))
-                     for i in range(k)]
-            segs = np.cumsum([0] + sizes)
-            total = int(segs[-1])
-            tail_stats.setdefault((c, kind), deque(maxlen=4)).append(
-                total / max(k, 1))
-            tail_np = bufs[base : base + total]
-            if tail_np.size < total:
-                fused = dev[4][c]
-                sl = fused[: min(base + _bucket(total), fused.shape[0])]
-                with _stage("fetch (late top-up)"):
-                    late = jax.device_get(sl)
-                tail_np = late[base : base + total]
-        else:
-            segs = tail_np = None
-        if kind == "intra_all":
+        heads, segs, tail_np = bufs
+        if kind in ("intra_all", "mixed"):
             d_recons = dev[0][c]
             d_arts = dev[1][c]
             d_qdcts = dev[2][c]
@@ -304,72 +327,139 @@ def _encode_group(runs, results_csv_path):
         indices, currs, kind, dev, pres = pending.popleft()
         with _stage("fetch (device_get)"):
             bufs = jax.device_get(pres)
+        k = len(indices)
+        base = k * layout.total
+        parsed = []
+        if tail_mode:
+            # parse every config's heads first so prediction shortfalls can
+            # top up in ONE batched device_get (each separate late fetch
+            # costs a full relay round trip)
+            shortfall = []
+            for c in range(C):
+                heads = bufs[c][:base].reshape(k, layout.total)
+                sizes = [sum(layout.tail_sizes(*layout.head_counts(heads[i])))
+                         for i in range(k)]
+                segs = np.cumsum([0] + sizes)
+                total = int(segs[-1])
+                tail_stats.setdefault((c, kind), deque(maxlen=4)).append(
+                    total / max(k, 1))
+                tail_np = bufs[c][base : base + total]
+                parsed.append([heads, segs, tail_np])
+                if tail_np.size < total:
+                    shortfall.append((c, total))
+            if shortfall:
+                with _stage("fetch (late top-up)"):
+                    lates = jax.device_get([
+                        dev[4][c][: min(base + _bucket(t),
+                                        dev[4][c].shape[0])]
+                        for c, t in shortfall])
+                for (c, total), late in zip(shortfall, lates):
+                    parsed[c][2] = late[base : base + total]
+        else:
+            parsed = [(bufs[c].reshape(k, layout.total), None,
+                       np.zeros(0, np.uint8)) for c in range(C)]
         for c in range(C):
-            submit_frames(c, kind, dev, bufs[c], indices, currs)
+            submit_frames(c, kind, dev, parsed[c], indices,
+                          currs if shared else currs[c])
 
     n_read = 0
     truncated_tail = 0
+    paths = [os.path.abspath(p.y_only_file) for p in runs]
+    shared = len(set(paths)) == 1
+    fins = []
     try:
-        with open(runs[0].y_only_file, "rb") as f_in:
-            while n_read < n_total:
-                k = (min(MAX_CHUNK, n_total - n_read) if intra_only
-                     else min(MAX_CHUNK, ec0.I_Period - n_read % ec0.I_Period,
-                              n_total - n_read))
-                raw = f_in.read(y_size * k)
-                n_frames = len(raw) // y_size
-                truncated_tail = len(raw) % y_size
-                if n_frames == 0:
-                    break
-                with _stage("prep: pad+stack"):
-                    frames_np = np.stack([
-                        pad_frame(np.frombuffer(
-                            raw[i * y_size : (i + 1) * y_size], np.uint8
-                        ).reshape(runs[0].height, runs[0].width), bs)
-                        for i in range(n_frames)
-                    ])
-                pshape = None
-                ubuf = None
-                if upack:
-                    from ..entropy.native import pack_input_frames
-
-                    with _stage("prep: input pack"):
-                        ubuf = pack_input_frames(
-                            frames_np, PK.input_esc_cap(ph, pw))
-                with _stage("dispatch: h2d asarray"):
-                    fr_dev = jnp.asarray(
-                        ubuf if ubuf is not None else frames_np)
-                if ubuf is not None:
-                    pshape = (n_frames, ph, pw)
-                first_is_intra = (not intra_only
-                                  and n_read % ec0.I_Period == 0)
-                fn = _batch_fn(intra_only, bs, max(ec0.search_range, 0),
-                               ec0.fastME, frac, exact, int8q, mv8, q4,
-                               tail_mode, pshape, qfrac,
-                               first_is_intra)
-                dev = fn(fr_dev, refs, hps, row_qps, iqps, budget0,
-                         tbl[0], tbl[1])
-                if intra_only:
-                    kind = "intra_all"
-                else:
-                    refs, hps = dev[2], dev[3]
-                    kind = "intra_led" if first_is_intra else "p_only"
-                with _stage("dispatch: async-copy+prefetch"):
-                    pres = [prefetch(c, kind, dev[4][c], n_frames)
-                            for c in range(C)]
-                indices = list(range(n_read + 1, n_read + n_frames + 1))
-                pending.append((indices, frames_np, kind, dev, pres))
-                n_read += n_frames
-                if truncated_tail:
-                    break
-                while len(pending) > DEPTH:
-                    fetch_round()
-            while pending:
-                fetch_round()
-            if truncated_tail:
+        fins = [open(paths[0], "rb")] if shared else [
+            open(pth, "rb") for pth in paths]
+        while n_read < n_total:
+            k = (min(MAX_CHUNK, n_total - n_read) if intra_only or mixed
+                 else min(MAX_CHUNK, ec0.I_Period - n_read % ec0.I_Period,
+                          n_total - n_read))
+            raws = [f.read(y_size * k) for f in fins]
+            counts = {len(r) // y_size for r in raws}
+            if not shared and len(counts) > 1:
                 raise ValueError(
-                    f"truncated frame: read {truncated_tail} of "
-                    f"{y_size} bytes")
+                    "multi-stream batch: input streams have unequal frame "
+                    f"counts at frame {n_read} ({sorted(counts)})")
+            n_frames = counts.pop()
+            truncated_tail = max(len(r) % y_size for r in raws)
+            if n_frames == 0:
+                break
+
+            def _stack(raw):
+                return np.stack([
+                    pad_frame(np.frombuffer(
+                        raw[i * y_size : (i + 1) * y_size], np.uint8
+                    ).reshape(runs[0].height, runs[0].width), bs)
+                    for i in range(n_frames)
+                ])
+
+            with _stage("prep: pad+stack"):
+                # shared: [k, H, W] broadcast; multi-stream: [C, k, H, W]
+                frames_np = (_stack(raws[0]) if shared
+                             else np.stack([_stack(r) for r in raws]))
+            pshape = None
+            ubuf = None
+            if upack and shared:
+                # multi-stream skips input packing: per-stream packed
+                # buffers have content-dependent lengths that cannot stack;
+                # raw uploads ride the cheap h2d direction (~190 MB/s)
+                from ..entropy.native import pack_input_frames
+
+                with _stage("prep: input pack"):
+                    ubuf = pack_input_frames(
+                        frames_np, PK.input_esc_cap(ph, pw))
+            with _stage("dispatch: h2d asarray"):
+                fr_dev = jnp.asarray(
+                    ubuf if ubuf is not None else frames_np)
+            if ubuf is not None:
+                pshape = (n_frames, ph, pw)
+            first_is_intra = (not intra_only and not mixed
+                              and n_read % ec0.I_Period == 0)
+            if mixed:
+                is_i = jnp.asarray(np.stack([
+                    np.fromiter(((n_read + i) % ec.I_Period == 0
+                                 for i in range(n_frames)),
+                                dtype=bool, count=n_frames)
+                    for ec in ecs]))
+            else:
+                is_i = jnp.zeros((C, n_frames), bool)  # unused placeholder
+            fnkind = ("intra_all" if intra_only
+                      else "mixed" if mixed else "gop")
+            fn = _batch_fn(fnkind, bs, max(ec0.search_range, 0),
+                           ec0.fastME, frac, exact, int8q, mv8, q4,
+                           tail_mode, pshape, qfrac,
+                           first_is_intra, shared_input=shared)
+            out = fn(fr_dev, refs, hps, is_i, row_qps, iqps, budget0,
+                     tbl[0], tbl[1])
+            if intra_only:
+                dev = out
+                kind = "intra_all"
+            elif mixed:
+                dev, refs, hps = out
+                kind = "mixed"
+            else:
+                dev = out
+                refs, hps = dev[2], dev[3]
+                kind = "intra_led" if first_is_intra else "p_only"
+            with _stage("dispatch: async-copy+prefetch"):
+                pres = [prefetch(c, kind, dev[4][c], n_frames)
+                        for c in range(C)]
+            indices = list(range(n_read + 1, n_read + n_frames + 1))
+            pending.append((indices, frames_np, kind, dev, pres))
+            n_read += n_frames
+            if truncated_tail:
+                break
+            while len(pending) > DEPTH:
+                fetch_round()
+        while pending:
+            fetch_round()
+        if truncated_tail:
+            raise ValueError(
+                f"truncated frame: read {truncated_tail} of "
+                f"{y_size} bytes")
     finally:
+        for f in fins:
+            f.close()
         try:
             while wq:
                 wq.popleft().result()
@@ -385,6 +475,11 @@ def _encode_group(runs, results_csv_path):
                 f"compact-transfer overflow on {overflow_frames[0]}/"
                 f"{C * n_read} batched frames")
     elapsed = time.time() - t_group0
+    from . import pipeline as _pl
+
+    if _pl.STAGE_TIMER is not None:
+        logger.info("batched stage breakdown (BVC_PROFILE):\n"
+                    + _pl.STAGE_TIMER.report())
     logger.info(
         f"batched encode: {C} configs x {n_read} frames in {elapsed:.2f}s "
         f"= {C * n_read / max(elapsed, 1e-9):.1f} config-frames/s")

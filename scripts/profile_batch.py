@@ -21,6 +21,9 @@ from basic_video_codec_tpu.config import EncoderConfig, InputParameters
 from basic_video_codec_tpu.models.batch import encode_videos_batched
 from basic_video_codec_tpu.models.pipeline import encode_video
 from basic_video_codec_tpu.tools import ygen
+from basic_video_codec_tpu.utils import compcache
+
+compcache.enable()
 
 logging.disable(logging.INFO)
 

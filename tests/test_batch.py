@@ -121,6 +121,53 @@ def test_mixed_eligibility_falls_back_serial(tmp_path):
         _assert_identical_trees(pb, _params(ds, qp, **cfg), f"mixed qp={qp}")
 
 
+def test_mixed_iperiod_group_matches_serial(tmp_path):
+    """Configs with DIFFERENT I_Periods (including all-intra) batch into the
+    runtime-mode lane (encode_chunk_mixed vmapped): one group, per-frame
+    traced intra flags, chunks spanning GOP boundaries — still
+    byte-identical to per-config serial encodes."""
+    db, ds = _make_pair(tmp_path, "mixed_ip")
+    cfgs = [(1, 2), (4, 2), (3, 5), (6, 7)]  # (I_Period, qp)
+    batch_runs = [_params(db, qp, I_Period=ip) for ip, qp in cfgs]
+    res = encode_videos_batched(batch_runs, results_csv_path=None)
+    assert res.n_batched == 1, "I_Period variants should share one group"
+    for ip, qp in cfgs:
+        serial_encode(_params(ds, qp, I_Period=ip), results_csv_path=None)
+    for (ip, qp), pb in zip(cfgs, batch_runs):
+        _assert_identical_trees(pb, _params(ds, qp, I_Period=ip),
+                                f"ip={ip} qp={qp}")
+
+
+def test_multi_stream_batch_matches_serial(tmp_path):
+    """Multi-stream serving: DIFFERENT input sequences with same-shape
+    configs batch into one program (frames in_axes=0) and each stream's
+    artifact tree matches its serial encode byte-for-byte."""
+    seqs = {s: ygen.moving_sequence(W, H, N, seed=s) for s in (31, 32, 33)}
+    batch_runs, serial_params = [], []
+    for s, y in seqs.items():
+        for sub, bucket in (("b", batch_runs), ("s", serial_params)):
+            d = tmp_path / f"{s}{sub}"
+            d.mkdir()
+            ygen.write_y_file(str(d / "t.y"), y)
+            bucket.append(_params(d, 4))
+    res = encode_videos_batched(batch_runs, results_csv_path=None)
+    assert res.n_batched == 1, "streams should have batched into one program"
+    for p in serial_params:
+        serial_encode(p, results_csv_path=None)
+    for pb, ps, s in zip(batch_runs, serial_params, seqs):
+        _assert_identical_trees(pb, ps, f"stream seed={s}")
+
+
+def test_multi_stream_unequal_lengths_raise(tmp_path):
+    a = tmp_path / "a"; b = tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    ygen.write_y_file(str(a / "t.y"), ygen.moving_sequence(W, H, N, seed=1))
+    ygen.write_y_file(str(b / "t.y"), ygen.moving_sequence(W, H, N - 2, seed=2))
+    with pytest.raises(ValueError, match="unequal frame counts"):
+        encode_videos_batched([_params(a, 3), _params(b, 3)],
+                              results_csv_path=None)
+
+
 def test_group_key_separates_shapes(tmp_path):
     d = tmp_path / "k"
     d.mkdir()
@@ -129,6 +176,8 @@ def test_group_key_separates_shapes(tmp_path):
     b = _params(d, 4)
     c = _params(d, 1, block_size=16, search_range=4)
     e = _params(d, 1, fastME=True)
+    f = _params(d, 1, I_Period=1)
     assert _group_key(a) == _group_key(b)
+    assert _group_key(a) == _group_key(f)  # I_Period rides the mixed lane
     assert _group_key(a) != _group_key(c)
     assert _group_key(a) != _group_key(e)
