@@ -13,9 +13,8 @@ are vmapped into ONE chunk program.  Two batched axes exist:
   fetch round — the RD-sweep/ablation drivers' case.
 * **Multi-stream serving** (different ``y_only_file``s, same shapes): each
   config carries its own frame batch (``in_axes=0``) — N independent
-  sequences encode concurrently on one chip.  Input packing is skipped
-  (packed buffers have content-dependent lengths that cannot stack); raw
-  uploads ride the cheap h2d direction.
+  sequences encode concurrently on one chip, with per-stream packed
+  uploads (the pack buffer is fixed-size, so streams stack).
 
 The batch lane reuses the serial pipeline's machinery end-to-end: the same
 chunk programs (models/chunk.py) under ``jax.vmap``, the same compact
@@ -240,7 +239,12 @@ def _encode_group(runs, results_csv_path):
         wq.append(writer.submit(_resolve_and_write, c, f, dispatch_dt))
 
     fin_pool = ThreadPoolExecutor(max_workers=4)
-    rebuilders = [_ReconRebuilder(ec, ph, pw, fin_pool) for ec in ecs]
+    # ONE ordered rebuild worker shared by all configs: C private workers
+    # on the one-core host only thrash the GIL (measured: 8-stream batched
+    # ran 0.75x serial with per-config workers)
+    rebuild_pool = ThreadPoolExecutor(max_workers=1)
+    rebuilders = [_ReconRebuilder(ec, ph, pw, fin_pool, pool=rebuild_pool)
+                  for ec in ecs]
     overflow_frames = [0]
 
     row_qps = jnp.asarray(np.stack([
@@ -399,15 +403,21 @@ def _encode_group(runs, results_csv_path):
                              else np.stack([_stack(r) for r in raws]))
             pshape = None
             ubuf = None
-            if upack and shared:
-                # multi-stream skips input packing: per-stream packed
-                # buffers have content-dependent lengths that cannot stack;
-                # raw uploads ride the cheap h2d direction (~190 MB/s)
+            if upack:
+                # the packed upload buffer is fixed-size (nibbles + escape
+                # cap), so multi-stream packs per stream and stacks; any
+                # escape-heavy stream falls the whole chunk back to raw
                 from ..entropy.native import pack_input_frames
 
                 with _stage("prep: input pack"):
-                    ubuf = pack_input_frames(
-                        frames_np, PK.input_esc_cap(ph, pw))
+                    if shared:
+                        ubuf = pack_input_frames(
+                            frames_np, PK.input_esc_cap(ph, pw))
+                    else:
+                        bufs_in = [pack_input_frames(
+                            f, PK.input_esc_cap(ph, pw)) for f in frames_np]
+                        if all(b is not None for b in bufs_in):
+                            ubuf = np.stack(bufs_in)
             with _stage("dispatch: h2d asarray"):
                 fr_dev = jnp.asarray(
                     ubuf if ubuf is not None else frames_np)
@@ -466,6 +476,7 @@ def _encode_group(runs, results_csv_path):
         finally:
             for r in rebuilders:
                 r.shutdown()
+            rebuild_pool.shutdown(wait=True)
             fin_pool.shutdown(wait=True)
             writer.shutdown(wait=True)
             for s in sinks:

@@ -353,11 +353,16 @@ class _ReconRebuilder:
     ~2 ms per CIF block-8 frame — it was the end-to-end critical path once
     transfers shrank and the Pallas walk removed the device bottleneck."""
 
-    def __init__(self, ec, h, w, prep_pool):
+    def __init__(self, ec, h, w, prep_pool, pool=None):
+        """``pool``: optionally share ONE ordered worker across rebuilders
+        (the batch lane runs C configs on a one-core host — C private
+        workers just thrash the GIL; per-config rebuild order is preserved
+        because each config's frames are submitted in order)."""
         from concurrent.futures import ThreadPoolExecutor
 
         self.ec = ec
-        self.pool = ThreadPoolExecutor(max_workers=1)
+        self._own_pool = pool is None
+        self.pool = pool if pool is not None else ThreadPoolExecutor(max_workers=1)
         self.prep_pool = prep_pool
         self.hist: deque = deque([np.full((h, w), 128, np.uint8)],
                                  maxlen=ec.nRefFrames)
@@ -373,7 +378,8 @@ class _ReconRebuilder:
                                 r_full)
 
     def shutdown(self):
-        self.pool.shutdown(wait=True)
+        if self._own_pool:
+            self.pool.shutdown(wait=True)
 
 
 def _finalize_compact(index, curr, f, ec, rebuilt, a_full=None) -> _Finalized:

@@ -61,8 +61,10 @@ def main():
         encode_videos_batched(warm, results_csv_path=None)
         print(f"warm batched: {time.time() - t0:.1f}s", flush=True)
         t0 = time.time()
-        for p in warm:
+        for i, p in enumerate(warm):
             encode_video(p, results_csv_path=None)
+            print(f"warm serial {i + 1}/{len(warm)}: "
+                  f"{time.time() - t0:.1f}s", flush=True)
         print(f"warm serial : {time.time() - t0:.1f}s", flush=True)
 
         n_cells = len(cells(os.path.join(tmp, "serial")))

@@ -165,6 +165,39 @@ class TestShardedEncodeVideo:
         dec = np.fromfile(ios["sharded"].get_mc_decoded_file_name(), np.uint8)
         assert np.array_equal(rec, dec)
 
+    def test_rc3_long_gop_spans_chunks(self, tmp_path, monkeypatch):
+        """An RC3 GOP longer than MAX_CHUNK exercises the speculative
+        pipeline's continuation-chunk path (parallel/rc_gop.py: the rolling
+        reference stack and prev-avg chain carry ON DEVICE between a GOP's
+        chunks) — still byte-identical to serial."""
+        import filecmp
+
+        from basic_video_codec_tpu.config import InputParameters
+        from basic_video_codec_tpu.io.fileio import FileIOHelper
+        from basic_video_codec_tpu.models import pipeline
+        from basic_video_codec_tpu.models.pipeline import encode_video
+
+        monkeypatch.setattr(pipeline, "MAX_CHUNK", 5)
+        W, H, N = 176, 144, 16  # I_Period 7 -> chunks 5+2 inside each GOP
+        y = ygen.camera_sequence(W, H, N, seed=9, cut_at=9)
+        base = dict(block_size=16, search_range=2, I_Period=7,
+                    quantization_factor=5, RCflag=3, targetBR=480_000,
+                    resolution=(W, H))
+        ios = {}
+        for sub, par in (("serial", 0), ("sharded", 8)):
+            d = tmp_path / sub
+            d.mkdir()
+            ygen.write_y_file(str(d / "t.y"), y)
+            ec = EncoderConfig(**base, parallel_gops=par)
+            p = InputParameters(str(d / "t.y"), W, H, ec, frames_to_process=N)
+            encode_video(p, results_csv_path=None)
+            ios[sub] = FileIOHelper(p, create_dirs=False)
+        for get in ("get_encoded_file_name", "get_mc_reconstructed_file_name",
+                    "get_mv_file_name"):
+            assert filecmp.cmp(getattr(ios["serial"], get)(),
+                               getattr(ios["sharded"], get)(),
+                               shallow=False), get
+
 
 class TestGopParallel:
     def test_encode_gop_self_consistent(self):
