@@ -274,9 +274,13 @@ def _encode_group(runs, results_csv_path):
             other = [max(h) for h in tail_stats.values() if h]
             hist = [max(other) * 1.25] if other else None
         if hist:
-            est = int(max(hist) * n_frames * 1.10) + 2048
+            est = int(max(hist) * n_frames * 1.25) + 4096
         else:
-            est = n_frames * PK.tail_pool_cap(layout) // 5
+            # no history anywhere: a shortfall here stalls EVERY config in
+            # the group on one synchronous top-up round (measured 0.45-1.4 s
+            # on the tunnel), while over-fetching costs only its own wire
+            # bytes — so the cold estimate is half the worst-case pool
+            est = n_frames * PK.tail_pool_cap(layout) // 2
         sl = fused[: min(fused.shape[0], base + _bucket(est))]
         sl.copy_to_host_async()
         return sl
@@ -329,54 +333,67 @@ def _encode_group(runs, results_csv_path):
 
     def fetch_round():
         indices, currs, kind, dev, pres = pending.popleft()
-        with _stage("fetch (device_get)"):
-            bufs = jax.device_get(pres)
         k = len(indices)
         base = k * layout.total
-        parsed = []
-        if tail_mode:
-            # parse every config's heads first so prediction shortfalls can
-            # top up in ONE batched device_get (each separate late fetch
-            # costs a full relay round trip)
-            shortfall = []
-            for c in range(C):
-                heads = bufs[c][:base].reshape(k, layout.total)
-                sizes = [sum(layout.tail_sizes(*layout.head_counts(heads[i])))
-                         for i in range(k)]
-                segs = np.cumsum([0] + sizes)
-                total = int(segs[-1])
-                tail_stats.setdefault((c, kind), deque(maxlen=4)).append(
-                    total / max(k, 1))
-                tail_np = bufs[c][base : base + total]
-                parsed.append([heads, segs, tail_np])
-                if tail_np.size < total:
-                    shortfall.append((c, total))
-            if shortfall:
-                with _stage("fetch (late top-up)"):
-                    lates = jax.device_get([
-                        dev[4][c][: min(base + _bucket(t),
-                                        dev[4][c].shape[0])]
-                        for c, t in shortfall])
-                for (c, total), late in zip(shortfall, lates):
-                    parsed[c][2] = late[base : base + total]
-        else:
-            parsed = [(bufs[c].reshape(k, layout.total), None,
-                       np.zeros(0, np.uint8)) for c in range(C)]
+        # fetch + submit config-BY-config: each device_get waits only for
+        # that config's async copy, so host rebuild/finalize of config c
+        # overlaps the remaining configs' wire time (one grouped device_get
+        # across all C configs serialized the whole round's backlog in
+        # front of any host work).  Prediction shortfalls are deferred and
+        # topped up in ONE batched device_get at the end of the round.
+        shortfall = []
         for c in range(C):
-            submit_frames(c, kind, dev, parsed[c], indices,
+            with _stage("fetch (device_get)"):
+                buf = jax.device_get(pres[c])
+            if not tail_mode:
+                submit_frames(c, kind, dev,
+                              (buf.reshape(k, layout.total), None,
+                               np.zeros(0, np.uint8)),
+                              indices, currs if shared else currs[c])
+                continue
+            heads = buf[:base].reshape(k, layout.total)
+            sizes = [sum(layout.tail_sizes(*layout.head_counts(heads[i])))
+                     for i in range(k)]
+            segs = np.cumsum([0] + sizes)
+            total = int(segs[-1])
+            tail_stats.setdefault((c, kind), deque(maxlen=4)).append(
+                total / max(k, 1))
+            tail_np = buf[base : base + total]
+            if tail_np.size < total:
+                shortfall.append((c, heads, segs, total))
+                continue
+            submit_frames(c, kind, dev, (heads, segs, tail_np), indices,
                           currs if shared else currs[c])
+        if shortfall:
+            with _stage("fetch (late top-up)"):
+                # the heads region [0, base) already landed; fetch only the
+                # missing pool bytes
+                lates = jax.device_get([
+                    dev[4][c][base : min(base + _bucket(t),
+                                         dev[4][c].shape[0])]
+                    for c, _, _, t in shortfall])
+            for (c, heads, segs, total), late in zip(shortfall, lates):
+                submit_frames(c, kind, dev, (heads, segs, late[:total]),
+                              indices, currs if shared else currs[c])
 
     n_read = 0
     truncated_tail = 0
     paths = [os.path.abspath(p.y_only_file) for p in runs]
     shared = len(set(paths)) == 1
+    # keep the dispatch pipeline filled on SHORT runs: one chunk serializes
+    # upload -> device -> wire -> host finalize with zero overlap (the sweep
+    # drivers encode 10-frame cells, which fit MAX_CHUNK whole).  Split into
+    # ~DEPTH+2 near-equal chunks — at most two distinct sizes, since every
+    # distinct chunk length is its own (expensively) compiled program.
+    cap = int(os.environ.get("BVC_BATCH_CHUNK", "0")) or max(
+        2, min(MAX_CHUNK, -(-n_total // (DEPTH + 2))))
     fins = []
     try:
         fins = [open(paths[0], "rb")] if shared else [
             open(pth, "rb") for pth in paths]
         while n_read < n_total:
-            k = (min(MAX_CHUNK, n_total - n_read) if intra_only or mixed
-                 else min(MAX_CHUNK, ec0.I_Period - n_read % ec0.I_Period,
+            k = (min(cap, n_total - n_read) if intra_only or mixed
+                 else min(cap, ec0.I_Period - n_read % ec0.I_Period,
                           n_total - n_read))
             raws = [f.read(y_size * k) for f in fins]
             counts = {len(r) // y_size for r in raws}
@@ -390,6 +407,13 @@ def _encode_group(runs, results_csv_path):
                 break
 
             def _stack(raw):
+                if (ph, pw) == (runs[0].height, runs[0].width):
+                    # aligned resolution: one zero-copy view per stream
+                    # (per-frame pad_frame+np.stack cost ~200 ms/chunk of
+                    # main-thread time at C=8 under GIL contention)
+                    return np.frombuffer(
+                        raw, np.uint8, count=n_frames * y_size
+                    ).reshape(n_frames, ph, pw)
                 return np.stack([
                     pad_frame(np.frombuffer(
                         raw[i * y_size : (i + 1) * y_size], np.uint8

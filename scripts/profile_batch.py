@@ -25,7 +25,8 @@ from basic_video_codec_tpu.utils import compcache
 
 compcache.enable()
 
-logging.disable(logging.INFO)
+if os.environ.get("BVC_PROFILE", "0") == "0":
+    logging.disable(logging.INFO)  # keep INFO for the BVC_PROFILE stage tables
 
 W, H, N = 352, 288, 10
 QPS = {8: [0, 3, 6, 9], 16: [1, 4, 7, 10]}

@@ -33,8 +33,13 @@ def main():
     ap.add_argument("--bs", type=int, default=8)
     ap.add_argument("--qp", type=int, default=5)
     ap.add_argument("--iperiod", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--profile", action="store_true",
+                    help="keep INFO logging so BVC_PROFILE=1 stage tables "
+                         "from the batch lane and serial passes print")
     args = ap.parse_args()
-    logging.disable(logging.INFO)
+    if not args.profile:
+        logging.disable(logging.INFO)
     S, N = args.streams, args.frames
 
     tmp = tempfile.mkdtemp(prefix="bvc_streams_")
@@ -64,7 +69,7 @@ def main():
         encode_video(warm_s[0], results_csv_path=None)
         print(f"warm serial : {time.time() - t0:.1f}s", flush=True)
 
-        for rep in range(2):
+        for rep in range(args.reps):
             serial = mk(f"s{rep}")
             t0 = time.time()
             for p in serial:
