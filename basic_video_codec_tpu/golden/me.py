@@ -77,8 +77,8 @@ def full_search(curr_block, origin, reference_frames, interpolated_reference_fra
     bs = ec.block_size
     if reference_frames[0].shape[0] < bs or reference_frames[0].shape[1] < bs:
         raise ValueError(
-            f"width [{reference_frames[0].shape[1]}] or height "
-            f"[{reference_frames[0].shape[0]}] of given block  < block_size [{bs}]"
+            f"reference frame {reference_frames[0].shape} is smaller than "
+            f"one block (block_size={bs}); cannot run motion search"
         )
 
     curr = curr_block.astype(np.int64)

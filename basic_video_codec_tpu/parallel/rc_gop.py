@@ -10,9 +10,17 @@ function of (its frames, one int32 seed).
 
 This module runs whole GOPs one-per-device, *speculatively*:
 
-* each GOP dispatches immediately to its device with a PREDICTED seed (the
-  most recently realized average, or the config-derived seed before any is
-  known);
+* each GOP dispatches immediately to its device with a PREDICTED seed: the
+  newest landed exit scalar among in-flight GOPs (polled non-blockingly —
+  the 4-byte copies start at dispatch), else the last drained realized
+  average, else the RC-table/budget fixed point (the lowest table QP whose
+  'I' row bits fit an equal-share row budget — the value the second pass
+  converges to, reference RateControl.py:34-43);
+* when spare devices exist, the GOP ALSO dispatches with a second seed one
+  step in the last observed drift direction (default +1: the exit carry
+  ``int(mean(rows)-0.1)+1`` truncates upward as soon as two rows pick one
+  QP higher), so either variant can be promoted at drain time
+  (``BVC_DUAL_SEED=0`` disables);
 * when GOP g-1's realized scalar lands (a 4-byte async fetch) the
   prediction is checked.  Hit: the outputs are exact — the program is the
   identical serial two-pass chunk program
@@ -51,15 +59,17 @@ logger = get_logger()
 
 class _GopRec:
     __slots__ = ("g", "dev_idx", "seed", "confirmed", "chunks", "avg_out",
-                 "inputs", "dispatch_dt", "n_frames")
+                 "inputs", "dispatch_dt", "n_frames", "pred", "alt")
 
-    def __init__(self, g, dev_idx):
+    def __init__(self, g):
         self.g = g
-        self.dev_idx = dev_idx
+        self.dev_idx = None
         self.chunks = []   # [(indices, frames_np, dev_out)]
         self.inputs = []   # [(indices, frames_np, ubuf, pshape, first_is_intra)]
         self.dispatch_dt = 0.0
         self.n_frames = 0
+        self.pred = None   # the speculative seed this GOP first dispatched with
+        self.alt = None    # (dev_idx, seed, chunks, avg_out) second-seed run
 
 
 def run_two_pass_sharded(params, ec, f_in, tbl_np, write_out):
@@ -131,23 +141,42 @@ def run_two_pass_sharded(params, ec, f_in, tbl_np, write_out):
 
     fin_pool = ThreadPoolExecutor(max_workers=4)
     inflight: deque = deque()
+    free_devs: deque = deque(range(D))
     overflow_frames = [0]
     miss_count = [0]
-    seed0 = int(_prev_avg_qp([ec.quantization_factor], ec))
-    chain_avg = [seed0]   # realized average entering the next undrained GOP
-    next_pred = [seed0]   # predictor for speculative dispatches
+    alt_hits = [0]
+    seed_trace = []  # (gop, predicted seed, true seed) for speculative GOPs
+    dual = D > 1 and os.environ.get("BVC_DUAL_SEED", "1") != "0"
 
-    def _dispatch(rec: _GopRec, seed: int):
-        """(Re-)run every chunk of one GOP on its device, chained on-device
-        within the GOP; the artifact buffers and the final average-QP scalar
-        start their d2h copies immediately (speculative prefetch)."""
+    # Cold-start prediction from the same RC-table/budget math the device
+    # runs (reference RateControl.py:34-43 with the always-'I' quirk,
+    # Frame.py:169): the converged second-pass row QP is the lowest table QP
+    # whose expected 'I' row bits fit an equal-share per-row budget.  The
+    # GOP-exit carry ``int(mean(rows) - 0.1) + 1`` (IFrame.py:35) then lands
+    # on that QP (uniform rows) or one above (>=2 rows one QP higher tip the
+    # truncation) — the dual-seed dispatch below covers both.
+    qps_np, bits_np = np.asarray(tbl_np[0]), np.asarray(tbl_np[1])
+    row_budget = bit_budget_per_frame(ec) / max(nbr_total, 1)
+    _fit = np.nonzero(bits_np <= row_budget)[0]
+    qp_star = int(qps_np[_fit[0]] if _fit.size else qps_np[-1])
+    qp_lo, qp_hi = int(qps_np[0]), int(qps_np[-1])
+
+    seed0 = int(_prev_avg_qp([ec.quantization_factor], ec))
+    chain_avg = [seed0]    # realized average entering the next undrained GOP
+    next_pred = [qp_star]  # predictor for speculative dispatches
+    last_drift = [1]       # direction of the last exit-vs-entry change
+
+    def _run_gop(rec: _GopRec, dev_idx: int, seed: int):
+        """Run every chunk of one GOP on one device, chained on-device within
+        the GOP; the artifact buffers and the final average-QP scalar start
+        their d2h copies immediately (speculative prefetch).  Returns
+        ``(chunks, avg_out)``."""
         t0 = time.time()
-        c = consts[rec.dev_idx]
-        d = devices[rec.dev_idx]
+        c = consts[dev_idx]
+        d = devices[dev_idx]
         ref, hp, nv = c["refs0"], c["hps0"], c["nv0"]
         prev = jax.device_put(np.int32(seed), d)
-        rec.seed = seed
-        rec.chunks = []
+        chunks = []
         for indices, frames_np, ubuf, pshape, fii in rec.inputs:
             with _stage("dispatch: h2d asarray"):
                 fr = jax.device_put(ubuf if ubuf is not None else frames_np, d)
@@ -158,19 +187,38 @@ def run_two_pass_sharded(params, ec, f_in, tbl_np, write_out):
                 compact=True, int8q=int8q, mv8=mv8, q4=q4, tail=False,
                 packed_shape=pshape, qfrac=qfrac)
             dev[4].copy_to_host_async()
-            rec.chunks.append((indices, frames_np, dev))
+            chunks.append((indices, frames_np, dev))
         prev.copy_to_host_async()
-        rec.avg_out = prev
         rec.dispatch_dt += time.time() - t0
+        return chunks, prev
+
+    def _refresh_pred():
+        """Non-blocking predictor refresh: the newest in-flight GOP whose exit
+        scalar has already landed is a better guess than the last drained one
+        (exact whenever that GOP's own entry seed was right — the common
+        case).  Never waits; worst case the previous prediction stands."""
+        for r in reversed(inflight):
+            if r.avg_out.is_ready():
+                next_pred[0] = int(jax.device_get(r.avg_out))
+                return
 
     def drain_one():
         rec = inflight.popleft()
         if not rec.confirmed:
             # chain_avg now holds GOP g-1's realized average (set when it
-            # drained); a mispredicted GOP re-runs with the true seed
-            if rec.seed != chain_avg[0]:
-                miss_count[0] += 1
-                _dispatch(rec, chain_avg[0])
+            # drained); a mispredicted GOP re-runs with the true seed unless
+            # its dual-seed twin already ran with it
+            true_seed = chain_avg[0]
+            seed_trace.append((rec.g, rec.pred, true_seed))
+            if rec.seed != true_seed:
+                if rec.alt is not None and rec.alt[1] == true_seed:
+                    alt_hits[0] += 1
+                    rec.alt, (rec.dev_idx, rec.seed, rec.chunks, rec.avg_out) = (
+                        (rec.dev_idx, rec.seed, rec.chunks, rec.avg_out), rec.alt)
+                else:
+                    miss_count[0] += 1
+                    rec.chunks, rec.avg_out = _run_gop(rec, rec.dev_idx, true_seed)
+                    rec.seed = true_seed
             rec.confirmed = True
         per_frame_dt = rec.dispatch_dt / max(rec.n_frames, 1)
         hist: deque = deque([gray], maxlen=R)
@@ -197,8 +245,14 @@ def run_two_pass_sharded(params, ec, f_in, tbl_np, write_out):
                                       frames_np[k], f, ec, rebuilt, a_full)
                 write_out(fut, per_frame_dt)
         realized = int(jax.device_get(rec.avg_out))
+        if realized != chain_avg[0]:
+            last_drift[0] = 1 if realized > chain_avg[0] else -1
         chain_avg[0] = realized
         next_pred[0] = realized
+        free_devs.append(rec.dev_idx)
+        if rec.alt is not None:
+            free_devs.append(rec.alt[0])
+            rec.alt = None
 
     n_read = 0
     truncated_tail = 0
@@ -206,7 +260,7 @@ def run_two_pass_sharded(params, ec, f_in, tbl_np, write_out):
     try:
         while n_read < N:
             # read one whole GOP (<= I_Period frames), split into chunks
-            rec = _GopRec(g, g % D)
+            rec = _GopRec(g)
             gop_len = min(I, N - n_read)
             got = 0
             while got < gop_len:
@@ -239,18 +293,27 @@ def run_two_pass_sharded(params, ec, f_in, tbl_np, write_out):
             if got == 0:
                 break
             rec.n_frames = got
+            while not free_devs:
+                drain_one()
+            rec.dev_idx = free_devs.popleft()
             if not inflight:
                 # every prior GOP drained: the chain value is exact
                 rec.confirmed = True
-                _dispatch(rec, chain_avg[0])
+                rec.seed = chain_avg[0]
+                rec.chunks, rec.avg_out = _run_gop(rec, rec.dev_idx, rec.seed)
             else:
+                _refresh_pred()
                 rec.confirmed = False
-                _dispatch(rec, next_pred[0])
+                rec.pred = rec.seed = next_pred[0]
+                rec.chunks, rec.avg_out = _run_gop(rec, rec.dev_idx, rec.seed)
+                alt_seed = min(max(rec.seed + last_drift[0], qp_lo), qp_hi)
+                if dual and alt_seed != rec.seed and free_devs:
+                    alt_dev = free_devs.popleft()
+                    alt_chunks, alt_avg = _run_gop(rec, alt_dev, alt_seed)
+                    rec.alt = (alt_dev, alt_seed, alt_chunks, alt_avg)
             inflight.append(rec)
             n_read += got
             g += 1
-            while len(inflight) >= D:
-                drain_one()
             if truncated_tail or got < gop_len:
                 break
         while inflight:
@@ -265,12 +328,14 @@ def run_two_pass_sharded(params, ec, f_in, tbl_np, write_out):
         _pl.LAST_RUN_STATS.clear()
         _pl.LAST_RUN_STATS.update(overflow_frames=overflow_frames[0],
                                   frames=n_read, rc_seed_misses=miss_count[0],
-                                  gops=g)
+                                  gops=g, rc_seed_trace=seed_trace,
+                                  rc_alt_hits=alt_hits[0])
         if n_read and overflow_frames[0] > max(n_read // 50, 2):
             logger.warning(
                 f"compact-transfer overflow on {overflow_frames[0]}/{n_read} "
                 f"frames (sharded RC path)")
-        if miss_count[0]:
+        if miss_count[0] or alt_hits[0]:
             logger.info(
                 f"speculative RC pipeline: {miss_count[0]}/{g} GOP seed "
-                f"mispredictions (each cost one re-dispatch)")
+                f"mispredictions (each cost one re-dispatch), "
+                f"{alt_hits[0]} dual-seed saves")

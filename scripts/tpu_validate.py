@@ -14,6 +14,11 @@ the XLA paths; the Pallas kernels compile differently on the real chip
    golden NumPy oracle, and decode == encoder reconstruction.
 4. A 720p smoke encode/decode (decode == recon) — the compact-transfer
    caps and kernels at a production-ish resolution.
+5. Batch lane (models/batch.py) on the real chip: batched-vs-serial
+   byte-identity under ``exact_transform`` for one QP group and one
+   mixed-I_Period group, and the float-mode PSNR/bits tolerance check
+   (vmapped float32-DCT HLO is its own ±1-edge class, PARITY.md
+   divergence 6, so float mode asserts tolerances, not bytes).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/tpu_validate.py
 Exits non-zero on any mismatch.  Takes a few minutes (compiles).
@@ -151,9 +156,100 @@ def smoke_720p():
     check(np.array_equal(rec, dec), "720p smoke decode == encoder recon")
 
 
+def batch_lane():
+    """Batched-vs-serial on the real chip (VMEM/Mosaic/HLO differ from the
+    CPU mesh the tests run on): byte-identity in exact mode, PSNR/bits
+    tolerance in float mode."""
+    import csv
+
+    from basic_video_codec_tpu.config import EncoderConfig, InputParameters
+    from basic_video_codec_tpu.io.fileio import FileIOHelper
+    from basic_video_codec_tpu.models.batch import encode_videos_batched
+    from basic_video_codec_tpu.models.pipeline import encode_video
+    from basic_video_codec_tpu.tools import ygen
+
+    W, H, N = 352, 288, 8
+    tmp = tempfile.mkdtemp(prefix="bvc_batch_")
+    y = ygen.moving_sequence(W, H, N, seed=13)
+
+    def params(sub, qp, **cfg):
+        d = os.path.join(tmp, sub)
+        os.makedirs(d, exist_ok=True)
+        yp = os.path.join(d, "t.y")
+        if not os.path.exists(yp):
+            ygen.write_y_file(yp, y)
+        base = dict(block_size=16, search_range=2, I_Period=4,
+                    quantization_factor=qp, resolution=(W, H))
+        base.update(cfg)
+        return InputParameters(yp, W, H, EncoderConfig(**base),
+                               frames_to_process=N)
+
+    def metrics_rows(p):
+        io = FileIOHelper(p, create_dirs=False)
+        with open(io.get_metrics_csv_file_name()) as f:
+            return list(csv.reader(f))[1:]
+
+    # (a) exact-transform QP group: byte identity
+    qps = [3, 6]
+    res = encode_videos_batched(
+        [params("b_exact", q, exact_transform=True) for q in qps],
+        results_csv_path=None)
+    check(res.n_batched == 1, "batch lane: exact QP group vmapped")
+    for q in qps:
+        encode_video(params("s_exact", q, exact_transform=True),
+                     results_csv_path=None)
+        bio = FileIOHelper(params("b_exact", q, exact_transform=True),
+                           create_dirs=False)
+        sio = FileIOHelper(params("s_exact", q, exact_transform=True),
+                           create_dirs=False)
+        for get in ("get_encoded_file_name", "get_mc_reconstructed_file_name",
+                    "get_quant_dct_coff_fh_file_name", "get_mv_file_name"):
+            check(filecmp.cmp(getattr(bio, get)(), getattr(sio, get)(),
+                              shallow=False),
+                  f"batch exact qp={q}: {get} byte-identical to serial")
+
+    # (b) mixed-I_Period exact group (the runtime-mode chunk program)
+    mixed = [params("b_mixed", 4, I_Period=ip, exact_transform=True)
+             for ip in (2, 4)]
+    res = encode_videos_batched(mixed, results_csv_path=None)
+    check(res.n_batched == 1, "batch lane: mixed-I_Period group vmapped")
+    for ip in (2, 4):
+        encode_video(params("s_mixed", 4, I_Period=ip, exact_transform=True),
+                     results_csv_path=None)
+        bio = FileIOHelper(params("b_mixed", 4, I_Period=ip,
+                                  exact_transform=True), create_dirs=False)
+        sio = FileIOHelper(params("s_mixed", 4, I_Period=ip,
+                                  exact_transform=True), create_dirs=False)
+        check(filecmp.cmp(bio.get_encoded_file_name(),
+                          sio.get_encoded_file_name(), shallow=False),
+              f"batch mixed I_Period={ip}: bitstream byte-identical")
+
+    # (c) float-mode QP group: vmapped float32-DCT HLO is a distinct ±1-edge
+    # class (PARITY.md divergence 6) — assert PSNR within 0.2 dB and frame
+    # bytes within 2% of the serial run, per frame
+    res = encode_videos_batched(
+        [params("b_float", q) for q in qps], results_csv_path=None)
+    check(res.n_batched == 1, "batch lane: float QP group vmapped")
+    for q in qps:
+        encode_video(params("s_float", q), results_csv_path=None)
+        rb = metrics_rows(params("b_float", q))
+        rs = metrics_rows(params("s_float", q))
+        check(len(rb) == len(rs) == N, f"batch float qp={q}: row count")
+        for fb, fs in zip(rb, rs):
+            dpsnr = abs(float(fb[4]) - float(fs[4]))
+            dbytes = abs(int(fb[5]) - int(fs[5])) / max(int(fs[5]), 1)
+            check(dpsnr <= 0.2 and dbytes <= 0.02,
+                  f"batch float qp={q} frame {fb[0]}: PSNR Δ{dpsnr:.3f} dB, "
+                  f"bytes Δ{dbytes * 100:.2f}%")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     fastme_parity()
     fullsearch_parity()
     deliverable_golden()
     smoke_720p()
+    batch_lane()
     print("ALL HARDWARE CHECKS PASSED")
