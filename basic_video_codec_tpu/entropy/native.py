@@ -57,6 +57,10 @@ def _load():
         lib.bvc_decode_dct_blocks.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        lib.bvc_decode_dct_plane.restype = ctypes.c_int64
+        lib.bvc_decode_dct_plane.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
         lib.bvc_encode_dct_plane.restype = ctypes.c_int64
         lib.bvc_encode_dct_plane.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -124,7 +128,7 @@ def _load():
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
-        assert lib.bvc_version() == 9
+        assert lib.bvc_version() == 10
         _lib = lib
     except Exception as e:  # missing compiler, load failure -> NumPy fallback
         logger.warning(f"native entropy codec unavailable ({e}); using NumPy fallback")
@@ -237,6 +241,28 @@ def pack_input_frames(frames: np.ndarray, cap: int) -> np.ndarray | None:
         if ne > cap:
             return None
     return np.concatenate([nibs.reshape(-1), escs.view(np.uint8).reshape(-1)])
+
+
+def decode_dct_plane(data: np.ndarray, nbits: int, h: int, w: int, bs: int,
+                     zz: np.ndarray, eob: int) -> np.ndarray:
+    """Devbits dct bitstream bytes -> int16 qdct plane (exp-Golomb + RLE
+    expansion + inverse zigzag in one native pass).  ``data`` is a uint8
+    array of at least ``ceil(nbits/8)`` bytes."""
+    buf = np.ascontiguousarray(data, np.uint8)
+    lib = _load()
+    if lib is not None:
+        out = np.zeros((h, w), np.int16)
+        lib.bvc_decode_dct_plane(
+            buf.ctypes.data, nbits, h, w, bs,
+            np.ascontiguousarray(zz, np.int64).ctypes.data, eob,
+            out.ctypes.data)
+        return out
+    nbr, nbc = h // bs, w // bs
+    scans = decode_dct_scans(buf.tobytes(), nbr * nbc, bs * bs, eob)
+    blocks = np.zeros((nbr * nbc, bs * bs), np.int16)
+    blocks[:, np.asarray(zz, np.int64)] = scans.astype(np.int16)
+    return (blocks.reshape(nbr, nbc, bs, bs).swapaxes(1, 2)
+            .reshape(h, w))
 
 
 def decode_dct_scans(data: bytes, n_blocks: int, scan_len: int, eob: int) -> np.ndarray:

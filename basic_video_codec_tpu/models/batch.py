@@ -120,7 +120,8 @@ def encode_videos_batched(runs, results_csv_path: str | None = "results.csv"):
 def _batch_fn(kind: str, bs: int, search_range: int, fast: bool,
               frac: bool, exact: bool, int8q: bool, mv8: bool, q4: bool,
               tail: bool, packed_shape: tuple | None, qfrac: tuple | None,
-              first_is_intra: bool, shared_input: bool = True):
+              first_is_intra: bool, shared_input: bool = True,
+              devb: bool = False):
     """Jitted vmap of the serial chunk program over the config axis: frames
     (and the RC scalars, unused at RCflag 0) broadcast when every config
     encodes the same stream (``shared_input``), batched otherwise
@@ -132,21 +133,21 @@ def _batch_fn(kind: str, bs: int, search_range: int, fast: bool,
             return encode_chunk_intra_only(
                 frames, row_qps, budget0, tblq, tblb, iqp, bs, False,
                 exact=exact, compact=True, int8q=int8q, q4=q4, tail=tail,
-                packed_shape=packed_shape, qfrac=qfrac)
+                packed_shape=packed_shape, qfrac=qfrac, devb=devb)
     elif kind == "mixed":
         def one(frames, ref, hp, is_i, row_qps, iqp, budget0, tblq, tblb):
             return encode_chunk_mixed(
                 frames, ref, hp, is_i, row_qps, budget0, tblq, tblb, iqp,
                 bs, search_range, False, fast, frac, exact=exact,
                 compact=True, int8q=int8q, mv8=mv8, q4=q4, tail=tail,
-                packed_shape=packed_shape, qfrac=qfrac)
+                packed_shape=packed_shape, qfrac=qfrac, devb=devb)
     else:
         def one(frames, ref, hp, is_i, row_qps, iqp, budget0, tblq, tblb):
             return encode_chunk(
                 frames, ref, hp, row_qps, budget0, tblq, tblb, iqp, bs,
                 search_range, False, fast, frac, first_is_intra, exact=exact,
                 compact=True, int8q=int8q, mv8=mv8, q4=q4, tail=tail,
-                packed_shape=packed_shape, qfrac=qfrac)
+                packed_shape=packed_shape, qfrac=qfrac, devb=devb)
 
     vm = jax.vmap(one, in_axes=(None if shared_input else 0,
                                 0, 0, 0, 0, 0, None, None, None))
@@ -198,19 +199,24 @@ def _encode_group(runs, results_csv_path):
     vbytes = 1 if int8q else 2
     tail_mode = os.environ.get("BVC_TAIL", "1") != "0"
     upack = os.environ.get("BVC_UPACK", "1") != "0"
+    # devbits (models/pipeline.py): the device packs the FINAL bitstreams —
+    # with C configs sharing the one-core host, deleting the per-config
+    # entropy encode is where the batch multiplier actually comes from
+    devb = tail_mode and os.environ.get("BVC_DEVBITS", "1") != "0"
     jt = q4  # encode_chunk packs with jt = q4 and not rc1; rc1 is False here
     if intra_only:
         layout = PK.FrameLayout(ph, pw, bs, vbytes, False, False, q4=q4,
-                                tail=tail_mode, qfrac=qfrac)
+                                tail=tail_mode, qfrac=qfrac, devbits=devb)
     elif mixed:
         # runtime-mode rows (mode is a traced value): every row carries both
         # mv and art fields, no joint-kind transport (pipeline "mixed" lane)
         layout = PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
                                 False, tail=tail_mode, mvk=2, mvn=mvn,
-                                qfrac=qfrac)
+                                qfrac=qfrac, devbits=devb)
     else:
         layout = PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4, jt,
-                                tail=tail_mode, mvk=2, mvn=mvn, qfrac=qfrac)
+                                tail=tail_mode, mvk=2, mvn=mvn, qfrac=qfrac,
+                                devbits=devb)
     qcap, qecap, ecap, jkcap, q4cap = (layout.capq, layout.capqe, layout.cape,
                                        layout.capk, layout.capq4)
 
@@ -280,7 +286,10 @@ def _encode_group(runs, results_csv_path):
             # the group on one synchronous top-up round (measured 0.45-1.4 s
             # on the tunnel), while over-fetching costs only its own wire
             # bytes — so the cold estimate is half the worst-case pool
-            est = n_frames * PK.tail_pool_cap(layout) // 2
+            # (devbits pool caps are ~3.5x larger worst-case bitstream
+            # buffers; scale the divisor to the same byte guess)
+            est = (n_frames * PK.tail_pool_cap(layout)
+                   // (7 if layout.devbits else 2))
         sl = fused[: min(fused.shape[0], base + _bucket(est))]
         sl.copy_to_host_async()
         return sl
@@ -316,9 +325,10 @@ def _encode_group(runs, results_csv_path):
                 d_q, d_a, d_r = d_qdcts[j], d_arts[j], d_recons[j]
             with _stage("overflow fallback fetch"):
                 jover = f["jn"] > jkcap
-                q_full = (jax.device_get(d_q)
-                          if f["qt"] > qcap or f["qn"] > qecap
-                          or f["qn4"] > q4cap else None)
+                q_over = (not PK.devbits_ok(f) if layout.devbits
+                          else (f["qt"] > qcap or f["qn"] > qecap
+                                or f["qn4"] > q4cap))
+                q_full = jax.device_get(d_q) if q_over else None
                 a_full = (jax.device_get(d_a)
                           if int(f["meta"][0]) == INTER
                           and (f["an"] > ecap or jover) else None)
@@ -462,7 +472,7 @@ def _encode_group(runs, results_csv_path):
             fn = _batch_fn(fnkind, bs, max(ec0.search_range, 0),
                            ec0.fastME, frac, exact, int8q, mv8, q4,
                            tail_mode, pshape, qfrac,
-                           first_is_intra, shared_input=shared)
+                           first_is_intra, shared_input=shared, devb=devb)
             out = fn(fr_dev, refs, hps, is_i, row_qps, iqps, budget0,
                      tbl[0], tbl[1])
             if intra_only:

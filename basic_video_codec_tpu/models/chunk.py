@@ -27,8 +27,58 @@ def _pack_qdct_stack(qdcts, bs, vdtype, q4, cap):
     return jax.vmap(lambda q: P.pack_qdct(q, bs, cap, vdtype, q4))(qdcts)
 
 
+def _devbits_dct(qdct, bs, layout):
+    """One frame's FINAL dct bitstream packed on device (ops/bitpack.py):
+    ``(db u8 [capdb], dbits, dn)``."""
+    from ..ops import bitlen as BL
+    from ..ops import bitpack as BP
+
+    h, w = qdct.shape
+    nbr, nbc = h // bs, w // bs
+    blocks = (qdct.reshape(nbr, bs, nbc, bs).swapaxes(1, 2)
+              .reshape(nbr * nbc, bs * bs))
+    z = BL.zigzag_rows(blocks.astype(jnp.int32), bs)
+    return BP.pack_dct_bits(z, layout.capsym)
+
+
+def _devbits_pred_i(row_qps, qp0, modes, layout):
+    """Intra pred bitstream: ``(pb u8 [capp], pbits)``."""
+    from ..ops import bitpack as BP
+
+    return BP.pack_pred_bits(BP.pred_syms_intra(row_qps, qp0, modes),
+                             cap_words=layout.capp // 4)
+
+
+def _devbits_pred_p(row_qps, qp0, mv_flat, layout, nbr):
+    """Inter pred bitstream from the flat [3*nb] MV field."""
+    from ..ops import bitpack as BP
+
+    return BP.pack_pred_bits(
+        BP.pred_syms_inter(row_qps, qp0, mv_flat, nbr, layout.mvk),
+        cap_words=layout.capp // 4)
+
+
+def _devbits_pred_rt(row_qps, qp0, is_i, modes, mv_flat, layout, nbr, nbc):
+    """Runtime-mode pred bitstream: the intra symbol rows are padded to the
+    inter shape with zero-length (masked) slots, so one static shape covers
+    both modes and the packed bytes equal the unpadded stream
+    (tests/test_bitpack.py::test_pred_stream_masked_rows)."""
+    from ..ops import bitpack as BP
+
+    k = layout.mvk
+    si = BP.pred_syms_intra(row_qps, qp0, modes)            # [nbr, 1+nbc]
+    sp = BP.pred_syms_inter(row_qps, qp0, mv_flat, nbr, k)  # [nbr, 1+nbc*k]
+    si_pad = jnp.concatenate(
+        [si, jnp.zeros((nbr, nbc * (k - 1)), jnp.int32)], axis=1)
+    syms = jnp.where(is_i, si_pad, sp)
+    col = jnp.arange(1 + nbc * k, dtype=jnp.int32)
+    mask = jnp.broadcast_to(jnp.where(is_i, col < 1 + nbc, True), syms.shape)
+    return BP.pack_pred_bits(syms, mask, cap_words=layout.capp // 4)
+
+
 def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
-                     jt, tail=False, mvk=3, mvn=False, qfrac=None):
+                     jt, tail=False, mvk=3, mvn=False, qfrac=None,
+                     devb=False, initial_qp=None):
     """Shared compact-transfer epilogue: ONE packed uint8 row per frame in
     ops/pack.py FrameLayout order.  ``intra_parts`` is the chunk head's
     (recon, qdct, smalls) or None; ``p_parts`` the stacked P-frame
@@ -44,18 +94,26 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
     nb = nbr * nbc
     vdtype = jnp.int8 if int8q else jnp.int16
     layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
-                           jt, tail=tail, mvk=mvk, mvn=mvn, qfrac=qfrac)
+                           jt, tail=tail, mvk=mvk, mvn=mvn, qfrac=qfrac,
+                           devbits=devb)
     cap = layout.cape
     mvd = layout.mvd
     rows = []
     # per-segment pool-field stacks, frame order: (jk, qv, qe, jn, qt, qn,
-    # jbz, jbn, j1z, j1n, re, rn, ae, an, qe4, qn4, mvz, mn)
+    # jbz, jbn, j1z, j1n, re, rn, ae, an, qe4, qn4, mvz, mn,
+    # db, dbits, pb, pbits)
     tails = []
     zi = jnp.zeros(1, jnp.int32)
     if intra_parts is not None:
         recon_i, qdct_i, smalls_i = intra_parts
-        qp_i = P.pack_qdct(qdct_i, bs, layout.capq, vdtype, q4)
-        qv_i, ql_i, qt_i = qp_i[:3]
+        if devb:
+            db_i, dbits_i, dn_i = _devbits_dct(qdct_i, bs, layout)
+            pb_i, pbits_i = _devbits_pred_i(
+                smalls_i[2 * nb : 2 * nb + nbr], initial_qp,
+                smalls_i[:nb], layout)
+        else:
+            qp_i = P.pack_qdct(qdct_i, bs, layout.capq, vdtype, q4)
+            qv_i, ql_i, qt_i = qp_i[:3]
         meta_i, mv_z, modes_i = _meta_i(smalls_i, nb, nbr)
         if mvk == 2:
             mv_z = jnp.zeros(2 * nb, jnp.int32)
@@ -73,28 +131,48 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
         else:
             j1z_i = j1n_i = jbz_i = jbn_i = None
             codes_i = (jb_i, jk_i, jn_i)
-        rows.append(P.pack_row(
-            codes_i, re_i, rn_i, meta_i, mv_z, modes_i,
-            qv_i, ql_i, qt_i, ae_i, an_i, bs=bs, mv8=mv8, mvn=mvn,
-            qe4=qp_i[3] if q4 else None, qn4=qp_i[4] if q4 else None,
-            qe=qp_i[5] if q4 else None, qn=qp_i[6] if q4 else None,
-            tail=tail)[None])
-        tails.append((jk_i[None], qv_i[None],
-                      qp_i[5][None] if q4 else None,
-                      jn_i[None], qt_i[None],
-                      qp_i[6][None] if q4 else zi,
-                      jbz_i[None] if tail else None,
-                      jbn_i[None] if tail else None,
-                      j1z_i[None] if tail else None,
-                      j1n_i[None] if tail else None,
-                      re_i[None], rn_i[None], ae_i[None], an_i[None],
-                      qp_i[3][None] if q4 else None,
-                      qp_i[4][None] if q4 else zi,
-                      mvz_i[None], mn_i[None]))
+        if devb:
+            rows.append(P.pack_row(
+                codes_i, re_i, rn_i, meta_i, mv_z, modes_i,
+                None, None, None, ae_i, an_i, bs=bs, mv8=mv8, mvn=mvn,
+                tail=tail, dev=(dn_i, dbits_i, pbits_i))[None])
+            tails.append((jk_i[None], None, None, jn_i[None], None, zi,
+                          jbz_i[None] if tail else None,
+                          jbn_i[None] if tail else None,
+                          j1z_i[None] if tail else None,
+                          j1n_i[None] if tail else None,
+                          re_i[None], rn_i[None], ae_i[None], an_i[None],
+                          None, zi, mvz_i[None], mn_i[None],
+                          db_i[None], dbits_i[None], pb_i[None],
+                          pbits_i[None]))
+        else:
+            rows.append(P.pack_row(
+                codes_i, re_i, rn_i, meta_i, mv_z, modes_i,
+                qv_i, ql_i, qt_i, ae_i, an_i, bs=bs, mv8=mv8, mvn=mvn,
+                qe4=qp_i[3] if q4 else None, qn4=qp_i[4] if q4 else None,
+                qe=qp_i[5] if q4 else None, qn=qp_i[6] if q4 else None,
+                tail=tail)[None])
+            tails.append((jk_i[None], qv_i[None],
+                          qp_i[5][None] if q4 else None,
+                          jn_i[None], qt_i[None],
+                          qp_i[6][None] if q4 else zi,
+                          jbz_i[None] if tail else None,
+                          jbn_i[None] if tail else None,
+                          j1z_i[None] if tail else None,
+                          j1n_i[None] if tail else None,
+                          re_i[None], rn_i[None], ae_i[None], an_i[None],
+                          qp_i[3][None] if q4 else None,
+                          qp_i[4][None] if q4 else zi,
+                          mvz_i[None], mn_i[None],
+                          None, zi, None, zi))
     recons, arts, qdcts, smalls = p_parts
     if recons.shape[0] > 0:
-        qp = _pack_qdct_stack(qdcts, bs, vdtype, q4, layout.capq)
-        qv, ql, qt = qp[:3]
+        if devb:
+            dbs, dbitss, dns = jax.vmap(
+                lambda q: _devbits_dct(q, bs, layout))(qdcts)
+        else:
+            qp = _pack_qdct_stack(qdcts, bs, vdtype, q4, layout.capq)
+            qv, ql, qt = qp[:3]
 
         def pack_one(art, recon, pred_u8, qdct, sm):
             pred = pred_u8.astype(jnp.int32)
@@ -113,34 +191,60 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
             j1z = j1n = jbz = jbn = None
             cparts = (jb, jk, jn)
 
-        def row(bparts, r2, r3, sm, v, l, t, e, n, qen=None):
-            meta, mv, modes = _meta_p(sm, nb, nbr)
+        def _mv_head(mv):
             if mvk == 2:
                 mv = mv.reshape(-1, 3)[:, :2].reshape(-1)
             if mvd:
                 bm, mn_, mvz = P.pack_mv_delta(mv)
-                mv = (bm, mn_)
-            else:
-                mn_, mvz = jnp.int32(0), jnp.zeros(0, jnp.uint8)
-            head = P.pack_row(bparts, r2, r3, meta, mv, modes, v, l, t,
-                              e, n, bs=bs, mv8=mv8, mvn=mvn,
-                              qe4=qen[0] if qen else None,
-                              qn4=qen[1] if qen else None,
-                              qe=qen[2] if qen else None,
-                              qn=qen[3] if qen else None, tail=tail)
-            return head, mvz, mn_
+                return (bm, mn_), mn_, mvz
+            return mv, jnp.int32(0), jnp.zeros(0, jnp.uint8)
 
-        args = (cparts, re, rn, smalls, qv, ql, qt, ae, an)
-        if q4:
-            args = args + ((qp[3], qp[4], qp[5], qp[6]),)
-        heads_p, mvzs_p, mns_p = jax.vmap(row)(*args)
-        rows.append(heads_p)
-        zk = jnp.zeros(qt.shape[0], jnp.int32)
-        tails.append((jk, qv, qp[5] if q4 else None, jn, qt,
-                      qp[6] if q4 else zk,
-                      jbz, jbn, j1z, j1n, re, rn, ae, an,
-                      qp[3] if q4 else None, qp[4] if q4 else zk,
-                      mvzs_p, mns_p))
+        if devb:
+
+            def row_db(bparts, r2, r3, sm, dn_, dbits_, e, n):
+                meta, mv, modes = _meta_p(sm, nb, nbr)
+                pb_, pbits_ = _devbits_pred_p(
+                    sm[5 * nb : 5 * nb + nbr], initial_qp, sm[: 3 * nb],
+                    layout, nbr)
+                mv, mn_, mvz = _mv_head(mv)
+                head = P.pack_row(bparts, r2, r3, meta, mv, modes,
+                                  None, None, None, e, n, bs=bs, mv8=mv8,
+                                  mvn=mvn, tail=tail,
+                                  dev=(dn_, dbits_, pbits_))
+                return head, mvz, mn_, pb_, pbits_
+
+            heads_p, mvzs_p, mns_p, pbs, pbitss = jax.vmap(row_db)(
+                cparts, re, rn, smalls, dns, dbitss, ae, an)
+            rows.append(heads_p)
+            zk = jnp.zeros(rn.shape[0], jnp.int32)
+            tails.append((jk, None, None, jn, None, zk,
+                          jbz, jbn, j1z, j1n, re, rn, ae, an,
+                          None, zk, mvzs_p, mns_p,
+                          dbs, dbitss, pbs, pbitss))
+        else:
+
+            def row(bparts, r2, r3, sm, v, l, t, e, n, qen=None):
+                meta, mv, modes = _meta_p(sm, nb, nbr)
+                mv, mn_, mvz = _mv_head(mv)
+                head = P.pack_row(bparts, r2, r3, meta, mv, modes, v, l, t,
+                                  e, n, bs=bs, mv8=mv8, mvn=mvn,
+                                  qe4=qen[0] if qen else None,
+                                  qn4=qen[1] if qen else None,
+                                  qe=qen[2] if qen else None,
+                                  qn=qen[3] if qen else None, tail=tail)
+                return head, mvz, mn_
+
+            args = (cparts, re, rn, smalls, qv, ql, qt, ae, an)
+            if q4:
+                args = args + ((qp[3], qp[4], qp[5], qp[6]),)
+            heads_p, mvzs_p, mns_p = jax.vmap(row)(*args)
+            rows.append(heads_p)
+            zk = jnp.zeros(qt.shape[0], jnp.int32)
+            tails.append((jk, qv, qp[5] if q4 else None, jn, qt,
+                          qp[6] if q4 else zk,
+                          jbz, jbn, j1z, j1n, re, rn, ae, an,
+                          qp[3] if q4 else None, qp[4] if q4 else zk,
+                          mvzs_p, mns_p, None, zk, None, zk))
     heads = (jnp.concatenate(rows) if rows
              else jnp.zeros((0, layout.total), jnp.uint8))
     if not tail:
@@ -152,13 +256,23 @@ def _pack_chunk_rows(intra_parts, p_parts, preds, bs, int8q, h, w, mv8, q4,
         return jnp.concatenate([jnp.atleast_1d(t[i]) if at1 else t[i]
                                 for t in tails])
 
-    pool = P.pack_tail_pool(
-        layout, cat(0), cat(1), cat(2) if q4 else None, cat(3, True),
-        cat(4, True), cat(5, True), cat(6), cat(7, True), cat(8),
-        cat(9, True), res=cat(10), rns=cat(11, True), aes=cat(12),
-        ans=cat(13, True), qe4s=cat(14) if q4 else None,
-        qn4s=cat(15, True), mvzs=cat(16) if mvd else None,
-        mns=cat(17, True) if mvd else None)
+    if devb:
+        pool = P.pack_tail_pool(
+            layout, cat(0), None, None, cat(3, True), None, None,
+            cat(6), cat(7, True), cat(8), cat(9, True),
+            res=cat(10), rns=cat(11, True), aes=cat(12),
+            ans=cat(13, True), mvzs=cat(16) if mvd else None,
+            mns=cat(17, True) if mvd else None,
+            dbs=cat(18), dbitss=cat(19, True), pbs=cat(20),
+            pbitss=cat(21, True))
+    else:
+        pool = P.pack_tail_pool(
+            layout, cat(0), cat(1), cat(2) if q4 else None, cat(3, True),
+            cat(4, True), cat(5, True), cat(6), cat(7, True), cat(8),
+            cat(9, True), res=cat(10), rns=cat(11, True), aes=cat(12),
+            ans=cat(13, True), qe4s=cat(14) if q4 else None,
+            qn4s=cat(15, True), mvzs=cat(16) if mvd else None,
+            mns=cat(17, True) if mvd else None)
     # ONE fused buffer [K*headB + pool]: the host fetches a single
     # predictively-sized prefix per chunk (heads + used tail bytes) — one
     # d2h wait instead of two, and round-trip spikes through the relay hit
@@ -208,7 +322,8 @@ def _meta_i(smalls, nb, nbr):
 
 
 @partial(jax.jit, static_argnames=("bs", "rc1", "exact", "compact", "int8q",
-                                   "q4", "tail", "packed_shape", "qfrac"))
+                                   "q4", "tail", "packed_shape", "qfrac",
+                                   "devb"))
 def encode_chunk_intra_only(
     frames: jnp.ndarray,        # uint8 [K, H, W] (or packed upload buffer)
     row_qps: jnp.ndarray,       # int32 [nbr]
@@ -225,6 +340,7 @@ def encode_chunk_intra_only(
     tail: bool = False,
     packed_shape: tuple | None = None,
     qfrac: tuple | None = None,
+    devb: bool = False,
 ):
     """All-intra chunk (I_Period == 1): every frame clears the reference
     deques, so frames are fully independent — one ``vmap`` instead of a scan.
@@ -249,8 +365,32 @@ def encode_chunk_intra_only(
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
     layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, False, False,
-                           q4=q4, tail=tail, qfrac=qfrac)
+                           q4=q4, tail=tail, qfrac=qfrac, devbits=devb)
     cap = layout.cape
+    if devb:
+        dbs, dbitss, dns = jax.vmap(
+            lambda q: _devbits_dct(q, bs, layout))(qdcts)
+
+        def row_db(r, q, sm, dn_, dbits_):
+            meta, _, modes = _meta_i(sm, nb, nbr)
+            pb_, pbits_ = _devbits_pred_i(
+                sm[2 * nb : 2 * nb + nbr], initial_qp, sm[:nb], layout)
+            rc, re, rn = _pack_intra_recon(r, q, sm, bs, nb, nbr, nbc, cap)
+            head = P.pack_row(rc, re, rn, meta, None, modes,
+                              None, None, None, bs=bs, tail=tail,
+                              dev=(dn_, dbits_, pbits_))
+            return head, re, rn, pb_, pbits_
+
+        packed, res, rns, pbs, pbitss = jax.vmap(row_db)(
+            recons, qdcts, smalls, dns, dbitss)
+        if tail:
+            zk = jnp.zeros(dns.shape[0], jnp.int32)
+            pool = P.pack_tail_pool(layout, None, None, None, zk, None,
+                                    None, res=res, rns=rns, dbs=dbs,
+                                    dbitss=dbitss, pbs=pbs, pbitss=pbitss)
+            packed = jnp.concatenate([packed.reshape(-1), pool])
+        return recons, arts, qdcts, smalls, packed
+
     qp = _pack_qdct_stack(qdcts, bs, jnp.int8 if int8q else jnp.int16, q4,
                           layout.capq)
     qv, ql, qt = qp[:3]
@@ -283,7 +423,7 @@ def encode_chunk_intra_only(
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
                                    "first_is_intra", "exact", "compact",
                                    "int8q", "mv8", "q4", "tail",
-                                   "packed_shape", "qfrac"))
+                                   "packed_shape", "qfrac", "devb"))
 def encode_chunk(
     frames: jnp.ndarray,        # uint8 [K, H, W] (or packed upload buffer)
     ref0: jnp.ndarray,          # uint8 [H, W] incoming reference (used iff not first_is_intra)
@@ -307,6 +447,7 @@ def encode_chunk(
     tail: bool = False,
     packed_shape: tuple | None = None,
     qfrac: tuple | None = None,
+    devb: bool = False,
 ):
     """Returns ``(intra_out | None, p_out, ref_out, hp_out)`` where
     ``intra_out = (recon, art, qdct, smalls)`` for frames[0] and
@@ -371,13 +512,14 @@ def encode_chunk(
     packed = _pack_chunk_rows(
         (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
         p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4, q4 and not rc1,
-        tail=tail, mvk=2, mvn=mvn, qfrac=qfrac)
+        tail=tail, mvk=2, mvn=mvn, qfrac=qfrac, devb=devb,
+        initial_qp=initial_qp)
     return intra_out, p_out[:4], ref_out, hp_out, packed
 
 
 def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
                             mv8, q4, h, w, tail=False, mvk=3, mvn=False,
-                            qfrac=None):
+                            qfrac=None, devb=False, initial_qp=None):
     """Compact-transfer rows for chunks whose per-frame mode is a RUNTIME
     value (the fused two-pass chunk's scene changes, the mixed multi-GOP
     chunk's position-scheduled intra frames), in the same ops/pack.py
@@ -388,7 +530,8 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
     nb = nbr * nbc
     vdtype = jnp.int8 if int8q else jnp.int16
     layout = P.FrameLayout(h, w, bs, 1 if int8q else 2, True, True, mv8, q4,
-                           False, tail=tail, mvk=mvk, mvn=mvn, qfrac=qfrac)
+                           False, tail=tail, mvk=mvk, mvn=mvn, qfrac=qfrac,
+                           devbits=devb)
     capq = layout.capq
     cap = layout.cape
 
@@ -403,6 +546,11 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
                             payload[4 * nb : 5 * nb].sum()])
         meta = jnp.concatenate([jnp.where(is_i, meta_i, meta_p), rq, rb])
         mv = jnp.where(is_i, 0, payload[: 3 * nb])
+        modes = jnp.where(is_i, payload[:nb], 0).astype(jnp.uint8)
+        if devb:
+            db_, dbits_, dn_ = _devbits_dct(qdct, bs, layout)
+            pb_, pbits_ = _devbits_pred_rt(rq, initial_qp, is_i, modes, mv,
+                                           layout, nbr, nbc)
         if mvk == 2:
             mv = mv.reshape(-1, 3)[:, :2].reshape(-1)
         if layout.mvd:
@@ -410,7 +558,6 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
             mv = (bm_, mn_)
         else:
             mn_, mvz_ = jnp.int32(0), jnp.zeros(0, jnp.uint8)
-        modes = jnp.where(is_i, payload[:nb], 0).astype(jnp.uint8)
         pred = pred_u8.astype(jnp.int32)
         x = P.exact_x_blocks(qdct, rq, bs)
         guess = P.recon_guess_from_x(x, pred, bs)
@@ -418,7 +565,6 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
         jb, jk, jn, re, rn, ae, an = P.pack_joint(
             recon, guess, art, P.art_guess_from_x(x), cap, art_valid=~is_i,
             capk=layout.capk)
-        qp_ = P.pack_qdct(qdct, bs, capq, vdtype, q4)
         if tail:
             j2, j1z, j1n, jbz, jbn = P.split_bitmap(jb)
             codes = (j2, j1n, jbn, jn)
@@ -426,6 +572,13 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
             j1z, j1n = jnp.zeros(0, jnp.uint8), jnp.int32(0)
             jbz, jbn = jnp.zeros(0, jnp.uint8), jnp.int32(0)
             codes = (jb, jk, jn)
+        if devb:
+            head = P.pack_row(codes, re, rn, meta, mv, modes,
+                              None, None, None, ae, an, bs=bs, mv8=mv8,
+                              mvn=mvn, tail=tail, dev=(dn_, dbits_, pbits_))
+            return (head, jk, jn, jbz, jbn, j1z, j1n,
+                    re, rn, ae, an, mvz_, mn_, db_, dbits_, pb_, pbits_)
+        qp_ = P.pack_qdct(qdct, bs, capq, vdtype, q4)
         head = P.pack_row(codes, re, rn, meta, mv, modes,
                           qp_[0], qp_[1], qp_[2], ae, an, bs=bs, mv8=mv8,
                           mvn=mvn, qe4=qp_[3] if q4 else None,
@@ -438,6 +591,20 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
         qn4_ = qp_[4] if q4 else jnp.int32(0)
         return (head, jk, qp_[0], qe_, jn, qp_[2], qn_, jbz, jbn, j1z, j1n,
                 re, rn, ae, an, qe4_, qn4_, mvz_, mn_)
+
+    if devb:
+        (heads, jks, jns, jbzs, jbns, j1zs, j1ns, res, rns, aes, ans,
+         mvzs, mns, dbs, dbitss, pbs, pbitss) = jax.vmap(row)(
+            recons, arts, qdcts, smalls, preds)
+        if not tail:
+            return heads
+        pool = P.pack_tail_pool(layout, jks, None, None, jns, None, None,
+                                jbzs, jbns, j1zs, j1ns, res, rns, aes, ans,
+                                mvzs=mvzs if layout.mvd else None,
+                                mns=mns if layout.mvd else None,
+                                dbs=dbs, dbitss=dbitss, pbs=pbs,
+                                pbitss=pbitss)
+        return jnp.concatenate([heads.reshape(-1), pool])
 
     (heads, jks, qvs, qes, jns, qts, qns, jbzs, jbns, j1zs, j1ns, res, rns,
      aes, ans, qe4s, qn4s, mvzs, mns) = jax.vmap(row)(recons, arts, qdcts,
@@ -457,7 +624,7 @@ def _pack_runtime_mode_rows(recons, arts, qdcts, smalls, preds, bs, int8q,
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast",
                                    "frac", "exact", "compact", "int8q",
                                    "mv8", "q4", "tail", "packed_shape",
-                                   "qfrac"))
+                                   "qfrac", "devb"))
 def encode_chunk_mixed(
     frames: jnp.ndarray,        # uint8 [K, H, W] (or packed upload buffer)
     ref0: jnp.ndarray,          # uint8 [H, W] incoming reference
@@ -481,6 +648,7 @@ def encode_chunk_mixed(
     tail: bool = False,
     packed_shape: tuple | None = None,
     qfrac: tuple | None = None,
+    devb: bool = False,
 ):
     """Multi-GOP chunk (single reference, RC 0/1): a ``lax.scan`` whose step
     ``lax.cond``s into the intra or P encode by the frame's GOP position, so
@@ -547,7 +715,8 @@ def encode_chunk_mixed(
         packed = _pack_runtime_mode_rows(recons, arts, qdcts, smalls,
                                          scanned[4], bs, int8q, mv8, q4,
                                          h, w, tail=tail, mvk=2, mvn=mvn,
-                                         qfrac=qfrac)
+                                         qfrac=qfrac, devb=devb,
+                                         initial_qp=initial_qp)
     else:
         # bundle the full planes into one buffer per chunk (the two_pass
         # non-compact transport: bitcast+concat, one transfer per chunk)
@@ -578,7 +747,7 @@ def _push_ref(refs, hps, n_valid, recon, hp, frac):
 @partial(jax.jit, static_argnames=("bs", "search_range", "rc1", "fast", "frac",
                                    "first_is_intra", "exact", "compact",
                                    "int8q", "mv8", "q4", "tail",
-                                   "packed_shape", "qfrac"))
+                                   "packed_shape", "qfrac", "devb"))
 def encode_chunk_multiref(
     frames: jnp.ndarray,        # uint8 [K, H, W] (or packed upload buffer)
     refs0: jnp.ndarray,         # uint8 [R, H, W] incoming rolling stack
@@ -603,6 +772,7 @@ def encode_chunk_multiref(
     tail: bool = False,
     packed_shape: tuple | None = None,
     qfrac: tuple | None = None,
+    devb: bool = False,
 ):
     """nRefFrames > 1 GOP chunk: :func:`encode_chunk` with the single
     reference replaced by a rolling stack carried through the scan.  The
@@ -669,7 +839,7 @@ def encode_chunk_multiref(
     packed = _pack_chunk_rows(
         (recon_i, qdct_i, smalls_i) if intra_out is not None else None,
         p_out[:4], p_out[4], bs, int8q, h, w, mv8, q4, q4 and not rc1,
-        tail=tail, qfrac=qfrac)
+        tail=tail, qfrac=qfrac, devb=devb, initial_qp=initial_qp)
     return intra_out, p_out[:4], refs_out, hps_out, nv_out, packed
 
 

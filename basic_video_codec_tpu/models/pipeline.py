@@ -131,7 +131,7 @@ def _wrap_diff_u8(curr, prev_recon):
 
 def _finalize_fields(index, mode, curr, recon, art, qdct, aux, metric_sum,
                      comparisons, row_qps, row_bits, ec, prev_recon=None,
-                     want_psnr=True) -> _Finalized:
+                     want_psnr=True, dev_streams=None) -> _Finalized:
     """Entropy-pack one frame from host-resident fields.  ``aux`` is the
     intra-mode grid [nbr, nbc] (INTRA) or the MV field [nbr, nbc, 3] (INTER);
     ``metric_sum`` the summed per-block MAE numerators.  When the previous
@@ -167,20 +167,26 @@ def _finalize_fields(index, mode, curr, recon, art, qdct, aux, metric_sum,
     f.rc_qp_per_row = row_qps.tolist() if ec.RCflag else []
     f.bits_per_row = row_bits.tolist()
 
-    # entropy finalization (vectorized symbol prep + native bit packing)
-    qp_diffs = row_qps.astype(np.int64) - ec.quantization_factor
-    if mode == INTRA:
-        syms = np.hstack([qp_diffs[:, None], aux.astype(np.int64)]).ravel()
+    if dev_streams is not None:
+        # devbits: the device already packed the final bitstreams
+        # (ops/bitpack.py); the bytes land here byte-identical to the host
+        # coder (tests/test_bitpack.py + the golden e2e parity suite)
+        f.pred_bytes, f.pred_bits, f.dct_bytes, f.dct_bits = dev_streams
     else:
-        k = 3 if ec.nRefFrames > 1 else 2
-        flat = aux.reshape(-1, 3).astype(np.int64)
-        prev = np.vstack([np.zeros(3, np.int64), flat[:-1]])
-        diffs = (flat - prev)[:, :k].reshape(nbr, nbc * k)
-        syms = np.hstack([qp_diffs[:, None], diffs]).ravel()
-    f.pred_bytes, f.pred_bits = encode_symbols_bytes(syms)
-    f.dct_bytes, f.dct_bits = encode_dct_plane_bytes(
-        qdct, bs, zigzag_indices(bs), EOB_MARKER
-    )
+        # entropy finalization (vectorized symbol prep + native bit packing)
+        qp_diffs = row_qps.astype(np.int64) - ec.quantization_factor
+        if mode == INTRA:
+            syms = np.hstack([qp_diffs[:, None], aux.astype(np.int64)]).ravel()
+        else:
+            k = 3 if ec.nRefFrames > 1 else 2
+            flat = aux.reshape(-1, 3).astype(np.int64)
+            prev = np.vstack([np.zeros(3, np.int64), flat[:-1]])
+            diffs = (flat - prev)[:, :k].reshape(nbr, nbc * k)
+            syms = np.hstack([qp_diffs[:, None], diffs]).ravel()
+        f.pred_bytes, f.pred_bits = encode_symbols_bytes(syms)
+        f.dct_bytes, f.dct_bits = encode_dct_plane_bytes(
+            qdct, bs, zigzag_indices(bs), EOB_MARKER
+        )
 
     assert f.dct_bits + f.pred_bits == sum(f.bits_per_row), (
         "device bit pricing diverged from host entropy coder"
@@ -245,6 +251,8 @@ def _rebuild_prepare(f, ec, q_full=None):
     row_qps = np.asarray(f["meta"][3 : 3 + nbr], np.int32)
     if q_full is not None:
         qdct = np.asarray(q_full, dtype=np.int16)
+    elif f["lay"].devbits:
+        qdct = PK.decode_qdct_devbits(f, bs)
     else:
         qdct = PK.unpack_qdct(PK.qv_of(f), f["ql"], h, w, bs,
                               zigzag_indices(bs))
@@ -409,9 +417,13 @@ def _finalize_compact(index, curr, f, ec, rebuilt, a_full=None) -> _Finalized:
         elif art is None:  # staged chain: apply the art codes here
             art = PK.joint_art(PK.joint_states_of(f), f["ae"],
                                art_guess.astype(np.int32))
+    dev_streams = None
+    if f["lay"].devbits and PK.devbits_ok(f):
+        dev_streams = (f["pb"].tobytes(), f["pbits"],
+                       f["db"].tobytes(), f["dbits"])
     return _finalize_fields(index, mode, curr, recon, art, qdct, aux,
                             metric_sum, comparisons, row_qps, row_bits, ec,
-                            prev_recon=oldest)
+                            prev_recon=oldest, dev_streams=dev_streams)
 
 
 class _EncodeSink:
@@ -720,6 +732,12 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     # fetched at (bucket-rounded) USED size — roughly halves the d2h bytes
     # of typical content (ops/pack.pack_tail_pool)
     tail_mode = compact and os.environ.get("BVC_TAIL", "1") != "0"
+    # devbits: the device packs each frame's FINAL pred/dct exp-Golomb
+    # bitstreams (ops/bitpack.py) and the q-prefix transport fields
+    # disappear — the host writes the bytes straight into encoded.bin and
+    # re-derives qdct by decoding them in one native pass (BVC_DEVBITS=0
+    # restores the q-prefix transport)
+    devb = tail_mode and os.environ.get("BVC_DEVBITS", "1") != "0"
     int8q = PK.qdct_int8_safe(ec)
     mv8 = PK.mv_int8_safe(ec)
     q4 = PK.qdct_nibble_safe(ec)
@@ -732,22 +750,23 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     mvn = PK.mv_nibble_safe(ec)
     layouts = {
         "intra_all": PK.FrameLayout(ph, pw, bs, vbytes, False, False,
-                                    q4=q4, tail=tail_mode, qfrac=qfrac),
+                                    q4=q4, tail=tail_mode, qfrac=qfrac,
+                                    devbits=devb),
         "intra_led": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
                                     jt, tail=tail_mode, mvk=mvk, mvn=mvn,
-                                    qfrac=qfrac),
+                                    qfrac=qfrac, devbits=devb),
         "p_only": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
                                  jt, tail=tail_mode, mvk=mvk, mvn=mvn,
-                                 qfrac=qfrac),
+                                 qfrac=qfrac, devbits=devb),
         # mode is a runtime value per frame (scene changes / GOP-position
         # intra), so every row carries both mv and art fields; intra rows
         # zero the unused ones
         "two_pass": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
                                    False, tail=tail_mode, mvk=mvk, mvn=mvn,
-                                   qfrac=qfrac),
+                                   qfrac=qfrac, devbits=devb),
         "mixed": PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
                                 False, tail=tail_mode, mvk=mvk, mvn=mvn,
-                                qfrac=qfrac),
+                                qfrac=qfrac, devbits=devb),
     }
 
     # overflow thresholds come from the layouts themselves (tail mode:
@@ -773,9 +792,10 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
         sel = (lambda a: a[k]) if k is not None else (lambda a: a)
         with _stage("overflow fallback fetch"):
             jover = f["jn"] > jkcap  # kind-list overflow: states are garbage
-            q_full = (jax.device_get(sel(d_qdcts))
-                      if f["qt"] > qcap or f["qn"] > qecap
-                      or f["qn4"] > q4cap else None)
+            q_over = (not PK.devbits_ok(f) if f["lay"].devbits
+                      else (f["qt"] > qcap or f["qn"] > qecap
+                            or f["qn4"] > q4cap))
+            q_full = jax.device_get(sel(d_qdcts)) if q_over else None
             a_full = (jax.device_get(sel(d_arts))
                       if int(f["meta"][0]) == INTER
                       and (f["an"] > ecap or jover) else None)
@@ -822,8 +842,11 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
             # covers the measured ~15% typical pool occupancy (the caps
             # are deliberately generous; a cap-sized prefetch would move
             # ~0.5 MB through the ~20 MB/s d2h tunnel), and a shortfall
-            # only costs one late fetch
-            est = n_frames * PK.tail_pool_cap(lay) // 5
+            # only costs one late fetch.  devbits pool caps are ~3.5x
+            # larger (worst-case bitstream buffers), so scale the divisor
+            # to land at the same ~10 KB/frame initial guess.
+            est = (n_frames * PK.tail_pool_cap(lay)
+                   // (16 if lay.devbits else 5))
         n = min(fused.shape[0], base + _bucket(est))
         sl = fused[:n]
         sl.copy_to_host_async()
@@ -1075,6 +1098,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     bs, max(ec.search_range, 0), ec.fastME, frac,
                     first_is_intra, exact=exact, compact=compact, int8q=int8q,
                     mv8=mv8, q4=q4, tail=tail_mode, packed_shape=pshape, qfrac=qfrac,
+                    devb=devb,
                 )
                 kind = "two_pass"
                 # one bundled buffer per chunk (tail mode: the prefetched
@@ -1086,6 +1110,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     fr_dev, row_qps, budget0, tbl[0], tbl[1],
                     initial_qp, bs, rc1, exact=exact, compact=compact,
                     int8q=int8q, q4=q4, tail=tail_mode, packed_shape=pshape, qfrac=qfrac,
+                    devb=devb,
                 )
                 kind = "intra_all"
                 leaves = (() if tail_mode else (dev[4],)) if compact else dev
@@ -1098,6 +1123,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     initial_qp, bs, max(ec.search_range, 0), rc1, ec.fastME,
                     frac, exact=exact, compact=compact, int8q=int8q, mv8=mv8,
                     q4=q4, tail=tail_mode, packed_shape=pshape, qfrac=qfrac,
+                    devb=devb,
                 )
                 kind = "mixed"
                 leaves = () if tail_mode else (dev[4],)
@@ -1108,6 +1134,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     rc1, ec.fastME, frac, first_is_intra, exact=exact,
                     compact=compact, int8q=int8q, mv8=mv8, q4=q4,
                     tail=tail_mode, packed_shape=pshape, qfrac=qfrac,
+                    devb=devb,
                 )
                 ref, hp, nv = out[2], out[3], out[4]
                 # normalize to the fetcher's (intra_out, p_out, _, _, packed)
@@ -1122,6 +1149,7 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
                     initial_qp, bs, max(ec.search_range, 0), rc1, ec.fastME, frac,
                     first_is_intra, exact=exact, compact=compact, int8q=int8q,
                     mv8=mv8, q4=q4, tail=tail_mode, packed_shape=pshape, qfrac=qfrac,
+                    devb=devb,
                 )
                 ref, hp = dev[2], dev[3]
                 kind = "intra_led" if first_is_intra else "p_only"

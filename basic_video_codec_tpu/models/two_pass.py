@@ -64,7 +64,7 @@ def _row_qps_proportional(row_bits_1, budget_frame, tbl_qps, tbl_bits):
 @partial(jax.jit, static_argnames=("bs", "search_range", "fast", "frac",
                                    "first_is_intra", "exact", "compact",
                                    "int8q", "mv8", "q4", "tail",
-                                   "packed_shape", "qfrac"))
+                                   "packed_shape", "qfrac", "devb"))
 def encode_chunk_two_pass(
     frames: jnp.ndarray,       # uint8 [K, H, W] (or packed upload buffer)
     refs0: jnp.ndarray,        # uint8 [R, H, W] rolling reference stack
@@ -89,6 +89,7 @@ def encode_chunk_two_pass(
     tail: bool = False,
     packed_shape: tuple | None = None,
     qfrac: tuple | None = None,
+    devb: bool = False,
 ):
     """Returns ``(out, refs_out, hps_out, n_valid_out, prev_avg_out)`` with
     ``out = (recons [K,H,W] u8, arts [K,H,W] u8, qdcts [K,H,W] i16,
@@ -283,7 +284,8 @@ def encode_chunk_two_pass(
                                          preds_all, bs, int8q, mv8, q4, h, w,
                                          tail=tail, qfrac=qfrac,
                                          mvk=2 if R == 1 else 3,
-                                         mvn=mvn)
+                                         mvn=mvn, devb=devb,
+                                         initial_qp=initial_qp)
         out = out[:4]
     else:
         # bundle the FULL planes into one buffer per chunk: pure

@@ -131,6 +131,42 @@ int64_t bvc_decode_dct_blocks(const uint8_t* buf, int64_t n_bits,
   return blk;
 }
 
+// Decode a frame's DCT bitstream straight into the int16 plane (RLE
+// expansion + inverse zigzag in one pass): the devbits transport's host
+// qdct recovery — the device ships the FINAL bitstream bytes
+// (ops/bitpack.py) and the host re-derives the plane by decoding them.
+// out must be zeroed.  Returns the number of completed blocks.
+int64_t bvc_decode_dct_plane(const uint8_t* buf, int64_t n_bits, int64_t h,
+                             int64_t w, int64_t bs, const int64_t* zz,
+                             int64_t eob, int16_t* out) {
+  const int64_t scan_len = bs * bs;
+  int64_t zoff[64 * 64];
+  for (int64_t i = 0; i < scan_len; ++i)
+    zoff[i] = (zz[i] / bs) * w + (zz[i] % bs);
+  const int64_t nbc = w / bs, n_blocks = (h / bs) * nbc;
+  int64_t pos = 0, blk = 0, idx = 0, v;
+  int16_t* base = out;
+  while (blk < n_blocks && get_symbol(buf, n_bits, pos, v)) {
+    if (v == eob) {
+      ++blk;
+      idx = 0;
+      base = out + (blk / nbc) * bs * w + (blk % nbc) * bs;
+    } else if (idx >= scan_len) {
+      // malformed run past the block end; ignore until EOB
+    } else if (v == 0) {
+      idx = scan_len;  // rest of block is zeros
+    } else if (v > 0) {
+      idx += v;  // run of zeros
+    } else {
+      int64_t cnt = -v;
+      for (int64_t k = 0; k < cnt && get_symbol(buf, n_bits, pos, v); ++k) {
+        if (idx < scan_len) base[zoff[idx++]] = int16_t(v);
+      }
+    }
+  }
+  return blk;
+}
+
 // Encode a frame's quantized-DCT plane straight to bits:
 // raster blocks -> zigzag gather -> RLE -> exp-Golomb -> EOB per block,
 // all in one pass with no intermediate symbol buffer.
@@ -646,7 +682,9 @@ int64_t bvc_pack_input(const uint8_t* src, int64_t h, int64_t w,
 //      in place over the truncation guess (bvc_apply_joint).
 // qv_kind: 0 = int16 values, 1 = int8 values, 2 = nibble pairs + escapes,
 // 3 = 2-bit codes (0, +1, -1, escape) + signed-nibble escapes in qe4 with
-// the -8 sentinel deferring to int16 deep escapes in qe.
+// the -8 sentinel deferring to int16 deep escapes in qe,
+// 4 = devbits: qv is the frame's FINAL exp-Golomb dct bitstream
+// (ops/bitpack.py), n_qe4 its BIT length; ql/qe4/qe are unused.
 // ql_u8: lens as u8 (1) or int16 (0).  Escape reads are clamped to
 // n_re/n_ae (overflow frames take the caller's full-plane fallback and
 // never reach this function; the clamp is defensive).
@@ -665,6 +703,12 @@ void bvc_rebuild_p(const uint8_t* qv, int64_t qv_kind, const uint8_t* qe4,
                    uint8_t* states_scratch, uint8_t* pred_scratch,
                    uint8_t* recon_out, uint8_t* art_out) {
   const int64_t nb = nbr * nbc, w = nbc * bs, n_px = nbr * bs * w;
+  if (qv_kind == 4) {
+    // devbits: steps 1+2 are one bitstream decode (EOB per reference
+    // encoder/Frame.py:23); ql/qe4/qe are unused
+    std::memset(qdct_out, 0, size_t(n_px) * 2);
+    bvc_decode_dct_plane(qv, n_qe4, nbr * bs, w, bs, zz, 8190, qdct_out);
+  } else {
   // 1. lens to int32, values to int16 (nibble expansion with escapes)
   std::vector<int32_t> lens{};
   lens.resize(size_t(nb));
@@ -715,6 +759,7 @@ void bvc_rebuild_p(const uint8_t* qv, int64_t qv_kind, const uint8_t* qe4,
   // 2. scatter into the zeroed int16 plane
   std::memset(qdct_out, 0, size_t(n_px) * 2);
   bvc_unpack_qdct(vals, lens.data(), nbr, nbc, bs, zz, qdct_out, w);
+  }
   // 3. integer IDCT + truncation guess (art_out holds the guess)
   bvc_x_art(qdct_out, row_qps, d_int, nbr, nbc, bs, shift, guard, x_scratch,
             art_out);
@@ -758,6 +803,6 @@ void bvc_rebuild_p(const uint8_t* qv, int64_t qv_kind, const uint8_t* qe4,
   }
 }
 
-int64_t bvc_version() { return 9; }
+int64_t bvc_version() { return 10; }
 
 }  // extern "C"

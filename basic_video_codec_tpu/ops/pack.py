@@ -534,13 +534,16 @@ def intra_pred_plane(recon: jnp.ndarray, modes: jnp.ndarray, bs: int) -> jnp.nda
 def tail_pool_cap(layout) -> int:
     """Static pool capacity per frame (bytes): the sum of the tail fields'
     caps — the pool can never overflow beyond the per-field caps."""
-    cap = layout.capq // 4 if layout.q4 else layout.capq * layout.vbytes
+    if layout.devbits:
+        cap = layout.capdb + layout.capp  # packed dct + pred bitstreams
+    else:
+        cap = layout.capq // 4 if layout.q4 else layout.capq * layout.vbytes
+        if layout.q4:
+            cap += layout.capq4 // 2 + 2 * layout.capqe
     cap += layout.cape  # re
     if layout.with_art:
         cap += (3 * layout.capk // 8 + layout.h * layout.w // 8
                 + layout.j1C + layout.cape)  # jk + jbz + j1z + ae
-    if layout.q4:
-        cap += layout.capq4 // 2 + 2 * layout.capqe
     if layout.mvd:
         cap += layout.nb  # changed-MV bytes (cap = the full field)
     return cap
@@ -580,7 +583,7 @@ def split_bitmap(jb):
 def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs=None,
                    jbns=None, j1zs=None, j1ns=None, res=None, rns=None,
                    aes=None, ans=None, qe4s=None, qn4s=None, mvzs=None,
-                   mns=None):
+                   mns=None, dbs=None, dbitss=None, pbs=None, pbitss=None):
     """Chunk-level compaction of the variable-size transfer fields.
 
     The cap-padded fields (``j1z``/``jbz`` bitmap bytes, ``jk`` kind lists,
@@ -596,26 +599,36 @@ def pack_tail_pool(layout, jks, qvs, qes, jns, qts, qns, jbzs=None,
     ``jks``/``qes``/``j1zs``/``res``/``aes``/``qe4s`` may be None for
     layouts without those fields; arrays are [K, cap_bytes] uint8 (already
     bitcast).  Returns ``pool [K*cap] u8``."""
-    k = qts.shape[0]
+    k = (dbitss if qts is None else qts).shape[0]
     zeros = jnp.zeros(k, jnp.int32)
     u_j1 = jnp.minimum(j1ns, layout.j1C) if j1zs is not None else zeros
     u_jb = jnp.minimum(jbns, layout.jbC) if jbzs is not None else zeros
     u_jk = layout.jk_used(jns) if layout.with_art else zeros
     u_re = jnp.minimum(rns, layout.cape) if res is not None else zeros
     u_ae = jnp.minimum(ans, layout.cape) if aes is not None else zeros
-    u_qv = layout.qv_used(qts)
-    u_qe4 = layout.qe4_used(qn4s) if qe4s is not None else zeros
-    u_qe = layout.qe_used(qns) if layout.q4 else zeros
     u_mv = layout.mv_used(mns) if mvzs is not None else zeros
-    sizes = u_j1 + u_jb + u_jk + u_re + u_ae + u_qv + u_qe4 + u_qe + u_mv
     cap = k * tail_pool_cap(layout)
-    fields = [(f, u) for f, u in (
-        (j1zs, u_j1), (jbzs, u_jb), (jks, u_jk), (res, u_re), (aes, u_ae),
-        (_as_bytes2d(qvs), u_qv),
-        (qe4s, u_qe4),
-        (_as_bytes2d(qes) if qes is not None else None, u_qe),
-        (mvzs, u_mv),
-    ) if f is not None]
+    if layout.devbits:
+        u_db = layout.db_used(dbitss)
+        u_pb = layout.pb_used(pbitss)
+        sizes = u_j1 + u_jb + u_jk + u_re + u_ae + u_db + u_pb + u_mv
+        fields = [(f, u) for f, u in (
+            (j1zs, u_j1), (jbzs, u_jb), (jks, u_jk), (res, u_re),
+            (aes, u_ae), (dbs, u_db), (pbs, u_pb), (mvzs, u_mv),
+        ) if f is not None]
+    else:
+        u_qv = layout.qv_used(qts)
+        u_qe4 = layout.qe4_used(qn4s) if qe4s is not None else zeros
+        u_qe = layout.qe_used(qns) if layout.q4 else zeros
+        sizes = u_j1 + u_jb + u_jk + u_re + u_ae + u_qv + u_qe4 + u_qe + u_mv
+        fields = [(f, u) for f, u in (
+            (j1zs, u_j1), (jbzs, u_jb), (jks, u_jk), (res, u_re),
+            (aes, u_ae),
+            (_as_bytes2d(qvs), u_qv),
+            (qe4s, u_qe4),
+            (_as_bytes2d(qes) if qes is not None else None, u_qe),
+            (mvzs, u_mv),
+        ) if f is not None]
 
     if _use_sort_compaction():
         # the pool IS one big compaction: concatenating the cap-padded
@@ -665,7 +678,7 @@ def _as_bytes2d(a):
 
 def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
              an=None, *, bs, mv8=False, mvn=False, qe4=None, qn4=None,
-             qe=None, qn=None, tail=False):
+             qe=None, qn=None, tail=False, dev=None):
     """One frame's transfer row in :class:`FrameLayout` field order (device).
 
     ``codes`` is the joint state tuple ``(jb, jk, jn)`` (:func:`pack_joint`,
@@ -678,8 +691,10 @@ def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
     the host re-expands with ``np.unpackbits``); ``ql`` is narrowed to u8
     when a block's scan fits one byte (bs*bs <= 255).  In ``tail`` mode
     the cap-padded arrays (re, ae, qv, qe) leave the row for the chunk
-    pool; only their counts stay."""
-    nb = ql.shape[0]
+    pool; only their counts stay.  ``dev``: devbits layouts — the
+    ``(dn, dbits, pbits)`` int32 head fields replace the qv/ql/qt group
+    (the packed bitstreams themselves ride the tail pool)."""
+    nb = modes.shape[0]
     nbm = (nb + 7) // 8
     m = modes.astype(jnp.uint8)
     if nbm * 8 != nb:
@@ -706,12 +721,16 @@ def pack_row(codes, re, rn, meta, mv, modes, qv, ql, qt, ae=None,
                          .astype(jnp.uint8))
         else:
             parts.append(mv.astype(jnp.int8 if mv8 else jnp.int16))
-    parts += [mbits] + ([] if tail else [qv]) + [
-        ql.astype(jnp.uint8 if bs * bs <= 255 else jnp.int16), qt]
-    if qe4 is not None:
-        parts += ([] if tail else [qe4]) + [qn4]
-    if qe is not None:
-        parts += ([] if tail else [qe]) + [qn]
+    parts.append(mbits)
+    if dev is not None:
+        parts += [jnp.asarray(v, jnp.int32).reshape(1) for v in dev]
+    else:
+        parts += ([] if tail else [qv]) + [
+            ql.astype(jnp.uint8 if bs * bs <= 255 else jnp.int16), qt]
+        if qe4 is not None:
+            parts += ([] if tail else [qe4]) + [qn4]
+        if qe is not None:
+            parts += ([] if tail else [qe]) + [qn]
     if ae is not None:
         parts += ([] if tail else [ae]) + [an]
     return concat_bytes(*parts)
@@ -755,7 +774,7 @@ class FrameLayout:
 
     def __init__(self, h, w, bs, vbytes, with_mv, with_art, mv8=False,
                  q4=False, jt=None, tail=False, mvk=3, mvn=False,
-                 qfrac=None):
+                 qfrac=None, devbits=False):
         nbr = h // bs
         nb = nbr * (w // bs)
         self.h, self.w, self.nb, self.nbr = h, w, nb, nbr
@@ -785,6 +804,21 @@ class FrameLayout:
         self.cape = esc_cap(h, w)
         self.capqe = qe_cap(self.capq)
         self.capq4 = q4e_cap(self.capq)
+        # devbits: the frame's FINAL pred/dct bitstreams are packed on
+        # device (ops/bitpack.py) and travel in the tail pool at used size;
+        # the q-prefix fields (qv/ql/qt/qe*) leave the layout entirely and
+        # the head carries (dn, dbits, pbits) instead.  Requires tail mode
+        # (the streams are variable-size by construction).
+        self.devbits = bool(devbits)
+        if devbits:
+            from .bitpack import dct_sym_cap, dct_word_cap, pred_word_cap
+
+            assert tail, "devbits layouts require tail mode"
+            self.capsym = dct_sym_cap(self.capq, nb)
+            self.capdb = 4 * dct_word_cap(self.capsym)
+            self.npred = (nbr * (1 + (w // bs) * mvk) if with_mv
+                          else nbr * (1 + w // bs))
+            self.capp = 4 * pred_word_cap(self.npred)
         nbm = (nb + 7) // 8
         nbm2 = nbm + (nbm & 1)
         self.nbm = nbm
@@ -820,15 +854,18 @@ class FrameLayout:
         elif with_mv:
             sizes.append(("mv", nb if mvn
                           else mvk * nb * (1 if mv8 else 2)))
-        sizes += ([("modes", nbm2)]
-                  + ([] if tail else
-                     [("qv", self.capq // 4 if q4 else self.capq * vbytes)])
-                  + [("ql", nb * self.qlbytes), ("qt", 4)])
-        if q4:
-            sizes += (([] if tail else [("qe4", self.capq4 // 2)])
-                      + [("qn4", 4)]
-                      + ([] if tail else [("qe", self.capqe * 2)])
-                      + [("qn", 4)])
+        sizes.append(("modes", nbm2))
+        if devbits:
+            sizes += [("dn", 4), ("dbits", 4), ("pbits", 4)]
+        else:
+            sizes += (([] if tail else
+                       [("qv", self.capq // 4 if q4 else self.capq * vbytes)])
+                      + [("ql", nb * self.qlbytes), ("qt", 4)])
+            if q4:
+                sizes += (([] if tail else [("qe4", self.capq4 // 2)])
+                          + [("qn4", 4)]
+                          + ([] if tail else [("qe", self.capqe * 2)])
+                          + [("qn", 4)])
         if with_art:
             sizes += ([] if tail else [("ae", self.cape)]) + [("an", 4)]
         self.offsets = {}
@@ -840,24 +877,34 @@ class FrameLayout:
 
     # -- tail-mode size formulas (host ints; device twins below) ----------
     def tail_sizes(self, j1n: int, jbn: int, jn: int, qt: int, qn4: int,
-                   qn: int, rn: int, an: int, mn: int = 0) -> tuple:
+                   qn: int, rn: int, an: int, mn: int = 0, dbits: int = 0,
+                   pbits: int = 0) -> tuple:
         """(j1_bytes, jb_bytes, jk_bytes, re_bytes, ae_bytes, qv_bytes,
-        qe4_bytes, qe_bytes, mv_bytes) of one frame's pool segment, from
-        the head counts — bit-identical to the device formulas used by
+        qe4_bytes, qe_bytes, db_bytes, pb_bytes, mv_bytes) of one frame's
+        pool segment — the POOL BYTE ORDER (mv last) — from the head
+        counts, bit-identical to the device formulas used by
         :func:`pack_tail_pool` (overflowing counts clamp at the caps; the
         pipeline falls back to full planes for those frames, but the pool
-        walk must still agree on every offset)."""
+        walk must still agree on every offset).  devbits layouts carry the
+        packed bitstreams instead of the qv/qe4/qe prefix fields."""
         u_j1 = min(j1n, self.j1C) if self.with_art else 0
         u_jb = min(jbn, self.jbC) if self.with_art else 0
         u_jk = (min(jn, self.capk) + 7) // 8 * 3 if self.with_art else 0
         u_re = min(rn, self.cape)
         u_ae = min(an, self.cape) if self.with_art else 0
-        u_qv = ((min(qt, self.capq) + 3) // 4 if self.q4
-                else min(qt, self.capq) * self.vbytes)
-        u_qe4 = (min(qn4, self.capq4) + 1) // 2 if self.q4 else 0
-        u_qe = 2 * min(qn, self.capqe) if self.q4 else 0
+        if self.devbits:
+            u_qv = u_qe4 = u_qe = 0
+            u_db = min((dbits + 7) // 8, self.capdb)
+            u_pb = (pbits + 7) // 8
+        else:
+            u_qv = ((min(qt, self.capq) + 3) // 4 if self.q4
+                    else min(qt, self.capq) * self.vbytes)
+            u_qe4 = (min(qn4, self.capq4) + 1) // 2 if self.q4 else 0
+            u_qe = 2 * min(qn, self.capqe) if self.q4 else 0
+            u_db = u_pb = 0
         u_mv = min(mn, self.nb) if self.mvd else 0
-        return u_j1, u_jb, u_jk, u_re, u_ae, u_qv, u_qe4, u_qe, u_mv
+        return (u_j1, u_jb, u_jk, u_re, u_ae, u_qv, u_qe4, u_qe,
+                u_db, u_pb, u_mv)
 
     def jk_used(self, jn):
         return (jnp.minimum(jn, self.capk) + 7) // 8 * 3
@@ -875,19 +922,32 @@ class FrameLayout:
     def mv_used(self, mns):
         return jnp.minimum(mns, self.nb)
 
+    def db_used(self, dbits):
+        return jnp.minimum((dbits + 7) // 8, self.capdb)
+
+    def pb_used(self, pbits):
+        return (pbits + 7) // 8  # worst-case-exact cap: cannot overflow
+
     def head_counts(self, buf) -> tuple:
-        """(j1n, jbn, jn, qt, qn4, qn, rn, an, mn) from a head row (ints)."""
+        """(j1n, jbn, jn, qt, qn4, qn, rn, an, mn, dbits, pbits) from a
+        head row (ints)."""
         wa = self.with_art and self.tail
         j1n = int(self._f(buf, "j1n", np.int32)[0]) if wa else 0
         jbn = int(self._f(buf, "jbn", np.int32)[0]) if wa else 0
         jn = int(self._f(buf, "jn", np.int32)[0]) if self.with_art else 0
-        qt = int(self._f(buf, "qt", np.int32)[0])
-        qn4 = int(self._f(buf, "qn4", np.int32)[0]) if self.q4 else 0
-        qn = int(self._f(buf, "qn", np.int32)[0]) if self.q4 else 0
+        if self.devbits:
+            qt = qn4 = qn = 0
+            dbits = int(self._f(buf, "dbits", np.int32)[0])
+            pbits = int(self._f(buf, "pbits", np.int32)[0])
+        else:
+            qt = int(self._f(buf, "qt", np.int32)[0])
+            qn4 = int(self._f(buf, "qn4", np.int32)[0]) if self.q4 else 0
+            qn = int(self._f(buf, "qn", np.int32)[0]) if self.q4 else 0
+            dbits = pbits = 0
         rn = int(self._f(buf, "rn", np.int32)[0])
         an = int(self._f(buf, "an", np.int32)[0]) if self.with_art else 0
         mn = int(self._f(buf, "mn", np.int32)[0]) if self.mvd else 0
-        return j1n, jbn, jn, qt, qn4, qn, rn, an, mn
+        return j1n, jbn, jn, qt, qn4, qn, rn, an, mn, dbits, pbits
 
     def _f(self, buf, name, dtype):
         s, e = self.offsets[name]
@@ -958,8 +1018,9 @@ class FrameLayout:
         """uint8 [total] (+ the frame's pool segment in ``tail`` mode) ->
         field views (zero-copy except modes)."""
         mv_seg = None
+        db_b = pb_b = None
         if self.tail:
-            (u_j1, u_jb, u_jk, u_re, u_ae, u_qv, u_qe4, u_qe,
+            (u_j1, u_jb, u_jk, u_re, u_ae, u_qv, u_qe4, u_qe, u_db, u_pb,
              u_mv) = self.tail_sizes(*self.head_counts(buf))
             p = u_j1 + u_jb
             jk = tail[p : p + u_jk]
@@ -967,12 +1028,18 @@ class FrameLayout:
             re = tail[p : p + u_re]
             ae = tail[p + u_re : p + u_re + u_ae]
             p += u_re + u_ae
-            qv_b = tail[p : p + u_qv]
-            p += u_qv
-            qe4_b = tail[p : p + u_qe4]
-            qe_b = tail[p + u_qe4 : p + u_qe4 + u_qe]
-            if self.mvd:
+            if self.devbits:
+                db_b = tail[p : p + u_db]
+                pb_b = tail[p + u_db : p + u_db + u_pb]
+                p += u_db + u_pb
+                qv_b = qe4_b = qe_b = None
+            else:
+                qv_b = tail[p : p + u_qv]
+                p += u_qv
+                qe4_b = tail[p : p + u_qe4]
+                qe_b = tail[p + u_qe4 : p + u_qe4 + u_qe]
                 p += u_qe4 + u_qe
+            if self.mvd:
                 mv_seg = tail[p : p + u_mv]
             jb = None
             if self.with_art:
@@ -1015,14 +1082,26 @@ class FrameLayout:
             "modes": np.unpackbits(
                 self._f(buf, "modes", np.uint8)[: self.nbm],
                 bitorder="little")[: self.nb],
-            "qv_raw": qv_b, "qe4_raw": qe4_b if self.q4 else None,
+            "qv_raw": qv_b,
+            "qe4_raw": qe4_b if self.q4 and not self.devbits else None,
             "qe_raw": qe_b, "qv": None,
-            "ql": self._f(buf, "ql",
-                          np.uint8 if self.qlbytes == 1 else np.int16),
-            "qt": int(self._f(buf, "qt", np.int32)[0]),
-            "qn4": int(self._f(buf, "qn4", np.int32)[0]) if self.q4 else 0,
-            "qn": int(self._f(buf, "qn", np.int32)[0]) if self.q4 else 0,
         }
+        if self.devbits:
+            out.update(
+                ql=None, qt=0, qn4=0, qn=0,
+                db=db_b, pb=pb_b,
+                dn=int(self._f(buf, "dn", np.int32)[0]),
+                dbits=int(self._f(buf, "dbits", np.int32)[0]),
+                pbits=int(self._f(buf, "pbits", np.int32)[0]),
+            )
+        else:
+            out.update(
+                ql=self._f(buf, "ql",
+                           np.uint8 if self.qlbytes == 1 else np.int16),
+                qt=int(self._f(buf, "qt", np.int32)[0]),
+                qn4=int(self._f(buf, "qn4", np.int32)[0]) if self.q4 else 0,
+                qn=int(self._f(buf, "qn", np.int32)[0]) if self.q4 else 0,
+            )
         if self.with_art:
             out["ae"] = ae
             out["an"] = int(self._f(buf, "an", np.int32)[0])
@@ -1137,6 +1216,27 @@ def joint_states_of(f: dict) -> np.ndarray | None:
     return jst
 
 
+def devbits_ok(f: dict) -> bool:
+    """True when a devbits frame's device-packed dct stream is valid (the
+    symbol compaction and the word buffer both stayed within cap) — the
+    pipeline otherwise falls back to the full qdct plane and re-encodes on
+    host, exactly like a q-cap overflow."""
+    lay = f["lay"]
+    return (lay.devbits and f["dn"] <= lay.capsym
+            and f["dbits"] <= 8 * lay.capdb - 32)
+
+
+def decode_qdct_devbits(f: dict, bs: int) -> np.ndarray:
+    """Host qdct plane of a devbits frame: ONE native pass decoding the
+    device-packed bitstream (exp-Golomb + RLE + inverse zigzag)."""
+    from ..entropy import native
+    from ..entropy.rle import EOB_MARKER
+    from ..entropy.zigzag import zigzag_indices
+
+    return native.decode_dct_plane(f["db"], f["dbits"], f["h"], f["w"], bs,
+                                   zigzag_indices(bs), EOB_MARKER)
+
+
 def qv_of(f: dict) -> np.ndarray:
     """Memoized qdct value stream of a split-frame dict (nibble expansion /
     dtype view deferred out of the main-thread split)."""
@@ -1166,7 +1266,12 @@ def host_rebuild_p(f: dict, row_qps: np.ndarray, bs: int, planes: np.ndarray,
     lay = f["lay"]
     h, w = f["h"], f["w"]
     nbr, nbc = h // bs, w // bs
-    if lay.q4:
+    if lay.devbits:
+        qv_kind = 4  # qv = the packed dct bitstream; n_qe4 = its bit length
+        qv = np.ascontiguousarray(f["db"], np.uint8)
+        qe4 = np.zeros(0, np.uint8)
+        qe = np.zeros(0, np.int16)
+    elif lay.q4:
         qv_kind = 3  # 2-bit codes + nibble escapes + int16 deep escapes
         qv = np.ascontiguousarray(f["qv_raw"], np.uint8)
         qe4 = np.ascontiguousarray(f["qe4_raw"], np.uint8)
@@ -1179,7 +1284,9 @@ def host_rebuild_p(f: dict, row_qps: np.ndarray, bs: int, planes: np.ndarray,
         qv = np.ascontiguousarray(f["qv_raw"], np.uint8)
         qe4 = np.zeros(0, np.uint8)
         qe = np.zeros(0, np.int16)
-    ql = np.ascontiguousarray(f["ql"])
+    n_qe4 = f["dbits"] if lay.devbits else 2 * qe4.size
+    ql = (np.zeros(1, np.uint8) if lay.devbits
+          else np.ascontiguousarray(f["ql"]))
     ql_u8 = 1 if ql.dtype == np.uint8 else 0
     zz = np.ascontiguousarray(zigzag_indices(bs), np.int64)
     rq = np.ascontiguousarray(row_qps, np.int32)
@@ -1199,7 +1306,7 @@ def host_rebuild_p(f: dict, row_qps: np.ndarray, bs: int, planes: np.ndarray,
     # bvc_rebuild_p hardcodes the joint-state ids; they are fixed by the
     # J_* enum above (J_NONE..J_BESC = range(8))
     lib.bvc_rebuild_p(
-        qv.ctypes.data, qv_kind, qe4.ctypes.data, 2 * qe4.size,
+        qv.ctypes.data, qv_kind, qe4.ctypes.data, n_qe4,
         qe.ctypes.data, qe.size,
         ql.ctypes.data, ql_u8, zz.ctypes.data, rq.ctypes.data,
         d.ctypes.data, nbr, nbc, bs, T.EXACT_SHIFT, T.IDCT_GUARD,

@@ -11,7 +11,11 @@ the XLA paths; the Pallas kernels compile differently on the real chip
 2. Pallas full-search parity vs the XLA candidate scan (bench config).
 3. End-to-end: the reference deliverable config (CIF RC3 + fastME) under
    the integer-exact transform produces a bitstream byte-identical to the
-   golden NumPy oracle, and decode == encoder reconstruction.
+   golden NumPy oracle, and decode == encoder reconstruction — run TWICE:
+   once on the default devbits transport (the device packs the final
+   exp-Golomb bitstreams, ops/bitpack.py) and once with BVC_DEVBITS=0
+   (the q-prefix transport), so both transports keep real-chip parity
+   evidence.
 4. A 720p smoke encode/decode (decode == recon) — the compact-transfer
    caps and kernels at a production-ish resolution.
 5. Batch lane (models/batch.py) on the real chip: batched-vs-serial
@@ -98,7 +102,7 @@ def fullsearch_parity():
     check(ok, "full-search pallas parity (bench config)")
 
 
-def deliverable_golden():
+def deliverable_golden(devbits=True):
     from basic_video_codec_tpu.config import EncoderConfig, InputParameters
     from basic_video_codec_tpu.golden.encoder import encode_video as golden_encode
     from basic_video_codec_tpu.io.fileio import FileIOHelper
@@ -107,6 +111,8 @@ def deliverable_golden():
     from basic_video_codec_tpu.tools import ygen
 
     W, H, N = 352, 288, 8
+    tag = "devbits" if devbits else "q-prefix"
+    os.environ["BVC_DEVBITS"] = "1" if devbits else "0"
     tmp = tempfile.mkdtemp(prefix="bvc_val_")
     y = ygen.moving_sequence(W, H, N, seed=5)
     ios = {}
@@ -127,10 +133,12 @@ def deliverable_golden():
     g, t = ios["g"], ios["t"]
     check(filecmp.cmp(g.get_encoded_file_name(), t.get_encoded_file_name(),
                       shallow=False),
-          "deliverable (RC3+fastME, exact) bitstream == golden")
+          f"deliverable (RC3+fastME, exact, {tag}) bitstream == golden")
     rec = np.fromfile(t.get_mc_reconstructed_file_name(), np.uint8)
     dec = np.fromfile(t.get_mc_decoded_file_name(), np.uint8)
-    check(np.array_equal(rec, dec), "deliverable decode == encoder recon")
+    check(np.array_equal(rec, dec),
+          f"deliverable ({tag}) decode == encoder recon")
+    os.environ.pop("BVC_DEVBITS", None)
 
 
 def smoke_720p():
@@ -249,7 +257,8 @@ def batch_lane():
 if __name__ == "__main__":
     fastme_parity()
     fullsearch_parity()
-    deliverable_golden()
+    deliverable_golden(devbits=True)
+    deliverable_golden(devbits=False)
     smoke_720p()
     batch_lane()
     print("ALL HARDWARE CHECKS PASSED")

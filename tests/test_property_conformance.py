@@ -88,7 +88,8 @@ def test_random_config_byte_parity(tmp_path, case, monkeypatch):
     # non-default combinations too (mixed multi-GOP chunks, raw uploads,
     # full-plane decode fetches, non-tail rows)
     for var, p_on in (("BVC_MIXED", 0.33), ("BVC_UPACK", 0.75),
-                      ("BVC_DCOMPACT", 0.75), ("BVC_TAIL", 0.85)):
+                      ("BVC_DCOMPACT", 0.75), ("BVC_TAIL", 0.85),
+                      ("BVC_DEVBITS", 0.5)):
         monkeypatch.setenv(var, str(int(rng.random() < p_on)))
     y = ygen.moving_sequence(w, h, n, seed=int(rng.integers(0, 1 << 30)))
     ios = {}
