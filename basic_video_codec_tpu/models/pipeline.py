@@ -735,9 +735,14 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     # devbits: the device packs each frame's FINAL pred/dct exp-Golomb
     # bitstreams (ops/bitpack.py) and the q-prefix transport fields
     # disappear — the host writes the bytes straight into encoded.bin and
-    # re-derives qdct by decoding them in one native pass (BVC_DEVBITS=0
-    # restores the q-prefix transport)
-    devb = tail_mode and os.environ.get("BVC_DEVBITS", "1") != "0"
+    # re-derives qdct by decoding them in one native pass.  Measured
+    # single-stream it LOSES (PROFILE.md §11: the exp-Golomb stream is
+    # bigger on the wire than the 2-bit prefix codes, and the pack kernel
+    # adds device time, while the host finalize it deletes was overlapped
+    # anyway), so the serial lane defaults q-prefix; the batch lane
+    # (models/batch.py), where C configs share the one-core host, defaults
+    # devbits.  BVC_DEVBITS=1/0 forces either.
+    devb = tail_mode and os.environ.get("BVC_DEVBITS", "0") != "0"
     int8q = PK.qdct_int8_safe(ec)
     mv8 = PK.mv_int8_safe(ec)
     q4 = PK.qdct_nibble_safe(ec)

@@ -3,6 +3,8 @@ vmapped program vs N serial encode_video passes (models/batch.py multi-
 stream lane).  Long sequences (throughput mode, fill/drain amortized).
 
     python scripts/profile_streams.py [--streams 8] [--frames 60]
+    python scripts/profile_streams.py --width 1280 --height 720 \
+        --streams 4 --bs 16   # production-ish 720p serving shape
 """
 
 import argparse
@@ -23,9 +25,6 @@ from basic_video_codec_tpu.utils import compcache
 
 compcache.enable()
 
-W, H = 352, 288
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=8)
@@ -34,6 +33,10 @@ def main():
     ap.add_argument("--qp", type=int, default=5)
     ap.add_argument("--iperiod", type=int, default=10)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--width", type=int, default=352)
+    ap.add_argument("--height", type=int, default=288)
+    ap.add_argument("--decode", action="store_true",
+                    help="also time serial decode_video over one rep's trees")
     ap.add_argument("--profile", action="store_true",
                     help="keep INFO logging so BVC_PROFILE=1 stage tables "
                          "from the batch lane and serial passes print")
@@ -41,6 +44,7 @@ def main():
     if not args.profile:
         logging.disable(logging.INFO)
     S, N = args.streams, args.frames
+    W, H = args.width, args.height
 
     tmp = tempfile.mkdtemp(prefix="bvc_streams_")
     try:
@@ -84,6 +88,16 @@ def main():
                   f"{cf / ts:6.1f} stream-frames/s | batched: {tb:6.2f}s = "
                   f"{cf / tb:6.1f} stream-frames/s | speedup "
                   f"{ts / tb:.2f}x", flush=True)
+            if args.decode and rep == args.reps - 1:
+                from basic_video_codec_tpu.models.pipeline import decode_video
+
+                decode_video(serial[0])  # compile
+                t0 = time.time()
+                for p in serial:
+                    decode_video(p)
+                td = time.time() - t0
+                print(f"decode {S} serial passes: {td:6.2f}s = "
+                      f"{cf / td:6.1f} stream-frames/s", flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -127,6 +127,43 @@ def test_compact_forced_fastme(tmp_path, monkeypatch, cfg):
                            shallow=False), fn
 
 
+@pytest.mark.parametrize("cfg", [
+    dict(quantization_factor=2),
+    dict(fastME=True, nRefFrames=2, quantization_factor=6),
+    dict(fastME=True, RCflag=3, targetBR=480_000),
+], ids=["rc0_lowqp", "nref2", "rc3"])
+def test_devbits_transport(tmp_path, monkeypatch, cfg):
+    """The devbits transport (device-packed final bitstreams, ops/bitpack.py
+    — the batch lane's default) must reproduce the q-prefix run bit-for-bit
+    on every artifact, across the GOP, multiref and two-pass lanes.  The
+    property sweep draws the knob randomly; this pins it deterministically."""
+    sz = dict(W=176, H=144, N=5, resolution=(176, 144)) if "RCflag" in cfg else {}
+    base = dict(block_size=8, search_range=2, I_Period=4,
+                quantization_factor=3, resolution=(sz.get("W", W),
+                                                   sz.get("H", H)))
+    base.update({k: v for k, v in cfg.items() if k != "resolution"})
+    y = ygen.moving_sequence(sz.get("W", W), sz.get("H", H), sz.get("N", N),
+                             seed=11)
+    ios = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("BVC_DEVBITS", env)
+        d = tmp_path / f"db{env}"
+        d.mkdir(parents=True)
+        ygen.write_y_file(str(d / "t.y"), y)
+        p = InputParameters(str(d / "t.y"), sz.get("W", W), sz.get("H", H),
+                            EncoderConfig(**base),
+                            frames_to_process=sz.get("N", N))
+        tpu_encode(p, results_csv_path=None)
+        tpu_decode(p)
+        ios[env] = FileIOHelper(p, create_dirs=False)
+    # (metrics.csv carries wall-time columns, so it is excluded)
+    for fn in ("get_encoded_file_name", "get_mc_reconstructed_file_name",
+               "get_quant_dct_coff_fh_file_name", "get_mv_file_name",
+               "get_mc_decoded_file_name"):
+        assert filecmp.cmp(getattr(ios["1"], fn)(), getattr(ios["0"], fn)(),
+                           shallow=False), fn
+
+
 def test_metrics_and_mv_artifacts(tmp_path):
     iog, iot = _run_both(tmp_path, "artifacts", quantization_factor=7)
     # at high QP everything matches bit for bit, including text artifacts
