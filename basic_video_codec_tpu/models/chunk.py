@@ -38,7 +38,7 @@ def _devbits_dct(qdct, bs, layout):
     blocks = (qdct.reshape(nbr, bs, nbc, bs).swapaxes(1, 2)
               .reshape(nbr * nbc, bs * bs))
     z = BL.zigzag_rows(blocks.astype(jnp.int32), bs)
-    return BP.pack_dct_bits(z, layout.capsym)
+    return BP.pack_dct_bits(z, layout.capsym, bs)
 
 
 def _devbits_pred_i(row_qps, qp0, modes, layout):

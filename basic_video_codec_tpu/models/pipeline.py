@@ -129,6 +129,25 @@ def _wrap_diff_u8(curr, prev_recon):
 
 
 
+def _host_entropy(mode, aux, row_qps, qdct, ec, nbr, nbc, bs):
+    """Host entropy coder: vectorized symbol prep + native bit packing ->
+    ``(pred_bytes, pred_bits, dct_bytes, dct_bits)``.  The non-devbits
+    finalize path, and the sampled devbits cross-check."""
+    qp_diffs = row_qps.astype(np.int64) - ec.quantization_factor
+    if mode == INTRA:
+        syms = np.hstack([qp_diffs[:, None], aux.astype(np.int64)]).ravel()
+    else:
+        k = 3 if ec.nRefFrames > 1 else 2
+        flat = aux.reshape(-1, 3).astype(np.int64)
+        prev = np.vstack([np.zeros(3, np.int64), flat[:-1]])
+        diffs = (flat - prev)[:, :k].reshape(nbr, nbc * k)
+        syms = np.hstack([qp_diffs[:, None], diffs]).ravel()
+    pred_bytes, pred_bits = encode_symbols_bytes(syms)
+    dct_bytes, dct_bits = encode_dct_plane_bytes(
+        qdct, bs, zigzag_indices(bs), EOB_MARKER)
+    return pred_bytes, pred_bits, dct_bytes, dct_bits
+
+
 def _finalize_fields(index, mode, curr, recon, art, qdct, aux, metric_sum,
                      comparisons, row_qps, row_bits, ec, prev_recon=None,
                      want_psnr=True, dev_streams=None) -> _Finalized:
@@ -172,21 +191,23 @@ def _finalize_fields(index, mode, curr, recon, art, qdct, aux, metric_sum,
         # (ops/bitpack.py); the bytes land here byte-identical to the host
         # coder (tests/test_bitpack.py + the golden e2e parity suite)
         f.pred_bytes, f.pred_bits, f.dct_bytes, f.dct_bits = dev_streams
+        # In devbits mode the row-bits assert below compares two DEVICE
+        # derivations (bitpack vs bitlen), so the host coder drops out of
+        # the runtime invariant.  Re-encode a sampled subset of frames
+        # through the host coder and require byte identity, keeping the
+        # "device bits == host entropy coder bits" invariant live end to
+        # end without paying the host pack on every frame.
+        if _DEVBITS_CHECK and index % _DEVBITS_CHECK == 0:
+            hp_bytes, hp_bits, hd_bytes, hd_bits = _host_entropy(
+                mode, aux, row_qps, qdct, ec, nbr, nbc, bs)
+            assert (hp_bits == f.pred_bits and hd_bits == f.dct_bits
+                    and hp_bytes == f.pred_bytes and hd_bytes == f.dct_bytes), (
+                f"devbits stream diverged from host entropy coder at frame "
+                f"{index}")
     else:
         # entropy finalization (vectorized symbol prep + native bit packing)
-        qp_diffs = row_qps.astype(np.int64) - ec.quantization_factor
-        if mode == INTRA:
-            syms = np.hstack([qp_diffs[:, None], aux.astype(np.int64)]).ravel()
-        else:
-            k = 3 if ec.nRefFrames > 1 else 2
-            flat = aux.reshape(-1, 3).astype(np.int64)
-            prev = np.vstack([np.zeros(3, np.int64), flat[:-1]])
-            diffs = (flat - prev)[:, :k].reshape(nbr, nbc * k)
-            syms = np.hstack([qp_diffs[:, None], diffs]).ravel()
-        f.pred_bytes, f.pred_bits = encode_symbols_bytes(syms)
-        f.dct_bytes, f.dct_bits = encode_dct_plane_bytes(
-            qdct, bs, zigzag_indices(bs), EOB_MARKER
-        )
+        f.pred_bytes, f.pred_bits, f.dct_bytes, f.dct_bits = _host_entropy(
+            mode, aux, row_qps, qdct, ec, nbr, nbc, bs)
 
     assert f.dct_bits + f.pred_bits == sum(f.bits_per_row), (
         "device bit pricing diverged from host entropy coder"
@@ -611,6 +632,10 @@ DEPTH = max(int(os.environ.get("BVC_DEPTH", "2")), 1)
 # behaviors where round-trip latency dominates instead.
 FETCHB = max(int(os.environ.get("BVC_FETCHB", "1")), 1)
 _TRACE = os.environ.get("BVC_TRACE", "0") != "0"  # per-chunk fetch timing
+# Sampled devbits-vs-host-coder byte-identity cross-check: every Nth frame
+# index (0 disables).  Keeps the entropy invariant checked against the HOST
+# coder at runtime even when the device packs the final bitstreams.
+_DEVBITS_CHECK = int(os.environ.get("BVC_DEVBITS_CHECK", "64"))
 _trace_ts: dict = {}
 
 

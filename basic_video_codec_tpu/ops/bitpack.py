@@ -115,7 +115,12 @@ def emit_codes(words: jnp.ndarray, offs, codes, lens, live):
     t = (offs & 31) + lens  # end bit within the 2-word window
     wi = offs >> 5
     lo_half = t <= 32
-    sh = jnp.where(lo_half, 32 - t, t - 32)
+    # t can reach 64 (a 33-bit field starting at bit 31), making the raw
+    # hi shift 32 — implementation-defined for int32 in XLA.  Codes are
+    # positive int32 with <= 17 significant bits (field length 2*bitlen-1
+    # <= 33 => value bits <= 17), so a logical >>32 is 0, and clamping to
+    # >>31 yields that same 0 with defined semantics.
+    sh = jnp.where(lo_half, 32 - t, jnp.minimum(t - 32, 31))
     hi = jnp.where(lo_half, codes << sh, codes >> sh)
     lo = jnp.where(lo_half, 0, codes << jnp.clip(64 - t, 0, 31))
     hi = jnp.where(live, hi, 0)
@@ -140,13 +145,27 @@ def dct_sym_cap(capq: int, nb: int) -> int:
     return capq + 2 * nb
 
 
-def dct_word_cap(cap_sym: int) -> int:
+def max_dct_code_bits(bs: int) -> int:
+    """Longest single codeword the dct stream can contain for block size
+    ``bs``: the worst-case quantized literal is |coeff| <= 255*bs (the
+    orthonormal 2-D DCT's DC bound at Q=1), coded in 2*bitlen(2*255*bs+1)-1
+    bits; headers are bounded by run length <= bs*bs and the EOB marker is
+    EOB_LEN bits."""
+    lit = 2 * int(2 * 255 * bs + 1).bit_length() - 1
+    hdr = 2 * int(2 * bs * bs + 1).bit_length() - 1
+    return max(lit, hdr, EOB_LEN)
+
+
+def dct_word_cap(cap_sym: int, bs: int = 8) -> int:
     """Word capacity of the packed dct stream (+1 spill word for the
-    scatter's ``wi + 1`` at the last code)."""
-    return (cap_sym * 27 + 31) // 32 + 1
+    scatter's ``wi + 1`` at the last code).  Sized from the longest
+    codeword the config's block size can emit, so dense worst-case content
+    hits the symbol-count overflow check (n > cap_sym) rather than
+    silently exhausting the byte budget early."""
+    return (cap_sym * max_dct_code_bits(bs) + 31) // 32 + 1
 
 
-def pack_dct_bits(z: jnp.ndarray, cap_sym: int):
+def pack_dct_bits(z: jnp.ndarray, cap_sym: int, bs: int = 8):
     """Zigzag scans ``[nb, L]`` -> ``(bytes u8 [4*cap_words], total_bits,
     n_sym)``.
 
@@ -160,7 +179,7 @@ def pack_dct_bits(z: jnp.ndarray, cap_sym: int):
     total_bits = jnp.sum(lens * valid)
     n, offs_c, codes_c, lens_c = compact_stream(valid, (offs, codes, lens),
                                                 cap_sym)
-    cap_words = dct_word_cap(cap_sym)
+    cap_words = dct_word_cap(cap_sym, bs)
     live = jnp.arange(cap_sym, dtype=jnp.int32) < jnp.minimum(n, cap_sym)
     # drop any code whose window would spill past the cap (overflow case —
     # the stream is discarded anyway, but the scatter must stay in bounds)

@@ -815,7 +815,7 @@ class FrameLayout:
 
             assert tail, "devbits layouts require tail mode"
             self.capsym = dct_sym_cap(self.capq, nb)
-            self.capdb = 4 * dct_word_cap(self.capsym)
+            self.capdb = 4 * dct_word_cap(self.capsym, bs)
             self.npred = (nbr * (1 + (w // bs) * mvk) if with_mv
                           else nbr * (1 + w // bs))
             self.capp = 4 * pred_word_cap(self.npred)

@@ -47,7 +47,9 @@ def calculate_proportional_row_bit_budget(frame, row_idx, ec):
 
 def find_rc_qp_for_row(bit_budget, qp_table, frame_type="C", scaling_factor=1):
     if frame_type not in ("I", "P", "C"):
-        raise ValueError("Invalid frame type. Must be one of 'I', 'P', or 'C'.")
+        raise ValueError(
+            f"find_rc_qp_for_row: unknown frame_type {frame_type!r} "
+            "(expected an I/P/C table column)")
     for qp, bits in sorted(qp_table.items()):
         if bits[frame_type] * scaling_factor <= bit_budget:
             return qp
