@@ -26,8 +26,9 @@ def run_ablation(y_only_file, width=352, height=288, qps=(1, 4, 7, 10),
                  plots=True):
     os.makedirs(out_dir, exist_ok=True)
     # Build every (series, QP) cell up front and batch-encode: each series'
-    # QP sweep shares one vmapped device program where eligible
-    # (models/batch.py); nRefFrames>1 series fall back to serial encodes.
+    # QP sweep shares one vmapped device program (models/batch.py) — the
+    # nRefFrames=4 series ride the rolling-stack multiref chunk program,
+    # so the whole grid batches.
     cells = []
     for name, overrides in SERIES:
         for qp in qps:

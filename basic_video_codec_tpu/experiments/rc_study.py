@@ -82,34 +82,43 @@ def rc_mode_comparison(y_only_file, width=352, height=288, num_frames=21,
         16, 2, 21, quantization_factor=6, fastME=True, fracMeEnabled=True,
         resolution=(width, height), backend=backend,
     )
-    series_collection, times_collection = [], []
-    two_m_metric_files = []
 
-    # RC off: QP sweep
-    metric_files = []
-    for qp in qps:
+    def cell(rc_mode, qp=None, bit_rate=None):
         ec = copy.deepcopy(base)
-        ec.quantization_factor = qp
-        params = InputParameters(y_only_file, width, height, ec.validate(), num_frames)
-        metric_files.append(encode_plot_decode(params, results_csv_path=None,
-                                               plots=False, decode=False))
-    rd, times = calculate_rd_points_and_times(metric_files, "RCMode: 0")
-    series_collection.append(rd)
-    times_collection.append(times)
-
-    # RC modes 1-3 x bitrates
-    for rc_mode in (1, 2, 3):
-        metric_files = []
-        for bit_rate in bit_rates:
-            ec = copy.deepcopy(base)
+        if qp is not None:
+            ec.quantization_factor = qp
+        if rc_mode:
             ec.RCflag = rc_mode
             ec.targetBR = bit_rate
-            params = InputParameters(y_only_file, width, height, ec.validate(), num_frames)
-            path = encode_plot_decode(params, results_csv_path=None, plots=False, decode=False)
+        return InputParameters(y_only_file, width, height, ec.validate(),
+                               num_frames)
+
+    # Build the full mode x rate grid and batch-encode it: the RC0 QP sweep
+    # and the RC1 bitrate sweep each vmap into one device program
+    # (models/batch.py — budget0 is a batched axis); RC 2/3 two-pass cells
+    # fall back to serial encodes inside the same call.
+    from ..models.batch import encode_videos_batched
+
+    grid = [(0, cell(0, qp=qp), None) for qp in qps]
+    for rc_mode in (1, 2, 3):
+        grid += [(rc_mode, cell(rc_mode, bit_rate=br), br)
+                 for br in bit_rates]
+    encode_videos_batched([p for _, p, _ in grid], results_csv_path=None)
+
+    series_collection, times_collection = [], []
+    two_m_metric_files = []
+    for rc_mode in (0, 1, 2, 3):
+        metric_files = []
+        for mode, params, br in grid:
+            if mode != rc_mode:
+                continue
+            path = FileIOHelper(params,
+                                create_dirs=False).get_metrics_csv_file_name()
             metric_files.append(path)
-            if bit_rate == 2_400_000:
+            if br == 2_400_000:
                 two_m_metric_files.append(path)
-        rd, times = calculate_rd_points_and_times(metric_files, f"RCMode: {rc_mode}")
+        rd, times = calculate_rd_points_and_times(metric_files,
+                                                  f"RCMode: {rc_mode}")
         series_collection.append(rd)
         times_collection.append(times)
 

@@ -26,8 +26,14 @@ QPs — transport sizing never changes artifact bytes), the same host rebuild
 divergence class is the documented float-DCT ±1 edge, ops/transform.py —
 batched matmul HLO may round edge coefficients differently).
 
-Eligibility: RCflag == 0, nRefFrames == 1 (the sweep drivers' shapes).
-Ineligible runs fall back to serial ``encode_video``.
+Eligibility: RCflag in (0, 1), any nRefFrames (the sweep/ablation/rc-compare
+drivers' shapes).  nRefFrames > 1 groups ride the rolling-stack chunk program
+(models/chunk.encode_chunk_multiref) vmapped over configs, and must share an
+I_Period (no runtime-mode multiref program exists, so mixed-GOP multiref
+groups split).  RC1 groups batch over target bitrates: the per-row budget
+chain is already device scalar math in the chunk programs, so ``budget0``
+simply becomes a batched axis.  Ineligible runs (RC 2/3 two-pass, golden
+backend, parallel-GOP) fall back to serial ``encode_video``.
 """
 
 import os
@@ -41,13 +47,16 @@ import numpy as np
 
 from ..config import InputParameters
 from ..golden.encoder import _append_throughput, _load_rc_table
+from ..rc.rate_control import bit_budget_per_frame
 from ..ops import pack as PK
 from ..utils.frame_utils import pad_frame, padded_dims
 from ..utils.logger import get_logger
-from .chunk import encode_chunk, encode_chunk_intra_only, encode_chunk_mixed
+from .chunk import (encode_chunk, encode_chunk_intra_only, encode_chunk_mixed,
+                    encode_chunk_multiref)
 from .pipeline import (DEPTH, INTER, INTRA, MAX_CHUNK, _bucket, _EncodeSink,
-                       _finalize_compact, _ReconRebuilder, _stage,
-                       _table_arrays)
+                       _finalize_compact, _prev_avg_qp, _ReconRebuilder,
+                       _stage, _table_arrays)
+from .two_pass import encode_chunk_two_pass
 
 logger = get_logger()
 
@@ -64,18 +73,28 @@ def _group_key(params: InputParameters):
       at one GOP,
     * different ``y_only_file``s are the multi-stream serving case
       (N independent sequences per chip), uploaded with ``in_axes=0``
-      instead of a shared broadcast."""
+      instead of a shared broadcast,
+    * different target bitrates (RC1) ride a batched ``budget0``.
+
+    nRefFrames and RCflag shape the program (reference-stack rank R, the
+    rc1 budget chain / the fused two-pass program and their transport
+    statics), so they live in the key; multiref and two-pass groups
+    additionally pin I_Period — neither has a runtime-GOP (mixed)
+    variant."""
     ec = params.encoder_config
-    return (params.width, params.height,
-            params.frames_to_process, ec.block_size, ec.search_range,
-            bool(ec.fastME), bool(ec.fracMeEnabled),
-            bool(getattr(ec, "exact_transform", False)))
+    key = (params.width, params.height,
+           params.frames_to_process, ec.block_size, ec.search_range,
+           bool(ec.fastME), bool(ec.fracMeEnabled),
+           bool(getattr(ec, "exact_transform", False)),
+           ec.nRefFrames, ec.RCflag)
+    if ec.nRefFrames > 1 or ec.RCflag > 1:
+        key += (ec.I_Period,)
+    return key
 
 
 def _batchable(params: InputParameters) -> bool:
     ec = params.encoder_config
-    return (ec.RCflag == 0 and ec.nRefFrames == 1
-            and getattr(ec, "backend", "auto") != "golden"
+    return (getattr(ec, "backend", "auto") != "golden"
             and getattr(ec, "parallel_gops", 0) <= 1)
 
 
@@ -121,36 +140,55 @@ def _batch_fn(kind: str, bs: int, search_range: int, fast: bool,
               frac: bool, exact: bool, int8q: bool, mv8: bool, q4: bool,
               tail: bool, packed_shape: tuple | None, qfrac: tuple | None,
               first_is_intra: bool, shared_input: bool = True,
-              devb: bool = False):
+              devb: bool = False, rc1: bool = False):
     """Jitted vmap of the serial chunk program over the config axis: frames
-    (and the RC scalars, unused at RCflag 0) broadcast when every config
-    encodes the same stream (``shared_input``), batched otherwise
-    (multi-stream serving); refs / half-pel planes / row QPs / initial QPs —
-    and for the mixed lane the per-frame intra flags — carry one entry per
-    config.  ``kind``: 'intra_all' | 'gop' | 'mixed'."""
+    broadcast when every config encodes the same stream (``shared_input``),
+    batched otherwise (multi-stream serving); refs / half-pel planes /
+    reference-stack counts / row QPs / initial QPs / frame budgets — and
+    for the mixed lane the per-frame intra flags — carry one entry per
+    config.  ``kind``: 'intra_all' | 'gop' | 'multiref' | 'mixed'."""
     if kind == "intra_all":
-        def one(frames, ref, hp, is_i, row_qps, iqp, budget0, tblq, tblb):
+        def one(frames, ref, hp, nv, is_i, row_qps, iqp, budget0, expp,
+                pavg, tblq, tblb):
             return encode_chunk_intra_only(
-                frames, row_qps, budget0, tblq, tblb, iqp, bs, False,
+                frames, row_qps, budget0, tblq, tblb, iqp, bs, rc1,
                 exact=exact, compact=True, int8q=int8q, q4=q4, tail=tail,
                 packed_shape=packed_shape, qfrac=qfrac, devb=devb)
     elif kind == "mixed":
-        def one(frames, ref, hp, is_i, row_qps, iqp, budget0, tblq, tblb):
+        def one(frames, ref, hp, nv, is_i, row_qps, iqp, budget0, expp,
+                pavg, tblq, tblb):
             return encode_chunk_mixed(
                 frames, ref, hp, is_i, row_qps, budget0, tblq, tblb, iqp,
-                bs, search_range, False, fast, frac, exact=exact,
+                bs, search_range, rc1, fast, frac, exact=exact,
                 compact=True, int8q=int8q, mv8=mv8, q4=q4, tail=tail,
                 packed_shape=packed_shape, qfrac=qfrac, devb=devb)
+    elif kind == "multiref":
+        def one(frames, ref, hp, nv, is_i, row_qps, iqp, budget0, expp,
+                pavg, tblq, tblb):
+            return encode_chunk_multiref(
+                frames, ref, hp, nv, row_qps, budget0, tblq, tblb, iqp,
+                bs, search_range, rc1, fast, frac, first_is_intra,
+                exact=exact, compact=True, int8q=int8q, mv8=mv8, q4=q4,
+                tail=tail, packed_shape=packed_shape, qfrac=qfrac, devb=devb)
+    elif kind == "two_pass":
+        def one(frames, ref, hp, nv, is_i, row_qps, iqp, budget0, expp,
+                pavg, tblq, tblb):
+            return encode_chunk_two_pass(
+                frames, ref, hp, nv, pavg, budget0, tblq, tblb, expp, iqp,
+                bs, search_range, fast, frac, first_is_intra,
+                exact=exact, compact=True, int8q=int8q, mv8=mv8, q4=q4,
+                tail=tail, packed_shape=packed_shape, qfrac=qfrac, devb=devb)
     else:
-        def one(frames, ref, hp, is_i, row_qps, iqp, budget0, tblq, tblb):
+        def one(frames, ref, hp, nv, is_i, row_qps, iqp, budget0, expp,
+                pavg, tblq, tblb):
             return encode_chunk(
                 frames, ref, hp, row_qps, budget0, tblq, tblb, iqp, bs,
-                search_range, False, fast, frac, first_is_intra, exact=exact,
+                search_range, rc1, fast, frac, first_is_intra, exact=exact,
                 compact=True, int8q=int8q, mv8=mv8, q4=q4, tail=tail,
                 packed_shape=packed_shape, qfrac=qfrac, devb=devb)
 
     vm = jax.vmap(one, in_axes=(None if shared_input else 0,
-                                0, 0, 0, 0, 0, None, None, None))
+                                0, 0, 0, 0, 0, 0, 0, 0, 0, None, None))
     return jax.jit(vm)
 
 
@@ -180,17 +218,45 @@ def _encode_group(runs, results_csv_path):
     n_total = runs[0].frames_to_process
     frac = ec0.fracMeEnabled
     exact = getattr(ec0, "exact_transform", False)
+    rc1 = ec0.RCflag == 1          # uniform across the group (_group_key)
+    two_pass = ec0.RCflag > 1      # uniform across the group (_group_key)
+    R = ec0.nRefFrames             # uniform across the group (_group_key)
     ips = sorted({ec.I_Period for ec in ecs})
-    intra_only = ips == [1]
+    intra_only = ips == [1] and not two_pass
     # configs with DIFFERENT GOP structures share one program through the
     # runtime-mode lane: per-frame intra flags are traced per config, and
     # chunks stop being capped at one GOP (MAX_CHUNK frames per dispatch)
     mixed = len(ips) > 1
+    # the fused two-pass program carries its own rolling stack (R >= 1),
+    # so RC 2/3 groups never route through the multiref kind
+    multiref = R > 1 and not intra_only and not two_pass
     for ec in ecs:
         _load_rc_table(ec)
     tbl_np = _table_arrays(ec0)
     tbl = (jnp.asarray(tbl_np[0]), jnp.asarray(tbl_np[1]))
-    budget0 = jnp.float32(0)
+    # RC batches over target bitrates: the per-frame budget is the only
+    # per-config RC input (the row chain is device scalar math)
+    budget0 = (jnp.asarray([bit_budget_per_frame(ec) for ec in ecs],
+                           jnp.float32)
+               if ec0.RCflag else jnp.zeros((C,), jnp.float32))
+    if two_pass:
+        # scene-change statistic + pass-1 QP seed, per config (the serial
+        # pipeline's scalars, models/pipeline.py _run_chunked two_pass)
+        nbr_total = ec0.resolution[1] // bs
+
+        def _expp(ec):
+            try:
+                return float(ec.rc_lookup_table[ec.quantization_factor]["P"]
+                             * nbr_total)
+            except (KeyError, TypeError):
+                return float("inf")  # overage undefined -> never a scene cut
+
+        expp = jnp.asarray([_expp(ec) for ec in ecs], jnp.float32)
+        pavg = jnp.asarray([_prev_avg_qp([ec.quantization_factor], ec)
+                            for ec in ecs], jnp.int32)
+    else:
+        expp = jnp.zeros((C,), jnp.float32)
+        pavg = jnp.zeros((C,), jnp.int32)
 
     pw, ph = padded_dims(runs[0].width, runs[0].height, bs)
     nbr = ph // bs
@@ -203,19 +269,20 @@ def _encode_group(runs, results_csv_path):
     # with C configs sharing the one-core host, deleting the per-config
     # entropy encode is where the batch multiplier actually comes from
     devb = tail_mode and os.environ.get("BVC_DEVBITS", "1") != "0"
-    jt = q4  # encode_chunk packs with jt = q4 and not rc1; rc1 is False here
+    jt = q4 and not rc1  # tight kind cap only at fixed QP (pipeline parity)
+    mvk = 3 if R > 1 else 2  # single-ref layouts drop the ref idx
     if intra_only:
         layout = PK.FrameLayout(ph, pw, bs, vbytes, False, False, q4=q4,
                                 tail=tail_mode, qfrac=qfrac, devbits=devb)
-    elif mixed:
+    elif mixed or two_pass:
         # runtime-mode rows (mode is a traced value): every row carries both
         # mv and art fields, no joint-kind transport (pipeline "mixed" lane)
         layout = PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4,
-                                False, tail=tail_mode, mvk=2, mvn=mvn,
+                                False, tail=tail_mode, mvk=mvk, mvn=mvn,
                                 qfrac=qfrac, devbits=devb)
     else:
         layout = PK.FrameLayout(ph, pw, bs, vbytes, True, True, mv8, q4, jt,
-                                tail=tail_mode, mvk=2, mvn=mvn, qfrac=qfrac,
+                                tail=tail_mode, mvk=mvk, mvn=mvn, qfrac=qfrac,
                                 devbits=devb)
     qcap, qecap, ecap, jkcap, q4cap = (layout.capq, layout.capqe, layout.cape,
                                        layout.capk, layout.capq4)
@@ -258,12 +325,26 @@ def _encode_group(runs, results_csv_path):
     iqps = jnp.asarray(np.array(
         [ec.quantization_factor for ec in ecs], np.int32))
     gray = jnp.full((C, ph, pw), 128, jnp.uint8)
-    refs = gray
-    hps = jnp.zeros((C, 2 * ph, 2 * pw), jnp.uint8)
-    if frac:
-        from ..ops.interp import build_half_pel
+    if multiref or two_pass:
+        # rolling reference stack per config, deque semantics: slot 0 =
+        # oldest; seeded with one gray frame (reference encoder.py:33).
+        # The fused two-pass program always carries a stack (R == 1 for
+        # single-reference runs).
+        refs = jnp.zeros((C, R, ph, pw), jnp.uint8).at[:, 0].set(gray)
+        hps = jnp.zeros((C, R, 2 * ph, 2 * pw), jnp.uint8)
+        nv = jnp.ones((C,), jnp.int32)
+        if frac:
+            from ..ops.interp import build_half_pel
 
-        hps = jax.vmap(build_half_pel)(gray)
+            hps = hps.at[:, 0].set(jax.vmap(build_half_pel)(gray))
+    else:
+        refs = gray
+        hps = jnp.zeros((C, 2 * ph, 2 * pw), jnp.uint8)
+        nv = jnp.zeros((C,), jnp.int32)  # unused placeholder
+        if frac:
+            from ..ops.interp import build_half_pel
+
+            hps = jax.vmap(build_half_pel)(gray)
 
     pending: deque = deque()
     tail_stats: dict = {}  # (config, kind) -> recent per-frame pool bytes
@@ -301,7 +382,7 @@ def _encode_group(runs, results_csv_path):
         head parsing and tail top-ups happen batched in fetch_round."""
         k = len(indices)
         heads, segs, tail_np = bufs
-        if kind in ("intra_all", "mixed"):
+        if kind in ("intra_all", "mixed", "two_pass"):
             d_recons = dev[0][c]
             d_arts = dev[1][c]
             d_qdcts = dev[2][c]
@@ -467,20 +548,31 @@ def _encode_group(runs, results_csv_path):
                     for ec in ecs]))
             else:
                 is_i = jnp.zeros((C, n_frames), bool)  # unused placeholder
-            fnkind = ("intra_all" if intra_only
-                      else "mixed" if mixed else "gop")
+            fnkind = ("two_pass" if two_pass
+                      else "intra_all" if intra_only
+                      else "mixed" if mixed
+                      else "multiref" if multiref else "gop")
             fn = _batch_fn(fnkind, bs, max(ec0.search_range, 0),
                            ec0.fastME, frac, exact, int8q, mv8, q4,
                            tail_mode, pshape, qfrac,
-                           first_is_intra, shared_input=shared, devb=devb)
-            out = fn(fr_dev, refs, hps, is_i, row_qps, iqps, budget0,
-                     tbl[0], tbl[1])
-            if intra_only:
+                           first_is_intra, shared_input=shared, devb=devb,
+                           rc1=rc1)
+            out = fn(fr_dev, refs, hps, nv, is_i, row_qps, iqps, budget0,
+                     expp, pavg, tbl[0], tbl[1])
+            if two_pass:
+                dev, refs, hps, nv, pavg = out
+                kind = "two_pass"
+            elif intra_only:
                 dev = out
                 kind = "intra_all"
             elif mixed:
                 dev, refs, hps = out
                 kind = "mixed"
+            elif multiref:
+                refs, hps, nv = out[2], out[3], out[4]
+                # normalize to the fetcher's (intra_out, p_out, _, _, packed)
+                dev = (out[0], out[1], None, None, out[5])
+                kind = "intra_led" if first_is_intra else "p_only"
             else:
                 dev = out
                 refs, hps = dev[2], dev[3]

@@ -12,6 +12,13 @@ block 16, I_Period 21, targetBR 2.4 Mbps — reference assign3/Deliverable.py:14
 1.35 fps baseline) and reports it as ``deliverable_fps`` /
 ``deliverable_vs_baseline`` in the same JSON line.
 
+Third leg: the batch lane (models/batch.py) on a fixed RD-sweep-like group
+(8 QP cells of the headline config class — the reference sweep drivers'
+shape, assign1/ex4_plots.py:131-257) vs the same cells run serially:
+``sweep_fps_aggregate`` (batched config-frames/s), ``sweep_fps_serial``,
+``sweep_speedup``.  Driver-captures the aggregate-throughput frontier so it
+can never go stale in prose.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
@@ -96,6 +103,47 @@ def main():
             d_times.append(run_deliverable(BENCH_FRAMES))
         deliverable_fps = BENCH_FRAMES / min(d_times)
 
+        # batch lane: 8 QP cells of the headline class, batched vs serial.
+        # Same 60-frame stream per cell; separate y dirs so the trees never
+        # collide; artifacts overwrite in place across reps (overwrite_open
+        # keeps rep N+1 off rep N's ext4 writeback).
+        from basic_video_codec_tpu.models.batch import encode_videos_batched
+
+        SWEEP_QPS = list(range(8))
+        SWEEP_FRAMES = 60
+        y_sweep = {}
+        for lane in ("sb", "ss"):
+            d = os.path.join(tmp, lane)
+            os.makedirs(d, exist_ok=True)
+            y_sweep[lane] = os.path.join(d, "sweep.y")
+            ygen.write_y_file(y_sweep[lane], frames[:SWEEP_FRAMES])
+
+        def sweep_cells(lane):
+            out = []
+            for qp in SWEEP_QPS:
+                ec = EncoderConfig(
+                    block_size=BLOCK, search_range=R, I_Period=IPERIOD,
+                    quantization_factor=qp, resolution=(W, H))
+                out.append(InputParameters(y_sweep[lane], W, H, ec,
+                                           frames_to_process=SWEEP_FRAMES))
+            return out
+
+        encode_videos_batched(sweep_cells("sb"), results_csv_path=None)  # compile
+        for p in sweep_cells("ss"):
+            encode_video(p, results_csv_path=None)  # warm serial trees
+        sweep_cf = len(SWEEP_QPS) * SWEEP_FRAMES
+        tb, ts = [], []
+        for _ in range(3):  # sandwich reps: same weather for both lanes
+            t0 = time.time()
+            for p in sweep_cells("ss"):
+                encode_video(p, results_csv_path=None)
+            ts.append(time.time() - t0)
+            t0 = time.time()
+            encode_videos_batched(sweep_cells("sb"), results_csv_path=None)
+            tb.append(time.time() - t0)
+        sweep_fps = sweep_cf / min(tb)
+        sweep_fps_serial = sweep_cf / min(ts)
+
         print(json.dumps({
             "metric": "CIF P-frame encode throughput (full-search ME r=2, block 8, end-to-end)",
             "value": round(fps, 2),
@@ -108,6 +156,9 @@ def main():
             "deliverable_vs_baseline": round(
                 deliverable_fps / DELIVERABLE_BASELINE_FPS, 1),
             "deliverable_reps": len(d_times),
+            "sweep_fps_aggregate": round(sweep_fps, 2),
+            "sweep_fps_serial": round(sweep_fps_serial, 2),
+            "sweep_speedup": round(sweep_fps / sweep_fps_serial, 2),
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -103,22 +103,59 @@ def test_batched_group_matches_serial(tmp_path, name, cfg, qps):
 
 
 def test_mixed_eligibility_falls_back_serial(tmp_path):
-    """nRefFrames>1 and RC runs are not batchable: they must fall back to
+    """Ineligible runs (golden backend; RC 2/3 two-pass) must fall back to
     per-run serial encodes and still write correct artifact trees."""
+    from basic_video_codec_tpu.encoder import encode_video as dispatch_encode
+
     db, ds = _make_pair(tmp_path, "mixed")
     runs = [
         _params(db, 3),
         _params(db, 6),
-        _params(db, 3, nRefFrames=2),
+        _params(db, 3, backend="golden"),
     ]
     assert not _batchable(runs[2])
     res = encode_videos_batched(runs, results_csv_path=None)
-    assert res.n_batched == 1  # the two fixed-QP nRef1 runs
-    for p in [_params(ds, 3), _params(ds, 6), _params(ds, 3, nRefFrames=2)]:
+    assert res.n_batched == 1  # the two fixed-QP tpu-backend runs
+    for p in [_params(ds, 3), _params(ds, 6)]:
         serial_encode(p, results_csv_path=None)
+    dispatch_encode(_params(ds, 3, backend="golden"), results_csv_path=None)
     for pb, qp, cfg in [(runs[0], 3, {}), (runs[1], 6, {}),
-                        (runs[2], 3, dict(nRefFrames=2))]:
+                        (runs[2], 3, dict(backend="golden"))]:
         _assert_identical_trees(pb, _params(ds, qp, **cfg), f"mixed qp={qp}")
+
+
+def test_multiref_group_matches_serial(tmp_path):
+    """nRefFrames > 1 groups batch through the vmapped rolling-stack chunk
+    program (the ablation driver's nRef=4 series shape,
+    reference assign2/Deliverable.py) — byte-identical to serial."""
+    db, ds = _make_pair(tmp_path, "multiref")
+    qps = [3, 6]
+    cfg = dict(nRefFrames=4)
+    batch_runs = [_params(db, qp, **cfg) for qp in qps]
+    assert all(_batchable(p) for p in batch_runs)
+    res = encode_videos_batched(batch_runs, results_csv_path=None)
+    assert res.n_batched == 1, "nRef=4 QP sweep should batch into one program"
+    for qp in qps:
+        serial_encode(_params(ds, qp, **cfg), results_csv_path=None)
+    for qp, pb in zip(qps, batch_runs):
+        _assert_identical_trees(pb, _params(ds, qp, **cfg),
+                                f"multiref qp={qp}")
+
+
+def test_multiref_fastme_frac_group_matches_serial(tmp_path):
+    """Multiref batching composed with fastME + fractional ME (the ablation
+    grid's feature series)."""
+    db, ds = _make_pair(tmp_path, "multiref_ff")
+    qps = [2, 5]
+    cfg = dict(nRefFrames=2, fastME=True, fracMeEnabled=True)
+    batch_runs = [_params(db, qp, **cfg) for qp in qps]
+    res = encode_videos_batched(batch_runs, results_csv_path=None)
+    assert res.n_batched == 1
+    for qp in qps:
+        serial_encode(_params(ds, qp, **cfg), results_csv_path=None)
+    for qp, pb in zip(qps, batch_runs):
+        _assert_identical_trees(pb, _params(ds, qp, **cfg),
+                                f"multiref_ff qp={qp}")
 
 
 def test_mixed_iperiod_group_matches_serial(tmp_path):
@@ -158,6 +195,79 @@ def test_multi_stream_batch_matches_serial(tmp_path):
         _assert_identical_trees(pb, ps, f"stream seed={s}")
 
 
+def test_rc1_group_matches_serial(tmp_path):
+    """RC1 groups batch over target bitrates (the rc-compare study's shape,
+    reference assign3/Ex2.py): the per-row budget chain is device scalar
+    math, so ``budget0`` is just another batched axis — byte-identical to
+    serial, including rc_qp per-row decisions.  Uses the integer-exact
+    transform: the RC chain feeds actual row bits back into QP decisions,
+    so the permitted float-DCT ±1 edge (batched matmul HLO rounding)
+    would otherwise make byte-identity content-dependent; exact mode pins
+    the RC-chain parity strictly."""
+    Wq, Hq, Nq = 176, 144, 4  # RC lookup tables exist for QCIF
+    y = ygen.moving_sequence(Wq, Hq, Nq, seed=21)
+    dirs = []
+    for sub in ("b", "s"):
+        d = tmp_path / "rc1" / sub
+        d.mkdir(parents=True)
+        ygen.write_y_file(str(d / "t.y"), y)
+        dirs.append(d)
+    db, ds = dirs
+
+    def rc_params(d, br):
+        ec = EncoderConfig(block_size=8, search_range=2, I_Period=4,
+                           quantization_factor=3, resolution=(Wq, Hq),
+                           RCflag=1, targetBR=br, exact_transform=True)
+        return InputParameters(str(d / "t.y"), Wq, Hq, ec,
+                               frames_to_process=Nq)
+
+    brs = [480_000, 1_200_000, 2_400_000]
+    batch_runs = [rc_params(db, br) for br in brs]
+    assert all(_batchable(p) for p in batch_runs)
+    res = encode_videos_batched(batch_runs, results_csv_path=None)
+    assert res.n_batched == 1, "RC1 bitrate sweep should batch into one program"
+    for br in brs:
+        serial_encode(rc_params(ds, br), results_csv_path=None)
+    for br, pb in zip(brs, batch_runs):
+        _assert_identical_trees(pb, rc_params(ds, br), f"rc1 br={br}")
+
+
+def test_two_pass_group_matches_serial(tmp_path):
+    """RC 2/3 groups batch through the vmapped fused two-pass program
+    (models/two_pass.py): per-config budget / scene-change statistic /
+    prev-avg-QP seed are batched scalars.  Content includes a mid-sequence
+    cut so the scene-change intra path is exercised under vmap.
+    Integer-exact transform for the same reason as the RC1 test: the
+    two-pass chain feeds pass-1 bits into pass-2 QPs, so the float-DCT ±1
+    edge would otherwise soften byte-identity."""
+    Wq, Hq, Nq = 176, 144, 6
+    y = ygen.camera_sequence(Wq, Hq, Nq, seed=7, cut_at=3)
+    dirs = []
+    for sub in ("b", "s"):
+        d = tmp_path / "rc3" / sub
+        d.mkdir(parents=True)
+        ygen.write_y_file(str(d / "t.y"), y)
+        dirs.append(d)
+    db, ds = dirs
+
+    def rc_params(d, br):
+        ec = EncoderConfig(block_size=8, search_range=2, I_Period=6,
+                           quantization_factor=3, resolution=(Wq, Hq),
+                           RCflag=3, targetBR=br, exact_transform=True)
+        return InputParameters(str(d / "t.y"), Wq, Hq, ec,
+                               frames_to_process=Nq)
+
+    brs = [480_000, 2_400_000]
+    batch_runs = [rc_params(db, br) for br in brs]
+    assert all(_batchable(p) for p in batch_runs)
+    res = encode_videos_batched(batch_runs, results_csv_path=None)
+    assert res.n_batched == 1, "RC3 bitrate sweep should batch into one program"
+    for br in brs:
+        serial_encode(rc_params(ds, br), results_csv_path=None)
+    for br, pb in zip(brs, batch_runs):
+        _assert_identical_trees(pb, rc_params(ds, br), f"rc3 br={br}")
+
+
 def test_multi_stream_unequal_lengths_raise(tmp_path):
     a = tmp_path / "a"; b = tmp_path / "b"
     a.mkdir(); b.mkdir()
@@ -181,3 +291,9 @@ def test_group_key_separates_shapes(tmp_path):
     assert _group_key(a) == _group_key(f)  # I_Period rides the mixed lane
     assert _group_key(a) != _group_key(c)
     assert _group_key(a) != _group_key(e)
+    # nRefFrames and RCflag shape the program: never grouped with nRef=1/RC0
+    g = _params(d, 1, nRefFrames=2)
+    h2 = _params(d, 1, nRefFrames=2, I_Period=8)
+    assert _group_key(a) != _group_key(g)
+    assert _group_key(g) != _group_key(h2)  # multiref pins I_Period
+    assert _group_key(g) == _group_key(_params(d, 4, nRefFrames=2))
