@@ -136,13 +136,26 @@ def words_to_bytes(words: jnp.ndarray) -> jnp.ndarray:
     return (w & 255).astype(jnp.uint8).reshape(-1)
 
 
-def dct_sym_cap(capq: int, nb: int) -> int:
-    """Static symbol-slot capacity for the dct stream: literals are bounded
-    by the zigzag-prefix cap (ops/pack.qdct_caps) and headers by one per
-    run; ``capq + 2*nb`` covers every measured config class with >2x
-    headroom (overflow falls back to the full-plane fetch like the q
-    caps)."""
-    return capq + 2 * nb
+def dct_sym_cap(capq: int, nb: int, L: int) -> int:
+    """Static symbol-slot capacity for the dct stream — the worst case
+    given the config class's literal budget, so devbits overflow can only
+    happen when the q-prefix class itself would overflow (and NEVER for
+    the generous qfrac=(1,1) low-QP classes, where the bound is the
+    mathematical plane maximum).
+
+    Per block of ``L`` zigzag positions with ``k`` literals, headers (one
+    per run) peak when nonzeros are isolated: ``min(2k, 2(L-k)) + 1``.
+    Summed with literals and maximized over ``k`` under the class literal
+    budget ``lits <= min(capq, nb*L)`` (the q-prefix cap counts the same
+    nonzero coefficients): ``slots <= min(3*capq, 3*nb*L/2) + nb``, plus
+    ``nb`` EOB markers.  The earlier measured-headroom cap (``capq + 2*nb``)
+    overflowed EVERY qp-0 frame on camera-statistics content (headers
+    alone reach ~L/3 per block), and each overflow costs a ~40-60 ms
+    synchronous full-plane fallback through the relay — while a generous
+    cap costs only device pool allocation and scatter-add work, because
+    tail-mode transfers ship USED bytes (ops/pack.py qdct_caps doctrine).
+    """
+    return min(3 * capq, 3 * nb * L // 2) + 2 * nb
 
 
 def max_dct_code_bits(bs: int) -> int:

@@ -814,7 +814,7 @@ class FrameLayout:
             from .bitpack import dct_sym_cap, dct_word_cap, pred_word_cap
 
             assert tail, "devbits layouts require tail mode"
-            self.capsym = dct_sym_cap(self.capq, nb)
+            self.capsym = dct_sym_cap(self.capq, nb, bs * bs)
             self.capdb = 4 * dct_word_cap(self.capsym, bs)
             self.npred = (nbr * (1 + (w // bs) * mvk) if with_mv
                           else nbr * (1 + w // bs))

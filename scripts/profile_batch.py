@@ -2,7 +2,9 @@
 vmapped batch lane (models/batch.py), on the reference's RD-sweep grid
 (reference assign1/ex4_plots.py:131-257 — block sizes x I_Periods x QPs).
 
-Prints per-mode wall time, aggregate config-frames/s, and the speedup.
+Prints per-mode wall time, aggregate config-frames/s, and the speedup —
+and a same-process devbits-vs-q-prefix transport A/B for the batch lane
+(the two runs interleave rep-by-rep, so both see the same tunnel weather).
 Run alone on the box (concurrent pytest runs starve the writer thread).
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_batch.py
@@ -46,45 +48,71 @@ def cells(root):
     return out
 
 
+REPS = int(os.environ.get("BVC_PROF_REPS", "3"))
+
+
 def main():
     tmp = tempfile.mkdtemp(prefix="bvc_batch_prof_")
     try:
         y = ygen.camera_sequence(W, H, N, seed=5, cut_at=6)
-        for sub in ("serial", "batched", "warm"):
+        for sub in ("serial", "bdev", "bqp", "warm"):
             d = os.path.join(tmp, sub)
             os.makedirs(d)
             ygen.write_y_file(os.path.join(d, "t.y"), y)
 
-        # warm the compile caches for both modes (first compile 20-40 s per
-        # program class, plus the first-d2h tunnel tax)
+        def batched(sub, devbits):
+            os.environ["BVC_DEVBITS"] = "1" if devbits else "0"
+            try:
+                t0 = time.time()
+                res = encode_videos_batched(cells(os.path.join(tmp, sub)),
+                                            results_csv_path=None)
+                return time.time() - t0, res
+            finally:
+                os.environ.pop("BVC_DEVBITS", None)
+
+        # warm the compile caches for all three modes (first compile
+        # 20-40 s per program class, plus the first-d2h tunnel tax)
         warm = cells(os.path.join(tmp, "warm"))
         t0 = time.time()
+        os.environ["BVC_DEVBITS"] = "1"
         encode_videos_batched(warm, results_csv_path=None)
-        print(f"warm batched: {time.time() - t0:.1f}s", flush=True)
+        print(f"warm batched devbits : {time.time() - t0:.1f}s", flush=True)
+        t0 = time.time()
+        os.environ["BVC_DEVBITS"] = "0"
+        encode_videos_batched(warm, results_csv_path=None)
+        os.environ.pop("BVC_DEVBITS", None)
+        print(f"warm batched q-prefix: {time.time() - t0:.1f}s", flush=True)
         t0 = time.time()
         for i, p in enumerate(warm):
             encode_video(p, results_csv_path=None)
-            print(f"warm serial {i + 1}/{len(warm)}: "
-                  f"{time.time() - t0:.1f}s", flush=True)
         print(f"warm serial : {time.time() - t0:.1f}s", flush=True)
 
         n_cells = len(cells(os.path.join(tmp, "serial")))
-        t0 = time.time()
-        for p in cells(os.path.join(tmp, "serial")):
-            encode_video(p, results_csv_path=None)
-        t_serial = time.time() - t0
-
-        t0 = time.time()
-        res = encode_videos_batched(cells(os.path.join(tmp, "batched")),
-                                    results_csv_path=None)
-        t_batched = time.time() - t0
-
         cf = n_cells * N
-        print(f"cells: {n_cells} x {N} frames = {cf} config-frames "
-              f"({res.n_batched} batched groups)")
-        print(f"serial loop : {t_serial:7.2f} s = {cf / t_serial:7.1f} config-frames/s")
-        print(f"batch lane  : {t_batched:7.2f} s = {cf / t_batched:7.1f} config-frames/s")
-        print(f"speedup     : {t_serial / t_batched:.2f}x")
+        ts, tdev, tqp = [], [], []
+        n_groups = 0
+        for rep in range(REPS):
+            t0 = time.time()
+            for p in cells(os.path.join(tmp, "serial")):
+                encode_video(p, results_csv_path=None)
+            ts.append(time.time() - t0)
+            dt, res = batched("bdev", devbits=True)
+            tdev.append(dt)
+            n_groups = res.n_batched
+            dt, _ = batched("bqp", devbits=False)
+            tqp.append(dt)
+            print(f"[rep {rep}] serial {ts[-1]:6.2f}s | batched devbits "
+                  f"{tdev[-1]:6.2f}s | batched q-prefix {tqp[-1]:6.2f}s",
+                  flush=True)
+
+        print(f"\ncells: {n_cells} x {N} frames = {cf} config-frames "
+              f"({n_groups} batched groups); best of {REPS}")
+        bs_, bd, bq = min(ts), min(tdev), min(tqp)
+        print(f"serial loop      : {bs_:7.2f} s = {cf / bs_:7.1f} config-frames/s")
+        print(f"batch (devbits)  : {bd:7.2f} s = {cf / bd:7.1f} config-frames/s "
+              f"({bs_ / bd:.2f}x vs serial)")
+        print(f"batch (q-prefix) : {bq:7.2f} s = {cf / bq:7.1f} config-frames/s "
+              f"({bs_ / bq:.2f}x vs serial)")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
