@@ -108,6 +108,18 @@ class BatchEncodeResult:
         self.elapsed = elapsed
 
 
+# Multi-stream groups (distinct input files) batch only when the streams
+# are short enough that per-run pipeline fill/drain dominates a serial
+# loop (~0.16 s/run: first-chunk fetch latency + final drain).  Long
+# streams measured FASTER serial (PROFILE.md §12b: 8x60-frame CIF batched
+# 0.78-0.80x in two independent weather windows — sequential passes
+# already saturate the d2h wire and the one-core host, and batching frees
+# no resource at 0.0018% MFU), so they route through the serial loop.
+# Shared-input groups (QP/bitrate sweeps over one stream) always batch.
+MSTREAM_MAX_FRAMES = int(os.environ.get("BVC_MSTREAM_MAX_FRAMES",
+                                        str(MAX_CHUNK)))
+
+
 def encode_videos_batched(runs, results_csv_path: str | None = "results.csv"):
     """Encode every run in ``runs`` (a list of :class:`InputParameters`),
     batching groups of same-shape fixed-QP configs into shared device
@@ -120,6 +132,17 @@ def encode_videos_batched(runs, results_csv_path: str | None = "results.csv"):
     for i, p in enumerate(runs):
         key = _group_key(p) if _batchable(p) else ("serial", i)
         groups.setdefault(key, []).append(i)
+    # split unprofitable multi-stream groups into serial singletons
+    for key in list(groups):
+        idxs = groups[key]
+        if len(idxs) <= 1:
+            continue
+        paths = {os.path.abspath(runs[i].y_only_file) for i in idxs}
+        if (len(paths) > 1
+                and runs[idxs[0]].frames_to_process > MSTREAM_MAX_FRAMES):
+            del groups[key]
+            for i in idxs:
+                groups[("serial", i)] = [i]
     n_batched = 0
     elapsed = [0.0] * len(runs)
     for idxs in groups.values():
