@@ -108,16 +108,18 @@ class BatchEncodeResult:
         self.elapsed = elapsed
 
 
-# Multi-stream groups (distinct input files) batch only when the streams
-# are short enough that per-run pipeline fill/drain dominates a serial
-# loop (~0.16 s/run: first-chunk fetch latency + final drain).  Long
-# streams measured FASTER serial (PROFILE.md §12b: 8x60-frame CIF batched
-# 0.78-0.80x in two independent weather windows — sequential passes
-# already saturate the d2h wire and the one-core host, and batching frees
-# no resource at 0.0018% MFU), so they route through the serial loop.
-# Shared-input groups (QP/bitrate sweeps over one stream) always batch.
-MSTREAM_MAX_FRAMES = int(os.environ.get("BVC_MSTREAM_MAX_FRAMES",
-                                        str(MAX_CHUNK)))
+# Groups batch only when runs are short enough that per-run pipeline
+# fill/drain dominates a serial loop (~0.16 s/run: first-chunk fetch
+# latency + final drain) — the reference's sweep/ablation/rc-compare
+# drivers encode 10-21 frame cells, squarely in this region (measured
+# 1.54x, PROFILE.md §12).  LONG runs measured FASTER serial on both
+# batched axes (§12b: 8x60-frame multi-stream 0.78-0.80x in two weather
+# windows; §12c: 8x60-frame shared-input QP sweep 0.88x): sequential
+# passes already saturate the d2h wire and the one-core host, and
+# batching frees no resource at 0.0018% MFU — so they route through the
+# serial loop and the lane is never-worse.
+BATCH_MAX_FRAMES = int(os.environ.get("BVC_BATCH_MAX_FRAMES",
+                                      str(MAX_CHUNK)))
 
 
 def encode_videos_batched(runs, results_csv_path: str | None = "results.csv"):
@@ -132,14 +134,11 @@ def encode_videos_batched(runs, results_csv_path: str | None = "results.csv"):
     for i, p in enumerate(runs):
         key = _group_key(p) if _batchable(p) else ("serial", i)
         groups.setdefault(key, []).append(i)
-    # split unprofitable multi-stream groups into serial singletons
+    # split unprofitable (long-run) groups into serial singletons
     for key in list(groups):
         idxs = groups[key]
-        if len(idxs) <= 1:
-            continue
-        paths = {os.path.abspath(runs[i].y_only_file) for i in idxs}
-        if (len(paths) > 1
-                and runs[idxs[0]].frames_to_process > MSTREAM_MAX_FRAMES):
+        if (len(idxs) > 1
+                and runs[idxs[0]].frames_to_process > BATCH_MAX_FRAMES):
             del groups[key]
             for i in idxs:
                 groups[("serial", i)] = [i]

@@ -13,11 +13,14 @@ block 16, I_Period 21, targetBR 2.4 Mbps — reference assign3/Deliverable.py:14
 ``deliverable_vs_baseline`` in the same JSON line.
 
 Third leg: the batch lane (models/batch.py) on a fixed RD-sweep-like group
-(8 QP cells of the headline config class — the reference sweep drivers'
-shape, assign1/ex4_plots.py:131-257) vs the same cells run serially:
-``sweep_fps_aggregate`` (batched config-frames/s), ``sweep_fps_serial``,
-``sweep_speedup``.  Driver-captures the aggregate-throughput frontier so it
-can never go stale in prose.
+(8 QP cells x 10 frames of the headline config class — the reference
+sweep drivers' actual cell shape, assign1/ex4_plots.py:131-257 encodes 10
+frames per cell) vs the same cells run serially: ``sweep_fps_aggregate``
+(batched config-frames/s), ``sweep_fps_serial``, ``sweep_speedup``.
+Driver-captures the aggregate-throughput frontier so it can never go
+stale in prose.  (Cells LONGER than the fill/drain-dominated region
+route serial by measurement — PROFILE.md §12b/12c — so the sweep leg
+deliberately measures the batch-win region the reference drivers occupy.)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -110,7 +113,7 @@ def main():
         from basic_video_codec_tpu.models.batch import encode_videos_batched
 
         SWEEP_QPS = list(range(8))
-        SWEEP_FRAMES = 60
+        SWEEP_FRAMES = 10  # the reference sweep drivers' per-cell length
         y_sweep = {}
         for lane in ("sb", "ss"):
             d = os.path.join(tmp, lane)

@@ -3,7 +3,7 @@ ONE process (the first-d2h tunnel tax is paid once, and each A/B pair is
 a same-weather sandwich).
 
 A. Short multi-stream validation: 8 streams x 10 frames CIF, batched
-   (fill/drain-dominated shape — the side of the MSTREAM_MAX_FRAMES
+   (fill/drain-dominated shape — the side of the BATCH_MAX_FRAMES
    routing threshold that should win) vs 8 serial passes.
 B. Chip-saturation curve: aggregate stream-frames/s vs S for the lane
    as routed (long streams -> sequential serial passes).

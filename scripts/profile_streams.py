@@ -3,9 +3,9 @@ vmapped program vs N serial encode_video passes (models/batch.py multi-
 stream lane).  Long sequences (throughput mode, fill/drain amortized).
 
 NOTE: encode_videos_batched routes multi-stream groups longer than
-BVC_MSTREAM_MAX_FRAMES (default MAX_CHUNK) through the serial loop —
+BVC_BATCH_MAX_FRAMES (default MAX_CHUNK) through the serial loop —
 measured faster there (PROFILE.md §12b).  To profile the vmapped
-multi-stream lane itself at long N, set BVC_MSTREAM_MAX_FRAMES=100000.
+multi-stream lane itself at long N, set BVC_BATCH_MAX_FRAMES=100000.
 
     python scripts/profile_streams.py [--streams 8] [--frames 60]
     python scripts/profile_streams.py --width 1280 --height 720 \
