@@ -84,12 +84,20 @@ def _make_pair(tmp_path, name, seed=11):
 GROUPS = [
     ("ip_fullsearch", dict(), [0, 3, 6]),
     ("intra_only", dict(I_Period=1), [2, 5]),
-    ("fastme_b16", dict(block_size=16, search_range=4, fastME=True), [1, 7]),
-    ("fracme", dict(fracMeEnabled=True), [3, 6]),
+    # feature-combo legs are slow-marked (suite-time budget): the lanes
+    # they exercise stay covered by default via the serial-pipeline and
+    # multiref tests; run them with ``-m slow``
+    pytest.param("fastme_b16",
+                 dict(block_size=16, search_range=4, fastME=True), [1, 7],
+                 marks=pytest.mark.slow),
+    pytest.param("fracme", dict(fracMeEnabled=True), [3, 6],
+                 marks=pytest.mark.slow),
 ]
 
 
-@pytest.mark.parametrize("name,cfg,qps", GROUPS, ids=[g[0] for g in GROUPS])
+@pytest.mark.parametrize("name,cfg,qps", GROUPS,
+                         ids=["ip_fullsearch", "intra_only", "fastme_b16",
+                              "fracme"])
 def test_batched_group_matches_serial(tmp_path, name, cfg, qps):
     db, ds = _make_pair(tmp_path, name)
     batch_runs = [_params(db, qp, **cfg) for qp in qps]
@@ -142,6 +150,7 @@ def test_multiref_group_matches_serial(tmp_path):
                                 f"multiref qp={qp}")
 
 
+@pytest.mark.slow
 def test_multiref_fastme_frac_group_matches_serial(tmp_path):
     """Multiref batching composed with fastME + fractional ME (the ablation
     grid's feature series)."""
