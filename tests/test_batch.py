@@ -277,6 +277,27 @@ def test_two_pass_group_matches_serial(tmp_path):
         _assert_identical_trees(pb, rc_params(ds, br), f"rc3 br={br}")
 
 
+def test_long_groups_route_serial(tmp_path):
+    """Groups longer than BATCH_MAX_FRAMES route through the serial loop
+    (measured faster there at every long shape — PROFILE.md §12b/12c):
+    n_batched == 0, artifacts still correct (they ARE serial encodes)."""
+    from basic_video_codec_tpu.models import batch as B
+
+    NL = B.BATCH_MAX_FRAMES + 1
+    y = ygen.moving_sequence(W, H, NL, seed=13)
+    d = tmp_path / "long"
+    d.mkdir()
+    ygen.write_y_file(str(d / "t.y"), y)
+    runs = [InputParameters(str(d / "t.y"), W, H,
+                            EncoderConfig(block_size=8, search_range=2,
+                                          I_Period=4, quantization_factor=qp,
+                                          resolution=(W, H)),
+                            frames_to_process=NL) for qp in (3, 6)]
+    res = encode_videos_batched(runs, results_csv_path=None)
+    assert res.n_batched == 0, "long shared-input group should run serial"
+    assert all(dt > 0 for dt in res.elapsed)
+
+
 def test_multi_stream_unequal_lengths_raise(tmp_path):
     a = tmp_path / "a"; b = tmp_path / "b"
     a.mkdir(); b.mkdir()
