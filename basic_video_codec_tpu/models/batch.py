@@ -5,16 +5,26 @@ sweep loops (block size, I_Period, QP) cells and pays a full encode per cell
 (/root/reference/assign1/ex4_plots.py:131-257).  On this pipeline each cell
 is transfer/host-bound while the chip idles, so the cheapest large
 multiplier on aggregate throughput is batching: configs that share every
-shape-determining knob (resolution, block size, search, features, I_Period)
-are vmapped into ONE chunk program.  Two batched axes exist:
+shape-determining knob (resolution, block size, search, features)
+are vmapped into ONE chunk program.  Batched axes:
 
 * **QP sweep** (same input stream): the frames upload once per chunk
   (``in_axes=None``) and every config's outputs come back in one batched
   fetch round — the RD-sweep/ablation drivers' case.
+* **I_Period** rides per-frame traced intra flags (the runtime-mode
+  chunk program) for single-reference fixed-QP groups.
+* **Target bitrate**: RC1's ``budget0`` and the RC2/3 fused two-pass
+  scalars (budget, scene statistic, prev-avg-QP seed) are per-config
+  values — the rc-compare grid's case.
 * **Multi-stream serving** (different ``y_only_file``s, same shapes): each
   config carries its own frame batch (``in_axes=0``) — N independent
   sequences encode concurrently on one chip, with per-stream packed
   uploads (the pack buffer is fixed-size, so streams stack).
+
+Batching pays where per-run pipeline fill/drain dominates — the
+reference drivers' 10-21-frame cells, measured 1.54x (PROFILE.md §12).
+Long runs measured faster as sequential serial passes (wire/host-bound
+either way; §12b/12c), so groups beyond BATCH_MAX_FRAMES route serial.
 
 The batch lane reuses the serial pipeline's machinery end-to-end: the same
 chunk programs (models/chunk.py) under ``jax.vmap``, the same compact
@@ -26,14 +36,13 @@ QPs — transport sizing never changes artifact bytes), the same host rebuild
 divergence class is the documented float-DCT ±1 edge, ops/transform.py —
 batched matmul HLO may round edge coefficients differently).
 
-Eligibility: RCflag in (0, 1), any nRefFrames (the sweep/ablation/rc-compare
-drivers' shapes).  nRefFrames > 1 groups ride the rolling-stack chunk program
-(models/chunk.encode_chunk_multiref) vmapped over configs, and must share an
-I_Period (no runtime-mode multiref program exists, so mixed-GOP multiref
-groups split).  RC1 groups batch over target bitrates: the per-row budget
-chain is already device scalar math in the chunk programs, so ``budget0``
-simply becomes a batched axis.  Ineligible runs (RC 2/3 two-pass, golden
-backend, parallel-GOP) fall back to serial ``encode_video``.
+Eligibility: every tpu-backend config (any RCflag, any nRefFrames — the
+sweep/ablation/rc-compare drivers' shapes).  nRefFrames > 1 groups ride the
+rolling-stack chunk program (models/chunk.encode_chunk_multiref) vmapped
+over configs; RC 2/3 groups vmap the fused two-pass program
+(models/two_pass.py); both pin I_Period within a group (no runtime-GOP
+variant exists for either).  Golden-backend and parallel-GOP runs fall
+back to serial ``encode_video``.
 """
 
 import os

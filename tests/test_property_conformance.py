@@ -120,3 +120,50 @@ def test_random_config_byte_parity(tmp_path, case, monkeypatch):
     rt = np.fromfile(ios["t"].get_mc_reconstructed_file_name(), np.uint8)
     dt = np.fromfile(ios["t"].get_mc_decoded_file_name(), np.uint8)
     assert np.array_equal(rt, dt), label
+
+
+@pytest.mark.parametrize("case", [
+    0, pytest.param(1, marks=pytest.mark.slow),
+    pytest.param(2, marks=pytest.mark.slow)])
+def test_random_batch_group_parity(tmp_path, case):
+    """Randomized batch-lane draw: a random base config grouped along one
+    batched axis (target bitrates under RC, QPs otherwise) must write
+    trees byte-identical to serial encodes — the batch analog of
+    test_random_config_byte_parity, pinning the multiref / RC1 / two-pass
+    vmap lanes against drift (exact transform pins the float edge)."""
+    from basic_video_codec_tpu.models.batch import encode_videos_batched
+    from basic_video_codec_tpu.models.pipeline import encode_video
+
+    rng = np.random.default_rng(7000 + case)
+    cfg, w, h, n = _draw(rng)
+    if cfg["RCflag"]:
+        variants = [dict(cfg, targetBR=br) for br in (240_000, 720_000)]
+    else:
+        qps = rng.choice(np.arange(0, 7), size=2, replace=False)
+        variants = [dict(cfg, quantization_factor=int(q)) for q in qps]
+    y = ygen.moving_sequence(w, h, n, seed=int(rng.integers(0, 1 << 30)))
+    trees = {}
+    for sub in ("b", "s"):
+        d = tmp_path / sub
+        d.mkdir()
+        ygen.write_y_file(str(d / "t.y"), y)
+        ps = []
+        for v in variants:
+            ec = EncoderConfig(**v)
+            if v["RCflag"]:
+                ec.rc_lookup_table = _table_for(v["block_size"])
+            ps.append(InputParameters(str(d / "t.y"), w, h, ec,
+                                      frames_to_process=n))
+        trees[sub] = ps
+    res = encode_videos_batched(trees["b"], results_csv_path=None)
+    assert res.n_batched == 1, [v for v in variants]
+    for p in trees["s"]:
+        encode_video(p, results_csv_path=None)
+    for pb, ps in zip(trees["b"], trees["s"]):
+        iob = FileIOHelper(pb, create_dirs=False)
+        ios_ = FileIOHelper(ps, create_dirs=False)
+        for get in ("get_encoded_file_name", "get_mc_reconstructed_file_name",
+                    "get_quant_dct_coff_fh_file_name", "get_mv_file_name",
+                    "get_residual_w_mc_file_name"):
+            assert filecmp.cmp(getattr(iob, get)(), getattr(ios_, get)(),
+                               shallow=False), (get, pb.encoder_config.__dict__)
