@@ -133,9 +133,10 @@ BATCH_MAX_FRAMES = int(os.environ.get("BVC_BATCH_MAX_FRAMES",
 
 def encode_videos_batched(runs, results_csv_path: str | None = "results.csv"):
     """Encode every run in ``runs`` (a list of :class:`InputParameters`),
-    batching groups of same-shape fixed-QP configs into shared device
-    programs.  Artifact trees are written exactly as by per-run
-    :func:`encode_video` calls.  Returns a :class:`BatchEncodeResult`."""
+    batching groups of same-shape configs (QP / I_Period / bitrate /
+    stream are batched axes) into shared device programs.  Artifact trees
+    are written exactly as by per-run :func:`encode_video` calls.
+    Returns a :class:`BatchEncodeResult`."""
     from ..encoder import encode_video  # backend dispatcher (golden fallback)
 
     runs = list(runs)

@@ -57,6 +57,13 @@ def main():
     from basic_video_codec_tpu.config import EncoderConfig, InputParameters
     from basic_video_codec_tpu.models.pipeline import encode_video
     from basic_video_codec_tpu.tools import ygen
+    from basic_video_codec_tpu.utils import compcache
+
+    # persistent XLA cache: the warm-up legs (headline + two-pass + the
+    # vmapped sweep programs) cost minutes of fresh compile per process;
+    # the cache turns repeat benches into disk reads and never touches
+    # the measured steady-state (BVC_COMPCACHE=0 disables)
+    compcache.enable()
 
     tmp = tempfile.mkdtemp(prefix="bvc_bench_")
     try:
