@@ -123,8 +123,10 @@ def test_random_config_byte_parity(tmp_path, case, monkeypatch):
 
 
 @pytest.mark.parametrize("case", [
-    0, pytest.param(1, marks=pytest.mark.slow),
-    pytest.param(2, marks=pytest.mark.slow)])
+    # one default draw; the rest slow — and the count scales with
+    # BVC_PROPERTY_CASES for soak runs like the config sweep above
+    c if c == 0 else pytest.param(c, marks=pytest.mark.slow)
+    for c in range(max(3, N_CASES // 2))])
 def test_random_batch_group_parity(tmp_path, case):
     """Randomized batch-lane draw: a random base config grouped along one
     batched axis (target bitrates under RC, QPs otherwise) must write
