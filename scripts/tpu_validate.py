@@ -232,6 +232,38 @@ def batch_lane():
                           sio.get_encoded_file_name(), shallow=False),
               f"batch mixed I_Period={ip}: bitstream byte-identical")
 
+    # (b2) round-5 lanes on the real chip: the multiref rolling-stack group
+    # and the RC3 fused-two-pass bitrate group (exact mode — RC chains feed
+    # row bits back into QP decisions, so byte-identity is pinned under the
+    # integer-exact transform, PARITY.md divergence 6)
+    mr_cfg = dict(nRefFrames=4, exact_transform=True)
+    res = encode_videos_batched(
+        [params("b_mr", q, **mr_cfg) for q in qps], results_csv_path=None)
+    check(res.n_batched == 1, "batch lane: multiref (nRef=4) group vmapped")
+    for q in qps:
+        encode_video(params("s_mr", q, **mr_cfg), results_csv_path=None)
+        bio = FileIOHelper(params("b_mr", q, **mr_cfg), create_dirs=False)
+        sio = FileIOHelper(params("s_mr", q, **mr_cfg), create_dirs=False)
+        check(filecmp.cmp(bio.get_encoded_file_name(),
+                          sio.get_encoded_file_name(), shallow=False),
+              f"batch multiref qp={q}: bitstream byte-identical")
+    rc_cfg = dict(RCflag=3, I_Period=8, exact_transform=True)
+    brs = (1_200_000, 2_400_000)
+    res = encode_videos_batched(
+        [params("b_rc", 5, targetBR=br, **rc_cfg) for br in brs],
+        results_csv_path=None)
+    check(res.n_batched == 1, "batch lane: RC3 two-pass bitrate group vmapped")
+    for br in brs:
+        encode_video(params("s_rc", 5, targetBR=br, **rc_cfg),
+                     results_csv_path=None)
+        bio = FileIOHelper(params("b_rc", 5, targetBR=br, **rc_cfg),
+                           create_dirs=False)
+        sio = FileIOHelper(params("s_rc", 5, targetBR=br, **rc_cfg),
+                           create_dirs=False)
+        check(filecmp.cmp(bio.get_encoded_file_name(),
+                          sio.get_encoded_file_name(), shallow=False),
+              f"batch RC3 two-pass targetBR={br}: bitstream byte-identical")
+
     # (c) float-mode QP group: vmapped float32-DCT HLO is a distinct ±1-edge
     # class (PARITY.md divergence 6) — assert PSNR within 0.2 dB and frame
     # bytes within 2% of the serial run, per frame
