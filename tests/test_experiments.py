@@ -140,6 +140,44 @@ def test_cli_run(seq, tmp_path, monkeypatch):
     assert os.path.exists(io.get_mc_decoded_file_name())
 
 
+def test_rc_mode_comparison_driver(tmp_path):
+    """The rc-compare study (reference assign3/Ex2.py shape) end to end:
+    the full mode x bitrate grid encodes through one
+    encode_videos_batched call (RC0/RC1 groups vmap, RC2/3 also batch)
+    and the RD/timing/per-frame-PSNR outputs land."""
+    from basic_video_codec_tpu.experiments.rc_study import rc_mode_comparison
+
+    Wq, Hq = 176, 144  # RC lookup tables exist for QCIF
+    y = str(tmp_path / "q.y")
+    ygen.write_y_file(y, ygen.moving_sequence(Wq, Hq, 4, seed=5))
+    out = str(tmp_path / "out")
+    series, times = rc_mode_comparison(
+        y, width=Wq, height=Hq, num_frames=4, qps=(3, 6),
+        bit_rates=(2_400_000, 480_000), out_dir=out)
+    assert len(series) == 4 and len(times) == 4  # RC modes 0-3
+    for f in ("ex2_rd.png", "timings.csv", "per-frame-psnr.png"):
+        assert os.path.exists(os.path.join(out, f)), f
+
+
+@pytest.mark.slow
+def test_ablation_driver(tmp_path):
+    """The feature-ablation study (reference assign2/Deliverable.py shape)
+    at toy scale: all five series (incl. nRef=4) encode through the batch
+    lane and the RD overlays land."""
+    from basic_video_codec_tpu.experiments.ablation import run_ablation
+
+    y = str(tmp_path / "a.y")
+    ygen.write_y_file(y, ygen.moving_sequence(W, H, N, seed=6))
+    out = str(tmp_path / "abl")
+    files = run_ablation(y, width=W, height=H, qps=(1, 4), num_frames=N,
+                         out_dir=out)
+    assert set(files) == {"base", "4 nRefFrames", "fracME", "fastME",
+                          "All enabled"}
+    assert all(len(v) == 2 for v in files.values())
+    pngs = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert len(pngs) >= 4  # one overlay per non-base series
+
+
 def test_prediction_mode_enum():
     from basic_video_codec_tpu.prediction_mode import PredictionMode
 
