@@ -24,20 +24,43 @@ SERIES = [
 def run_ablation(y_only_file, width=352, height=288, qps=(1, 4, 7, 10),
                  num_frames=10, out_dir="results/ablation", backend="auto",
                  plots=True):
+    import shutil
+
     os.makedirs(out_dir, exist_ok=True)
+    # The artifact identifier scheme (io/fileio.py, parity with reference
+    # file_io.py:20) does NOT include fastME, so the 'base' and 'fastME'
+    # series would write the SAME config directory and the later encode
+    # would overwrite the earlier one's metrics (the reference's own
+    # driver has this collision latent — its encode calls are commented
+    # out, assign2/Deliverable.py:48).  Each series therefore encodes
+    # against its own hardlinked copy of the input, giving every series a
+    # private artifact tree without touching the per-run naming parity.
+    def series_input(name):
+        slug = name.replace(" ", "_")
+        d = os.path.join(out_dir, "runs", slug)
+        os.makedirs(d, exist_ok=True)
+        dst = os.path.join(d, os.path.basename(y_only_file))
+        if not os.path.exists(dst):
+            try:
+                os.link(y_only_file, dst)
+            except OSError:
+                shutil.copyfile(y_only_file, dst)
+        return dst
+
     # Build every (series, QP) cell up front and batch-encode: each series'
     # QP sweep shares one vmapped device program (models/batch.py) — the
     # nRefFrames=4 series ride the rolling-stack multiref chunk program,
     # so the whole grid batches.
     cells = []
     for name, overrides in SERIES:
+        y_series = series_input(name)
         for qp in qps:
             kwargs = dict(block_size=16, search_range=4, I_Period=8,
                           quantization_factor=qp, resolution=(width, height),
                           backend=backend)
             kwargs.update(overrides)
             ec = EncoderConfig(**kwargs)
-            params = InputParameters(y_only_file, width, height, ec, num_frames)
+            params = InputParameters(y_series, width, height, ec, num_frames)
             cells.append((name, params))
     encode_videos_batched([c[1] for c in cells], results_csv_path=None)
     all_metric_files = {}

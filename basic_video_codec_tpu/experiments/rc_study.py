@@ -93,10 +93,10 @@ def rc_mode_comparison(y_only_file, width=352, height=288, num_frames=21,
         return InputParameters(y_only_file, width, height, ec.validate(),
                                num_frames)
 
-    # Build the full mode x rate grid and batch-encode it: the RC0 QP sweep
-    # and the RC1 bitrate sweep each vmap into one device program
-    # (models/batch.py — budget0 is a batched axis); RC 2/3 two-pass cells
-    # fall back to serial encodes inside the same call.
+    # Build the full mode x rate grid and batch-encode it: the RC0 QP
+    # sweep and each RC mode's bitrate sweep vmap into one device program
+    # apiece (models/batch.py — budget0 is a batched axis; RC 2/3 groups
+    # ride the vmapped fused two-pass program).
     from ..models.batch import encode_videos_batched
 
     grid = [(0, cell(0, qp=qp), None) for qp in qps]

@@ -63,8 +63,8 @@ from ..utils.logger import get_logger
 from .chunk import (encode_chunk, encode_chunk_intra_only, encode_chunk_mixed,
                     encode_chunk_multiref)
 from .pipeline import (DEPTH, INTER, INTRA, MAX_CHUNK, _bucket, _EncodeSink,
-                       _finalize_compact, _prev_avg_qp, _ReconRebuilder,
-                       _stage, _table_arrays)
+                       _finalize_compact, _ReconRebuilder, _stage,
+                       _table_arrays, _two_pass_seed_scalars)
 from .two_pass import encode_chunk_two_pass
 
 logger = get_logger()
@@ -98,6 +98,17 @@ def _group_key(params: InputParameters):
            ec.nRefFrames, ec.RCflag)
     if ec.nRefFrames > 1 or ec.RCflag > 1:
         key += (ec.I_Period,)
+    if ec.RCflag:
+        # the device QP chain prices with ONE table per group
+        # (_table_arrays(ec0)), so table identity must be part of the key:
+        # a caller-supplied calibration table (rc.lookup.generate_rc_lookup;
+        # _load_rc_table keeps it) must never share a group with a config
+        # on a different table.  None means the shipped CSVs for this
+        # (resolution, bs) — identical across the group by the shape key.
+        tbl = getattr(ec, "rc_lookup_table", None)
+        key += (None if tbl is None else
+                tuple(sorted((qp, tuple(sorted(v.items())))
+                             for qp, v in tbl.items())),)
     return key
 
 
@@ -272,20 +283,11 @@ def _encode_group(runs, results_csv_path):
                            jnp.float32)
                if ec0.RCflag else jnp.zeros((C,), jnp.float32))
     if two_pass:
-        # scene-change statistic + pass-1 QP seed, per config (the serial
-        # pipeline's scalars, models/pipeline.py _run_chunked two_pass)
-        nbr_total = ec0.resolution[1] // bs
-
-        def _expp(ec):
-            try:
-                return float(ec.rc_lookup_table[ec.quantization_factor]["P"]
-                             * nbr_total)
-            except (KeyError, TypeError):
-                return float("inf")  # overage undefined -> never a scene cut
-
-        expp = jnp.asarray([_expp(ec) for ec in ecs], jnp.float32)
-        pavg = jnp.asarray([_prev_avg_qp([ec.quantization_factor], ec)
-                            for ec in ecs], jnp.int32)
+        # scene-change statistic + pass-1 QP seed, per config — the SAME
+        # helper the serial pipeline seeds from (byte-parity-critical)
+        seeds = [_two_pass_seed_scalars(ec, bs) for ec in ecs]
+        expp = jnp.asarray([s[0] for s in seeds], jnp.float32)
+        pavg = jnp.asarray([s[1] for s in seeds], jnp.int32)
     else:
         expp = jnp.zeros((C,), jnp.float32)
         pavg = jnp.zeros((C,), jnp.int32)

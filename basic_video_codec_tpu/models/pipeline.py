@@ -87,6 +87,23 @@ def _table_arrays(ec):
     return qps, bits
 
 
+def _two_pass_seed_scalars(ec, bs):
+    """Host scalars seeding the fused two-pass program, shared by the
+    serial pipeline and the batch lane (their derivations must stay
+    identical for batched-vs-serial byte parity): the scene-change
+    statistic ``exp_p`` and the pass-1 QP seed.  The expected frame size
+    uses UNPADDED rows like the reference (Frame.py:158 sizes it from
+    ec.resolution) and the golden oracle — identical at block
+    multiples."""
+    nbr_total = ec.resolution[1] // bs
+    try:
+        exp_p = float(ec.rc_lookup_table[ec.quantization_factor]["P"]
+                      * nbr_total)
+    except (KeyError, TypeError):
+        exp_p = float("inf")  # overage undefined -> never a scene change
+    return exp_p, _prev_avg_qp([ec.quantization_factor], ec)
+
+
 def _prev_avg_qp(prev_rows, ec):
     """``int(mean(prev.rc_qp_per_row) - 0.1) + 1`` (reference IFrame.py:35)
     with the non-strict fallback for empty history."""
@@ -197,7 +214,11 @@ def _finalize_fields(index, mode, curr, recon, art, qdct, aux, metric_sum,
         # through the host coder and require byte identity, keeping the
         # "device bits == host entropy coder bits" invariant live end to
         # end without paying the host pack on every frame.
-        if _DEVBITS_CHECK and index % _DEVBITS_CHECK == 0:
+        # (index - 1): frame indices are 1-based, so the FIRST devbits frame
+        # of every run is always cross-checked — batch-lane cells are
+        # typically 10-24 frames, which a % on the raw index would skip
+        # entirely at the default interval
+        if _DEVBITS_CHECK and (index - 1) % _DEVBITS_CHECK == 0:
             hp_bytes, hp_bits, hd_bytes, hd_bits = _host_entropy(
                 mode, aux, row_qps, qdct, ec, nbr, nbc, bs)
             assert (hp_bits == f.pred_bits and hd_bits == f.dct_bits
@@ -679,17 +700,9 @@ def _run_chunked(params, ec, f_in, tbl, write_out):
     frac = ec.fracMeEnabled
     exact = getattr(ec, "exact_transform", False)
     if two_pass:
-        # device-side scalars for the fused two-pass program.  The expected
-        # frame size uses UNPADDED rows like the reference (Frame.py:158
-        # sizes it from ec.resolution) and the golden oracle — identical at
-        # block multiples.
-        nbr_total = ec.resolution[1] // bs
-        try:
-            exp_p = float(ec.rc_lookup_table[ec.quantization_factor]["P"] * nbr_total)
-        except (KeyError, TypeError):
-            exp_p = float("inf")  # overage undefined -> never a scene change
+        exp_p, pavg0 = _two_pass_seed_scalars(ec, bs)
         exp_p_frame = jnp.float32(exp_p)
-        prev_avg = jnp.int32(_prev_avg_qp([ec.quantization_factor], ec))
+        prev_avg = jnp.int32(pavg0)
 
     # every plane in the pipeline lives at PADDED geometry (utils
     # padded_dims; PARITY.md divergence 6) — including the gray seeds:

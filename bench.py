@@ -114,9 +114,11 @@ def main():
         deliverable_fps = BENCH_FRAMES / min(d_times)
 
         # batch lane: 8 QP cells of the headline class, batched vs serial.
-        # Same 60-frame stream per cell; separate y dirs so the trees never
-        # collide; artifacts overwrite in place across reps (overwrite_open
-        # keeps rep N+1 off rep N's ext4 writeback).
+        # Each cell encodes the same SWEEP_FRAMES-frame stream (the
+        # reference sweep drivers' 10-frame cell shape); separate y dirs
+        # so the batched and serial trees never collide; artifacts
+        # overwrite in place across reps (overwrite_open keeps rep N+1
+        # off rep N's ext4 writeback).
         from basic_video_codec_tpu.models.batch import encode_videos_batched
 
         SWEEP_QPS = list(range(8))

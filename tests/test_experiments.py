@@ -176,6 +176,13 @@ def test_ablation_driver(tmp_path):
     assert all(len(v) == 2 for v in files.values())
     pngs = [f for f in os.listdir(out) if f.endswith(".png")]
     assert len(pngs) >= 4  # one overlay per non-base series
+    # the artifact identifier omits fastME (reference file_io.py:20 parity),
+    # so base and fastME would share a config dir on one tree — the driver
+    # gives each series its own input copy; prove the trees are separate
+    # AND carry different data (fastME changes the MV search)
+    assert files["base"][0] != files["fastME"][0]
+    with open(files["base"][0]) as fa, open(files["fastME"][0]) as fb:
+        assert fa.read() != fb.read()
 
 
 def test_prediction_mode_enum():
