@@ -79,7 +79,8 @@ def run_two_pass_sharded(params, ec, f_in, tbl_np, write_out):
     from concurrent.futures import ThreadPoolExecutor
 
     from ..models.pipeline import (INTER, MAX_CHUNK, _acct, _finalize_compact,
-                                   _prev_avg_qp, _rebuild_frame, _stage)
+                                   _prev_avg_qp, _rebuild_frame, _stage,
+                                   _two_pass_seed_scalars)
     from ..models.two_pass import encode_chunk_two_pass
 
     bs = ec.block_size
@@ -111,10 +112,9 @@ def run_two_pass_sharded(params, ec, f_in, tbl_np, write_out):
     upack = os.environ.get("BVC_UPACK", "1") != "0"
     ucap = PK.input_esc_cap(ph, pw)
 
-    try:
-        exp_p = float(ec.rc_lookup_table[ec.quantization_factor]["P"] * nbr_total)
-    except (KeyError, TypeError):
-        exp_p = float("inf")  # overage undefined -> never a scene change
+    # shared scene-change statistic derivation (byte-parity-critical across
+    # the serial / batch / sharded lanes)
+    exp_p, _ = _two_pass_seed_scalars(ec, bs)
 
     D = max(1, min(len(jax.devices()), ec.parallel_gops))
     devices = jax.devices()[:D]
